@@ -1,0 +1,66 @@
+"""Local mirror of the driver's oracle-differential check: run a registered
+query's Spark side and its DuckDB oracle SQL over the same parquet tables,
+then compare row count + column names + order-insensitive values.
+
+Normalization follows the driver contract (columns sorted by name before
+hashing; queries themselves must alias/round deterministically).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import date, datetime
+
+import duckdb
+import pandas as pd
+
+from wsu_cpts_415_spark.io.tables import TABLE_NAMES
+
+FLOAT_DECIMALS = 6
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm_cell(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if isinstance(v, float):
+        r = round(v, FLOAT_DECIMALS)
+        if r == 0:
+            r = 0.0  # collapse -0.0
+        return f"{r:.{FLOAT_DECIMALS}f}"
+    if isinstance(v, (datetime, pd.Timestamp)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def normalize(pdf: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
+    cols = sorted(pdf.columns)
+    rows = [tuple(_norm_cell(v) for v in row) for row in pdf[cols].itertuples(index=False)]
+    return cols, sorted(rows)
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+    spark_pdf = spark_df.toPandas()
+    duck_pdf = con.execute(sql).fetchdf()
+    s_cols, s_rows = normalize(spark_pdf)
+    d_cols, d_rows = normalize(duck_pdf)
+    assert s_cols == d_cols, f"column mismatch: spark={s_cols} duckdb={d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, f"value mismatch ({len(mismatches)} rows), first: {mismatches[:3]}"

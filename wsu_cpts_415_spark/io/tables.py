@@ -1,0 +1,41 @@
+"""Fixture-table source: explicit-schema parquet reads.
+
+Replaces the reference's schema-inferred Mongo source (S8,
+reference analyze_links.py:111-116) with parquet + declared StructType.
+Applying the schema at read time (rather than casting after) keeps column
+pruning and filter pushdown at the scan: ``.explain`` shows ``ReadSchema``
+with only the projected columns and ``PushedFilters`` for predicates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wsu_cpts_415_spark.schemas import FIXTURE_SCHEMAS
+
+TABLE_NAMES = tuple(FIXTURE_SCHEMAS)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with its canonical schema."""
+    if name not in FIXTURE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Parquet is self-describing; passing the canonical schema pins the
+    # engine-facing types (e.g. int32 -> IntegerType, timestamp[ns] ->
+    # TimestampType) instead of trusting whatever the writer produced.
+    return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL surface."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,4 @@
+"""Named query library.  Importing this package registers every query in
+``wsu_cpts_415_spark.registry.REGISTRY``."""
+
+from wsu_cpts_415_spark.queries import relational  # noqa: F401

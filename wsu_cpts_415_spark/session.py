@@ -1,0 +1,65 @@
+"""SparkSession builder, parameterized for local or cluster use.
+
+The reference hardcodes ``.master("local")`` (one thread) in three of its
+four analyses (reference big_data/scripts/analysis/analyze_links.py:22) --
+a bug its own correlation_analysis.py:17-30 avoids by probing for the
+cluster. Here the master is never hardcoded: local runs parameterize
+``local[N]``, cluster runs leave the master to spark-submit.
+
+Scale posture (100 TB target):
+  - AQE on (coalesce partitions, skew-join splitting at runtime).
+  - Arrow on for every pandas boundary.
+  - shuffle partitions default to ~cores locally; on a real cluster AQE
+    coalesces from a high initial number, so we only pin it in local mode.
+  - session timezone pinned UTC so timestamp semantics are deployment-
+    independent (and DuckDB-oracle comparable).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "wsu_cpts_415_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the SparkSession.
+
+    ``master=None`` means: respect an existing session / spark-submit
+    ``--master`` if present, else fall back to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER_SET"):
+        builder = builder.master(f"local[{_DEFAULT_CPUS}]")
+
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # nested-struct column pruning reaches the parquet scan
+        "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+        "spark.ui.enabled": "false",
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions if shuffle_partitions is not None else _DEFAULT_CPUS
+        ),
+        # local mode: the driver is the only JVM; give it headroom
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
