@@ -13,6 +13,7 @@ import os
 from datetime import date, datetime
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from wsu_cpts_415_spark.io.tables import TABLE_NAMES
@@ -37,11 +38,18 @@ def _norm_cell(v) -> str:
             r = 0.0  # collapse -0.0
         return f"{r:.{FLOAT_DECIMALS}f}"
     if isinstance(v, (datetime, pd.Timestamp)):
-        return pd.Timestamp(v).isoformat()
+        # unify date-grained values: DuckDB DATE comes back from fetchdf as
+        # a midnight Timestamp while Spark yields datetime.date
+        ts = pd.Timestamp(v)
+        return ts.date().isoformat() if ts == ts.normalize() else ts.isoformat()
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, np.floating):
+        return _norm_cell(float(v))
+    if isinstance(v, np.integer):
+        return str(int(v))
     return str(v)
 
 

@@ -1,4 +1,12 @@
 """Named query library.  Importing this package registers every query in
 ``wsu_cpts_415_spark.registry.REGISTRY``."""
 
-from wsu_cpts_415_spark.queries import relational  # noqa: F401
+from wsu_cpts_415_spark.queries import (  # noqa: F401
+    aggregates,
+    filters,
+    joins,
+    relational,
+    setops,
+    tpch,
+    windows,
+)

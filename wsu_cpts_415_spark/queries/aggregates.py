@@ -1,0 +1,233 @@
+"""Aggregation queries (SURVEY.md §2.4: A1-A8) plus engine extras the
+reference lacks (rollup/cube, grouping sets, approx aggregates,
+percentiles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.registry import register
+
+
+@register(
+    "group_count",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 word-count shape (analyze_links.py:125-131) done right:
+    count(*) with partial aggregation, not sum(lit(1))."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "multi_agg_per_group",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+           ROUND(AVG(c_acctbal), 2) AS avg_bal,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def multi_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 multi-aggregate per group (graph_filter.py:143-155).
+
+    The reference materializes collect_set then takes size -- unbounded
+    per-group state.  Here the counts are countDistinct (no array built);
+    the array output is kept ONLY as a deterministic sort_array(collect_set)
+    to prove set-aggregate parity, and would be dropped at 100 TB.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "dup_detection",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) > 1
+    ORDER BY n DESC, o_custkey
+    """,
+)
+def dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 duplicate-key detection (validate_data.py:74-83 Mongo pipeline)
+    as groupBy + having."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .orderBy(F.col("n").desc(), F.col("o_custkey"))
+    )
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals -- engine extra (SURVEY.md §2.4 'not
+    present'); one shuffle, grouping-set expansion is map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims -- engine extra."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "distinct_counts",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts (expand + two-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register("approx_distinct")  # no oracle: HLL result is engine-specific
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) -- the 100 TB substitute for
+    exact distinct (constant memory per group, no expand).  Rows-only
+    check: sketch estimates differ across engines by design."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+@register(
+    "percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (median/p90/p99).
+
+    Spark's percentile() matches DuckDB quantile_cont interpolation.
+    At 100 TB swap to approx_percentile -- exposed in the API as the
+    same query shape (percentiles_approx, rows-only)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "stats_moments",
+    oracle="""
+    SELECT ROUND(AVG(l_quantity), 6) AS mean_qty,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+           ROUND(var_samp(l_quantity), 6) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+    FROM lineitem
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates incl. Pearson corr (A5 building block --
+    correlation_analysis.py:100-110 is composed from these pairwise)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+    )

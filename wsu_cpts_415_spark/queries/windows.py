@@ -1,0 +1,209 @@
+"""Window-function queries (SURVEY.md §2.6-2.7: W1-W2, O1-O4) plus the
+frame/lag-lead surface the reference doesn't use."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.registry import register
+
+
+@register(
+    "topn_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rnk
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey ASC
+               ) AS INT) AS rnk
+        FROM part
+    )
+    WHERE rnk <= 3
+    ORDER BY p_brand, rnk
+    """,
+)
+def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 top-N per key (trending_predictor.py:164-189): row_number over
+    partitioned desc window + rank filter -- the canonical Spark plan
+    (single hash-partition shuffle on the key, per-partition sort, no
+    global sort).  Tie-break on p_partkey makes it deterministic."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("p_brand", "rnk")
+    )
+
+
+@register(
+    "percent_rank_global",
+    oracle="""
+    SELECT s_suppkey,
+           ROUND(PERCENT_RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey), 6)
+               AS pct_rank
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+)
+def percent_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 global percent_rank (trending_predictor.py:167,188).
+
+    Kept ONLY for a bounded table (supplier): an unpartitioned window
+    collapses to one partition.  The scalable variant for fact tables is
+    ``percent_rank_scalable`` below (rank via distributed sort / (n-1))."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return supplier.select(
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    ).orderBy("s_suppkey")
+
+
+@register(
+    "percent_rank_scalable",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               RANK() OVER (ORDER BY l_extendedprice DESC) AS rnk,
+               COUNT(*) OVER () AS n
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROUND(CAST(rnk - 1 AS DOUBLE) / (n - 1), 6) AS pct_rank
+    FROM ranked
+    WHERE rnk <= 100
+    ORDER BY pct_rank, l_orderkey, l_linenumber
+    """,
+)
+def percent_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable percentile formulation for the W2 hazard at 100 TB:
+    (rank-1)/(n-1) with NO unpartitioned window over the fact table.
+
+    Plan: (1) scalar count n; (2) top-k threshold via
+    TakeOrderedAndProject (per-partition heaps, driver merge of k rows);
+    (3) filter the fact table to values >= threshold -- pushed to the
+    scan -- which bounds the remaining slice to ~k rows; (4) rank within
+    that bounded slice (ranks of rows >= threshold equal their global
+    ranks because every tied row is retained)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()  # scalar agg job
+    k = 100
+    topk = (
+        li.select("l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc())
+        .limit(k)
+        .collect()
+    )
+    threshold = topk[-1][0]
+    w = Window.orderBy(F.col("l_extendedprice").desc())
+    ranked = li.filter(F.col("l_extendedprice") >= threshold).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.rank().over(w).alias("rnk"),
+    ).filter(F.col("rnk") <= k)
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round((F.col("rnk") - 1).cast("double") / (n - 1), 6).alias("pct_rank"),
+    ).orderBy("pct_rank", "l_orderkey", "l_linenumber")
+
+
+@register(
+    "running_sum_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           ROUND(SUM(l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_qty
+    FROM lineitem
+    WHERE l_suppkey <= 3
+    ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+)
+def running_sum_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame: per-supplier running quantity in ship order.
+    Total order (shipdate, orderkey, linenumber) makes the cumulative
+    float sum bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        li.filter(F.col("l_suppkey") <= 3)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+               LAG(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    WHERE o_custkey <= 20
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): days between a customer's consecutive orders (the
+    sessionization building block, SURVEY.md §2.6 'exposed as standard')."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.filter(F.col("o_custkey") <= 20)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).cast("bigint").alias("days_since_prev"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "top_k_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def top_k_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 global top-k (trending_predictor.py:200): orderBy().limit(k)
+    compiles to TakeOrderedAndProject -- per-partition heaps + driver
+    merge, never a full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
