@@ -12,8 +12,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from wsu_cpts_415_spark.schemas import FIXTURE_SCHEMAS
+from wsu_cpts_415_spark.schemas import EVENTS_RAW, FIXTURE_SCHEMAS
 
 TABLE_NAMES = tuple(FIXTURE_SCHEMAS)
 
@@ -25,8 +26,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in FIXTURE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS) which Spark cannot read natively
+        # (PARQUET_TYPE_ILLEGAL): read the physical int64 and floor-convert
+        # ns -> us with integer division (exact; double division would lose
+        # precision on ~1.7e18 ns epochs).
+        raw = spark.read.schema(EVENTS_RAW).parquet(path)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     # Parquet is self-describing; passing the canonical schema pins the
-    # engine-facing types (e.g. int32 -> IntegerType, timestamp[ns] ->
+    # engine-facing types (e.g. int32 -> IntegerType, timestamp[ms] ->
     # TimestampType) instead of trusting whatever the writer produced.
     return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(path)
 

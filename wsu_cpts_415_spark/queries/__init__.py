@@ -3,10 +3,13 @@
 
 from wsu_cpts_415_spark.queries import (  # noqa: F401
     aggregates,
+    events,
     filters,
     joins,
     relational,
     setops,
+    similarity,
+    text,
     tpch,
     windows,
 )

@@ -1,0 +1,264 @@
+"""Time / event queries over the ``events`` clickstream fixture
+(SURVEY.md §2.11 + §7.2 P6).
+
+The reference is batch-only; these are the stream-shaped operators the
+engine adds: tumbling/sliding/session windows, JSON prop extraction,
+funnels, sessionization.  Each is written batch-first here; the streaming
+module re-runs the same shapes under Structured Streaming with watermarks
+(wsu_cpts_415_spark/streaming/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.registry import register
+
+SESSION_GAP_MIN = 60  # sessionization gap, minutes
+
+
+@register(
+    "window_tumbling",
+    oracle="""
+    SELECT date_trunc('day', ts) AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window aggregate via F.window -- the Structured
+    Streaming-compatible formulation (same expression runs under
+    readStream + watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+        .orderBy("win_start", "event_type")
+    )
+
+
+@register(
+    "window_sliding",
+    oracle="""
+    SELECT ws AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM (
+        SELECT value,
+               UNNEST([date_trunc('day', ts),
+                       date_trunc('day', ts) - INTERVAL 1 DAY]) AS ws
+        FROM events
+    )
+    GROUP BY ws
+    ORDER BY win_start
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2-day length, 1-day hop): every event lands in two
+    windows.  F.window expands rows map-side (like the oracle's UNNEST)
+    then aggregates -- shuffle carries window-count x groups, not raw rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "total_value")
+        .orderBy("win_start")
+    )
+
+
+@register(
+    "session_windows",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        FROM gaps
+    )
+    SELECT user_id,
+           date_trunc('microseconds', MIN(ts)) AS session_start,
+           date_trunc('microseconds', MAX(ts)) AS session_end_event,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS session_value
+    FROM sessions
+    GROUP BY user_id, sess_no
+    ORDER BY user_id, session_start
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap-based) via F.session_window -- Spark's native
+    merging-session aggregate, identical state machine to the
+    lag/gap/cumsum SQL oracle.  session_end_event is max event ts (the
+    native window.end adds the gap; we emit the engine-neutral value)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end_event"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end_event", "n_events", "session_value"
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           ROUND(AVG(k), 6) AS avg_k
+    FROM (
+        SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: from_json over the props column (the
+    fixture's JSON-string column, FIXTURES.md) -> typed aggregate.
+    Schema is declared, not inferred, so the parse is a single
+    codegen'd expression."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.from_json("props", "k INT").getField("k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "funnel_signup_purchase",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'signup') AS first_signup,
+               MIN(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT CAST(COUNT(first_signup) AS BIGINT) AS n_signed_up,
+           CAST(COUNT(CASE WHEN first_purchase > first_signup THEN 1 END) AS BIGINT)
+               AS n_converted
+    FROM firsts
+    """,
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: users who signed up, and of those, who purchased
+    AFTER first signup.  One shuffle on user_id; conditional aggregates
+    instead of self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return firsts.agg(
+        F.count("first_signup").alias("n_signed_up"),
+        F.count(
+            F.when(F.col("first_purchase") > F.col("first_signup"), F.lit(1))
+        ).alias("n_converted"),
+    )
+
+
+@register(
+    "sessionize_lag",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    )
+    SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions
+    FROM gaps
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag+gap flags (the windowed alternative to
+    session_window; SURVEY guide 'common OLAP patterns').  Counting
+    sessions = summing new-session flags, no second cumsum window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > SESSION_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(F.sum("is_new").cast("bigint").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "event_type_daily_rate",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT d AS day, event_type, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY d), 6) AS share
+    FROM daily
+    ORDER BY day, event_type
+    """,
+)
+def event_type_daily_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type share: aggregate THEN window over the (small)
+    aggregate -- the window input is |days|x|types| rows, never the raw
+    stream."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("day")
+    return daily.select(
+        "day",
+        "event_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("share"),
+    ).orderBy("day", "event_type")

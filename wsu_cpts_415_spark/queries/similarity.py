@@ -1,0 +1,441 @@
+"""Similarity-search and sketch-based near-dup operators: MinHash+LSH,
+SimHash, embedding cosine top-k (brute force + bucketed ANN).
+
+North-star LLM-data operators (BASELINE.json; SURVEY.md §7.2 P7/P8).
+Hash functions are md5-derived so Spark and DuckDB produce identical
+signatures (md5 is bit-identical in both; hex prefix -> bigint).
+
+Scale design:
+  * MinHash signatures are per-row array expressions (no shuffle).
+  * LSH banding turns the O(n^2) pair problem into an equi-join on
+    (band, band_hash) buckets -- the only shuffle, and it carries
+    signatures, not documents.
+  * Brute-force cosine is the correctness baseline; the bucketed variant
+    is the scale path (prunes to the query's Hamming-adjacent buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.registry import register
+
+N_HASHES = 8  # minhash signature length
+N_BANDS = 4  # LSH bands (rows-per-band = 2)
+TOP_K = 10
+
+_SPARK_H60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+_DUCK_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+_SPARK_H32 = "cast(conv(substr(md5({x}), 1, 8), 16, 10) as bigint)"
+_DUCK_H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+# Universal-hash family for the minhash seeds: h_s(x) = (a_s * h(x) + b_s)
+# mod p over a single md5-derived base hash.  One md5 per shingle instead
+# of one per (seed, shingle) -- md5+hex+conv dominates signature cost.
+_MERSENNE_P = 2147483647  # 2^31 - 1
+_HASH_PARAMS = [
+    ((s * 2654435761 + 12289) % _MERSENNE_P or 1, (s * 805306457 + 32749) % _MERSENNE_P)
+    for s in range(N_HASHES)
+]
+
+_SPARK_SHINGLES = (
+    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 1),"
+    " i -> concat(element_at(split(text, ' '), i), ' ',"
+    " element_at(split(text, ' '), i + 1))))"
+)
+_DUCK_SHINGLES_LIST = (
+    "list_distinct(list_transform("
+    "generate_series(1, len(string_split(text, ' ')) - 1),"
+    " i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))"
+)
+
+
+def _spark_shingled(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) with tokens/shingles materialized as real
+    columns.  Nested lambdas over an inline expression would re-evaluate
+    split(text) for every shingle position and every seed (measured 40 s
+    vs 0.3 s at sf0.1); staging each array through a Project computes it
+    once per row."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
+        ).alias("shingles"),
+    )
+
+
+def _spark_minhash_sig() -> str:
+    """Signature over a materialized ``hs`` column (base hashes of the
+    shingle set): sig[s] = min over shingles of (a_s*h + b_s) mod p."""
+    mins = ", ".join(
+        f"array_min(transform(hs, h -> pmod({a}L * h + {b}L, {_MERSENNE_P}L)))"
+        for a, b in _HASH_PARAMS
+    )
+    return f"array({mins})"
+
+
+_DUCK_BASE_HASHES = (
+    f"list_transform({_DUCK_SHINGLES_LIST},"
+    f" sh -> {_DUCK_H32.format(x='sh')} % {_MERSENNE_P})"
+)
+_SPARK_BASE_HASHES = (
+    f"transform(shingles, sh -> pmod({_SPARK_H32.format(x='sh')}, {_MERSENNE_P}L))"
+)
+
+
+def _spark_hashed(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles, hs): shingle set + base hashes, each
+    materialized once per row (base hash already reduced mod p so the
+    seeded multiply never overflows int64)."""
+    return _spark_shingled(docs).select(
+        "doc_id", "shingles", F.expr(_SPARK_BASE_HASHES).alias("hs")
+    )
+
+
+def _duck_minhash_sig() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> (CAST({a} AS BIGINT) * h + {b}) % {_MERSENNE_P}))"
+        for a, b in _HASH_PARAMS
+    )
+    return f"[{mins}]"
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    SELECT doc_id, {_duck_minhash_sig()} AS sig
+    FROM (SELECT doc_id, {_DUCK_BASE_HASHES} AS hs FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature per document ({N_HASHES} seeded md5 hash
+    functions over bigram shingles).  Pure map-side array math -- the
+    signature replaces the document in every downstream near-dup step."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _spark_hashed(docs).select(
+        "doc_id", F.expr(_spark_minhash_sig()).alias("sig")
+    ).orderBy("doc_id")
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT doc_id, {_duck_minhash_sig()} AS sig
+        FROM (SELECT doc_id, {_DUCK_BASE_HASHES} AS hs FROM documents)
+    ),
+    bands AS (
+        SELECT doc_id, b,
+               sig[2 * b + 1] AS h1, sig[2 * b + 2] AS h2
+        FROM sigs, UNNEST(generate_series(0, {N_BANDS - 1})) AS t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.b = b.b AND a.h1 = b.h1 AND a.h2 = b.h2
+                     AND a.doc_id < b.doc_id
+    ),
+    sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES_LIST} AS shingles FROM documents
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))), 6)
+               AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH candidate pairs with exact Jaccard verification.
+
+    Banding: signature split into {N_BANDS} bands of 2; documents
+    colliding on any full band become candidates (the classic
+    s-curve selectivity).  Only candidates are verified with the exact
+    shingle-set Jaccard -- at 100 TB this is the difference between a
+    bucket-local join and an impossible n^2 comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Stage 1: slim band table (doc_id, band, two signature slots) -- the
+    # self-join shuffles ONLY ids + hashes, never text or shingle arrays.
+    bands = (
+        _spark_hashed(docs)
+        .select("doc_id", F.expr(_spark_minhash_sig()).alias("sig"))
+        .select(
+            "doc_id", F.explode(F.expr(f"sequence(0, {N_BANDS - 1})")).alias("b"), "sig"
+        )
+        .select(
+            "doc_id",
+            "b",
+            F.expr("element_at(sig, 2 * b + 1)").alias("h1"),
+            F.expr("element_at(sig, 2 * b + 2)").alias("h2"),
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # Stage 2: attach shingle sets to the (deduped) candidates only.
+    sh = _spark_shingled(docs)
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    pairs = cand.join(sa, F.col("doc_a") == F.col("sa.doc_id")).join(
+        sb, F.col("doc_b") == F.col("sb.doc_id")
+    )
+    inter = F.size(F.array_intersect("sa.shingles", "sb.shingles"))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            inter.cast("double")
+            / (F.size("sa.shingles") + F.size("sb.shingles") - inter),
+            6,
+        ).alias("jaccard"),
+    ).orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN ({_DUCK_H32.format(x='t')} >> b) % 2 = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM tok, UNNEST(generate_series(0, 31)) AS u(b)
+        GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: per-bit majority vote over token
+    hashes (with multiplicity).  Near-duplicate documents differ in few
+    bits -> dedup by Hamming distance on a 64-bit integer instead of
+    comparing texts.
+
+    Implemented as explode(token hashes) -> one hash aggregate with 32
+    conditional sums -> bit recombination.  Spark's higher-order lambda
+    functions are interpreted per element (no codegen) -- the nested
+    per-bit fold measured 11 s at sf0.1 vs ~1 s for this vectorized
+    hash-aggregate plan; the shuffle key is doc_id and the shuffle rows
+    are (doc_id, 32 ints), map-side combined."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _SPARK_H32.format(x="t")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"transform(split(text, ' '), t -> {h})")).alias("h"),
+    )
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"pmod(shiftright(h, {b}), 2) = 1"), 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(32)
+        ]
+    )
+    recombine = " + ".join(
+        f"IF(s{b} > 0, shiftleft(1L, {b}), 0L)" for b in range(32)
+    )
+    return bit_sums.select(
+        "doc_id", F.expr(recombine).alias("simhash")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity search
+# --------------------------------------------------------------------------
+
+_QUERY_VEC_ID = 0
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        WHERE vec_id = {_QUERY_VEC_ID}
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column: the exact
+    baseline every ANN variant is measured against.
+
+    The query vector rides along as a broadcast single-row cross join
+    (never a driver-side collect into the closure); the dot product is a
+    zip_with/aggregate higher-order expression in doubles; top-k is
+    TakeOrderedAndProject.  At 100 TB this is one scan, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    cos = (
+        "aggregate(zip_with(embedding, qv, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
+        " / (sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+        " * sqrt(aggregate(qv, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))"
+    )
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(F.expr(cos), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+_SPARK_BUCKET = (
+    "aggregate(sequence(0, 7), 0L, (acc, i) ->"
+    " acc + IF(element_at({v}, i + 1) > 0, shiftleft(1L, i), 0L))"
+)
+_DUCK_BUCKET = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(generate_series(0, 7),"
+    " i -> CASE WHEN {v}[i + 1] > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),"
+    " (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv,
+               {_DUCK_BUCKET.format(v='embedding')} AS qb
+        FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> {_QUERY_VEC_ID}
+      AND {_DUCK_BUCKET.format(v='e.embedding')} = q.qb
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: sign-bit LSH bucket (8 leading dimensions -> 256
+    buckets), search only the query's bucket.
+
+    The scale path: bucket id is a map-side expression; candidates are
+    pruned by an equi-filter on the bucket BEFORE any distance math.  On
+    a cluster the table would be written partitioned/bucketed by this id
+    so a query touches one partition.  Recall improves by probing
+    Hamming-adjacent buckets (multi-probe), same plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"),
+        F.expr(_SPARK_BUCKET.format(v="embedding")).alias("qb"),
+    )
+    cos = (
+        "aggregate(zip_with(embedding, qv, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
+        " / (sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+        " * sqrt(aggregate(qv, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))"
+    )
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .withColumn("bucket", F.expr(_SPARK_BUCKET.format(v="embedding")))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("bucket") == F.col("qb"))
+        .select("vec_id", "label", F.round(F.expr(cos), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+@register(
+    "embedding_label_stats",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6)
+               AS avg_norm,
+           ROUND(MIN(embedding[1]), 6) AS min_dim0,
+           ROUND(MAX(embedding[1]), 6) AS max_dim0
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics (count, mean L2 norm, dim-0 range):
+    the sanity scan before any similarity work."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = (
+        "sqrt(aggregate(embedding, 0D,"
+        " (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.expr(norm)), 6).alias("avg_norm"),
+            F.round(F.min(F.expr("cast(element_at(embedding, 1) as double)")), 6).alias(
+                "min_dim0"
+            ),
+            F.round(F.max(F.expr("cast(element_at(embedding, 1) as double)")), 6).alias(
+                "max_dim0"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "binary_payload_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def binary_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing, relational half: treat the payload as
+    an opaque binary column with typed metadata (byte length + content
+    hash).  The decode/feature-extraction half lives in
+    wsu_cpts_415_spark/pipelines/multimodal.py (mapInPandas over binary
+    batches, decode stubbed -- image/audio libs absent by design)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("payload_sha256"),
+    ).orderBy("doc_id")

@@ -1,0 +1,416 @@
+"""Text-analysis operators over the ``documents`` table -- the
+LLM-training-data-pipeline surface (BASELINE.json north star; SURVEY.md §7.2
+P7): tokenization, quality scoring, language-ID, fingerprinting, exact and
+near-duplicate detection.
+
+Implementation policy (100 TB posture): everything per-document is a
+higher-order array expression (split / transform / aggregate / filter) --
+zero Python UDFs, zero shuffles until an explicit cross-document step
+(dedup join, LSH bucket join).  Cross-engine determinism comes from
+md5-derived integer hashes (md5 is identical in Spark and DuckDB; hex ->
+bigint via conv / '0x'-cast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.registry import register
+
+# A deterministic "stopword" list drawn from the fixture vocabulary
+# (function words + generic fillers).
+STOPWORDS = ("a", "the", "value", "data", "table", "row")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Language marker words for the n-gram-ish language-ID heuristic: each
+# language is scored by its marker-word occurrence count; argmax wins with
+# alphabetical tie-break.  (Real lang-ID uses char n-gram profiles; the
+# fixture text is synthetic word soup, so markers stand in for profiles --
+# the *operator shape* -- score columns + greatest + tie-break -- is the
+# deliverable.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "und", "das", "batch", "group"),
+    "en": ("the", "a", "fast", "query"),
+    "es": ("el", "la", "los", "scan", "sort"),
+    "fr": ("le", "la", "les", "merge", "join"),
+    "zh": ("spark", "stream", "window"),
+}
+
+TOKENS = "split(text, ' ')"
+# 32-bit token hash from the md5 hex prefix -- identical in both engines.
+_SPARK_H32 = "cast(conv(substr(md5({x}), 1, 8), 16, 10) as bigint)"
+_DUCK_H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           n_chars,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS avg_token_len,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics -- the basic text profiling
+    pass.  All expressions are codegen'd array ops on the row; the only
+    exchange is the output sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({TOKENS})").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        "n_chars",
+        F.round(
+            F.expr("cast(length(replace(text, ' ', '')) as double)")
+            / F.expr(f"size({TOKENS})"),
+            6,
+        ).alias("avg_token_len"),
+        F.expr(f"size(array_distinct({TOKENS}))").alias("n_unique_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS ws_tokens,
+           CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS n_vowels,
+           CAST(len(regexp_split_to_array(text, '[^a-z0-9]+')) AS INT) AS bpe_ish_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting via regex (whitespace + a BPE-ish alnum-run
+    tokenizer) -- north-star token-count operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(r"size(split(text, '\\s+'))").alias("ws_tokens"),
+        F.length(F.regexp_replace("text", "[^aeiou]", "")).cast("bigint").alias("n_vowels"),
+        F.expr(r"size(split(text, '[^a-z0-9]+'))").alias("bpe_ish_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "lang_source_rollup",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup by language x source -- the partition
+    audit every training-data pipeline starts with."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(stop_ratio, 6) AS stop_ratio,
+           ROUND(unique_ratio, 6) AS unique_ratio,
+           len_band,
+           ROUND(0.4 * (1 - stop_ratio) + 0.4 * unique_ratio
+                 + 0.2 * CASE len_band WHEN 'good' THEN 1.0
+                                       WHEN 'short' THEN 0.3 ELSE 0.6 END,
+                 6) AS quality
+    FROM (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stop_ratio,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS unique_ratio,
+               CASE WHEN len(string_split(text, ' ')) < 40 THEN 'short'
+                    WHEN len(string_split(text, ' ')) <= 60 THEN 'good'
+                    ELSE 'long' END AS len_band
+        FROM documents
+    )
+    ORDER BY doc_id
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score: stopword ratio, vocabulary
+    diversity, length band -- combined with fixed weights (the
+    C4/Gopher-rule shape).  Pure array expressions per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    in_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    scored = docs.select(
+        "doc_id",
+        F.expr(
+            f"cast(size(filter({TOKENS}, t -> t in ({in_list}))) as double)"
+            f" / size({TOKENS})"
+        ).alias("stop_ratio"),
+        F.expr(
+            f"cast(size(array_distinct({TOKENS})) as double) / size({TOKENS})"
+        ).alias("unique_ratio"),
+        F.expr(
+            f"CASE WHEN size({TOKENS}) < 40 THEN 'short'"
+            f" WHEN size({TOKENS}) <= 60 THEN 'good' ELSE 'long' END"
+        ).alias("len_band"),
+    )
+    return scored.select(
+        "doc_id",
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("unique_ratio", 6).alias("unique_ratio"),
+        "len_band",
+        F.round(
+            0.4 * (1 - F.col("stop_ratio"))
+            + 0.4 * F.col("unique_ratio")
+            + 0.2
+            * F.when(F.col("len_band") == "good", 1.0)
+            .when(F.col("len_band") == "short", 0.3)
+            .otherwise(0.6),
+            6,
+        ).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _lang_score_sql(markers: tuple[str, ...], dialect: str) -> str:
+    in_list = ", ".join(f"'{w}'" for w in markers)
+    if dialect == "spark":
+        return f"size(filter(split(text, ' '), t -> t in ({in_list})))"
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({in_list})))"
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang, pred_lang,
+           CAST(best AS INT) AS marker_hits
+    FROM (
+        SELECT doc_id, lang,
+               {" ".join(f"s_{code},") if False else ""}
+               CASE
+                 {" ".join(
+                     f"WHEN s_{code} = best THEN '{code}'"
+                     for code in sorted(LANG_MARKERS)
+                 )}
+               END AS pred_lang,
+               best
+        FROM (
+            SELECT doc_id, lang,
+                   {", ".join(
+                       f"{_lang_score_sql(m, 'duck')} AS s_{code}"
+                       for code, m in sorted(LANG_MARKERS.items())
+                   )},
+                   greatest({", ".join(
+                       f"{_lang_score_sql(m, 'duck')}"
+                       for code, m in sorted(LANG_MARKERS.items())
+                   )}) AS best
+            FROM documents
+        )
+    )
+    ORDER BY doc_id
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-token scoring: per-language hit counts,
+    argmax with alphabetical tie-break (CASE evaluates codes in sorted
+    order).  The operator shape for real char-n-gram profiles."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            F.expr(_lang_score_sql(m, "spark")).alias(f"s_{code}")
+            for code, m in sorted(LANG_MARKERS.items())
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{code}") for code in sorted(LANG_MARKERS)])
+    pred = None
+    for code in sorted(LANG_MARKERS):
+        cond = F.col(f"s_{code}") == F.col("best")
+        pred = F.when(cond, code) if pred is None else pred.when(cond, code)
+    return (
+        scores.withColumn("best", best)
+        .select(
+            "doc_id",
+            "labeled_lang",
+            pred.alias("pred_lang"),
+            F.col("best").cast("int").alias("marker_hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                                  t -> {_DUCK_H32.format(x='t')})),
+               (acc, h) -> (acc * 31 + h) % 1000000007
+           ) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    token hashes mod 1e9+7 (Rabin-Karp shape).  A reordered document gets
+    a different fingerprint, unlike a bag-of-words hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _SPARK_H32.format(x="t")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(transform({TOKENS}, t -> {h}), 0L,"
+            " (acc, h) -> pmod(acc * 31 + h, 1000000007L))"
+        ).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, md5(text) AS text_hash,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text_hash) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+    FROM keyed
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication audit: hash the full text (content key, not
+    the row), keep the lowest doc_id per hash (deterministic first-writer
+    -- stricter than the reference's insert-order Mongo dedup,
+    mongo_loader.py:198-212), report kept/dropped counts.
+
+    At 100 TB: the groupBy key is the 128-bit md5, so the shuffle carries
+    hashes not documents; the keep-lowest rule is a min aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    keyed = docs.select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("text_hash").orderBy("doc_id")
+        ),
+    )
+    return keyed.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text_hash").alias("n_distinct"),
+        F.count(F.when(F.col("rn") > 1, 1)).alias("n_dropped"),
+    )
+
+
+# Shingle CTE shared by the near-dup queries: distinct word bigrams/doc.
+_DUCK_SHINGLES = """
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i + 1]
+           ))) AS shingle
+    FROM documents
+"""
+_SPARK_SHINGLES = (
+    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 1),"
+    " i -> concat(element_at(split(text, ' '), i), ' ',"
+    " element_at(split(text, ' '), i + 1))))"
+)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH shingles AS ({_DUCK_SHINGLES}),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+        FROM shingles GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM shingles a
+        JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.doc_a
+    JOIN sizes sb ON sb.doc_id = inter.doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (bigram-shingle) Jaccard near-duplicate pairs, top-20.
+
+    Plan: explode distinct shingles (map-side array op), self-join on the
+    shingle (the inverted-index join -- pairs are generated only where
+    documents actually share a shingle, never the n^2 cross product),
+    count intersections, derive Jaccard from |A|+|B|-|A∩B|.  At 100 TB
+    the shingle join is preceded by the MinHash-LSH bucketer
+    (minhash_lsh_pairs) so only candidate buckets are joined."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle")
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )

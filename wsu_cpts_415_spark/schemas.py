@@ -92,6 +92,22 @@ LINEITEM = T.StructType(
     ]
 )
 
+# Physical shape of events.parquet: ts is stored as parquet
+# TIMESTAMP(NANOS) (int64), which Spark's parquet reader rejects outright
+# (PARQUET_TYPE_ILLEGAL).  The loader reads ts as a raw long and converts
+# ns -> microseconds with integer division (timestamp_micros(ts div 1000));
+# see io/tables.py.
+EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
 EVENTS = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),
