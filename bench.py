@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Each query is timed over a full materialization (count of the result --
+results are small aggregates/top-ks, so the work measured is the pipeline,
+not driver transfer).  A warmup run of the flagship query first absorbs
+session/JIT startup so per-query numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wsu_cpts_415_spark.registry import all_queries  # noqa: E402
+from wsu_cpts_415_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, the shapes that must scale.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "flagship_top_customers",
+    "join_star_revenue",
+    "topn_per_group",
+    "rollup_agg",
+    "window_tumbling",
+    "session_windows",
+    "sessionize_lag",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "cosine_topk_bruteforce",
+    "ann_lsh_bucketed",
+    "quality_score",
+    "doc_fingerprint",
+]
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="wsu_cpts_415_spark-bench")
+    qs = all_queries()
+
+    # warmup: absorb JVM/codegen startup on a small end-to-end plan
+    qs["flagship_top_customers"].fn(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[name].fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
