@@ -1,0 +1,153 @@
+"""Reference-parity pipeline tests beyond the registry oracles:
+the native SCC implementation is checked against a Python Tarjan oracle on
+arbitrary graphs (registry oracle only covers the derived block-ring graph),
+and trending math is spot-checked on handcrafted rows."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from tests.conftest import SF_SMOKE
+from wsu_cpts_415_spark.pipelines.scc import (
+    scc_components,
+    strongly_connected_components,
+    video_edges,
+)
+from wsu_cpts_415_spark.pipelines.trending import trending_scores
+from wsu_cpts_415_spark.pipelines.videos import videos_nested
+
+
+def tarjan_scc(vertices: list[str], edges: list[tuple[str, str]]) -> dict[str, str]:
+    """Iterative Tarjan; returns vertex -> min-id-in-SCC labeling."""
+    adj: dict[str, list[str]] = {v: [] for v in vertices}
+    for s, d in edges:
+        if s in adj and d in adj:
+            adj[s].append(d)
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set[str] = set()
+    stack: list[str] = []
+    label: dict[str, str] = {}
+    counter = [0]
+
+    for root in vertices:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recursed = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recursed = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recursed:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    label[w] = m
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    return label
+
+
+def _run_scc(spark, vertices, edges):
+    vdf = spark.createDataFrame([Row(id=v) for v in vertices])
+    edf = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    got = {
+        r["id"]: r["component"]
+        for r in strongly_connected_components(vdf, edf).collect()
+    }
+    assert got == tarjan_scc(vertices, edges)
+
+
+def test_scc_arbitrary_graph(spark):
+    # two cycles bridged one-way, a chain, a self-loop, an isolate, and a
+    # dangling edge to a non-vertex
+    vertices = list("abcdefghij")
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),          # SCC {a,b,c}
+        ("c", "d"), ("d", "e"), ("e", "d"),          # bridge -> SCC {d,e}
+        ("f", "g"), ("g", "h"),                      # chain: singletons
+        ("i", "i"),                                  # self-loop singleton
+        ("e", "zz"),                                 # dangling, ignored
+    ]
+    _run_scc(spark, vertices, edges)
+
+
+def test_scc_nested_peeling(spark):
+    # chain of cycles forces multiple peel rounds: 1->2->3 block chain
+    vertices = [f"n{i}" for i in range(9)]
+    edges = (
+        [("n0", "n1"), ("n1", "n2"), ("n2", "n0")]
+        + [("n3", "n4"), ("n4", "n5"), ("n5", "n3")]
+        + [("n6", "n7"), ("n7", "n8"), ("n8", "n6")]
+        + [("n2", "n3"), ("n5", "n6")]  # one-way bridges
+    )
+    _run_scc(spark, vertices, edges)
+
+
+def test_scc_videos_graph_matches_tarjan(spark):
+    videos = videos_nested(spark, SF_SMOKE)
+    vertices = [r["id"] for r in videos.select("id").collect()]
+    edges = [(r["src"], r["dst"]) for r in video_edges(videos).collect()]
+    got = {r["id"]: r["component"] for r in scc_components(videos).collect()}
+    assert got == tarjan_scc(vertices, edges)
+
+
+def test_trending_score_math(spark):
+    videos = videos_nested(spark, SF_SMOKE)
+    rows = {r["id"]: r for r in trending_scores(videos).collect()}
+    raw = {r["id"]: r for r in videos.collect()}
+    assert rows, "no scored rows"
+    # independently recompute one row end-to-end in plain python
+    some_id = sorted(rows)[7]
+    v = raw[some_id]
+    age = v["video_desc"]["age_days"]
+    views = v["video_engagement"]["views"]
+    nr = v["video_engagement"]["num_ratings"]
+    nc = v["video_engagement"]["num_comments"]
+    rating = v["video_attri"]["rating"]
+    length = v["video_attri"]["length"]
+    log_views = math.log1p(views)
+    recency = age / 100.0
+    velocity = log_views * age / 1000.0
+    density = ((nr + nc) / (log_views + 1)) / 1000.0
+    quality = rating * (math.log1p(nr) / 10)
+    bonus = 2 if (age > 710 and density > 0.01) else 1.0
+    if 120 <= length <= 900:
+        lscore = 1.0
+    elif length < 30:
+        lscore = 0.3
+    elif length > 3600:
+        lscore = 0.4
+    else:
+        lscore = 0.7
+    base = recency * 20 + velocity * 15 + density * 3 + quality * 25 + lscore * 1
+    got = rows[some_id]
+    assert abs(got["trending_score"] - base * bonus) < 1e-9
+    # quality filter removed the injected >5-rating violators
+    violators = [i for i, v in raw.items() if v["video_attri"]["rating"] > 5]
+    assert violators and all(i not in rows for i in violators)
