@@ -1,0 +1,151 @@
+"""Multimodal-column plumbing: opaque binary payloads with typed metadata,
+decoded/featurized via Arrow-batched mapInPandas (SURVEY.md build mandate;
+north-star LLM-data ops).
+
+The container has no image/audio/video libraries BY DESIGN, so the decode
+kernel is swappable:
+
+  * ``decode_real`` -- the production hook; raises NotImplementedError with
+    the library it would use (PIL/libav).  Plug in and go.
+  * ``decode_fake`` -- a deterministic stand-in deriving "decoded" metadata
+    and features from an md5 of the payload bytes.  Deterministic => the
+    whole mapInPandas path is oracle-checkable against DuckDB SQL doing the
+    same md5 arithmetic (queries/multimodal_q.py), which pins the REAL
+    part: binary column handling, Arrow batch shapes, UDF signature,
+    schema, partitioning.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row Python), keeps
+columnar layout end-to-end, and the decode is embarrassingly parallel --
+zero shuffles.  Payload bytes never leave the executor; only features and
+metadata come back.  At 100 TB the payloads would live in parquet binary
+columns (or object-store pointers) partitioned by media_type/date; the
+plumbing here is exactly that shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N_FEATURES = 4
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def attach_payloads(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, media_type, payload binary, n_bytes).
+
+    The fixture has no binary column, so the document text stands in as
+    the payload bytes (UTF-8); media_type is assigned deterministically.
+    In production this is the parquet binary column as stored."""
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+    )
+
+
+def decode_real(payload: bytes, media_type: str) -> dict:
+    """Production decode hook -- requires PIL (image), soundfile (audio),
+    or av (video); none are installed in this container."""
+    raise NotImplementedError(
+        f"real {media_type} decode needs PIL/soundfile/av; "
+        "use decode_fake for plumbing tests"
+    )
+
+
+def decode_fake(payload: bytes, media_type: str) -> dict:
+    """Deterministic stand-in decode: metadata/features derived from
+    md5(payload) -- mirrors the DuckDB oracle arithmetic exactly."""
+    h = int(hashlib.md5(payload).hexdigest()[:8], 16)
+    return {
+        "width": 16 + h % 2048,
+        "height": 16 + (h >> 8) % 2048,
+        "n_frames": 1 + h % 240 if media_type == "video" else 1,
+        "features": [
+            round(((h >> (3 * i)) % 997) / 997.0, 6) for i in range(N_FEATURES)
+        ],
+    }
+
+
+def decode_and_featurize(
+    with_payloads: DataFrame,
+    kernel: Callable[[bytes, str], dict] = decode_fake,
+) -> DataFrame:
+    """Arrow-batched decode + feature extraction over binary payloads.
+
+    One mapInPandas pass; the kernel runs per payload inside a batch loop
+    (a real codec releases the GIL there).  Output schema is fixed and
+    typed -- downstream joins/aggregations never see the binary column."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                kernel(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "n_bytes": pdf["n_bytes"].values,
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "n_frames": [d["n_frames"] for d in decoded],
+                    "features": [d["features"] for d in decoded],
+                }
+            )
+
+    return with_payloads.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def resize_plan(decoded: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Resize planning as pure column math over decoded metadata: target
+    dims preserving aspect ratio, capped at max_dim.  (The pixel transform
+    itself belongs in the decode kernel; the plan is what the engine
+    schedules and what tests can assert.)"""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_dim) / F.greatest(F.col("width"), F.col("height")),
+    )
+    return decoded.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        F.greatest(F.lit(1), F.floor(F.col("width") * scale)).cast("bigint").alias("target_w"),
+        F.greatest(F.lit(1), F.floor(F.col("height") * scale)).cast("bigint").alias("target_h"),
+    )
+
+
+def sample_frames(decoded: DataFrame, every_n: int = 24) -> DataFrame:
+    """Frame-sampling plan for video payloads: one row per sampled frame
+    index (explode of a sequence -- generator, no UDF)."""
+    return (
+        decoded.filter(F.col("media_type") == "video")
+        .select(
+            "doc_id",
+            "n_frames",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+    )

@@ -1,0 +1,97 @@
+"""Multimodal registry queries: the mapInPandas decode path with its
+deterministic kernel, oracle-checked against DuckDB performing the same
+md5 arithmetic in SQL.  What the oracle pins is the PLUMBING -- binary
+column handling, Arrow batch shape, UDF output schema -- since the fake
+kernel's math is trivially mirrored (pipelines/multimodal.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.pipelines.multimodal import (
+    attach_payloads,
+    decode_and_featurize,
+    resize_plan,
+    sample_frames,
+)
+from wsu_cpts_415_spark.registry import register
+
+_DUCK_DECODED = """
+    decoded AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               16 + h % 2048 AS width,
+               16 + (h >> 8) % 2048 AS height,
+               CASE WHEN doc_id % 3 = 2 THEN 1 + h % 240 ELSE 1 END
+                   AS n_frames,
+               list_transform(generate_series(0, 3),
+                              i -> ROUND(((h >> (3 * i)) % 997) / 997.0, 6))
+                   AS features
+        FROM (
+            SELECT doc_id, text,
+                   (('0x' || substr(md5(text), 1, 8))::BIGINT) AS h
+            FROM documents
+        )
+    )
+"""
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=f"""
+    WITH {_DUCK_DECODED}
+    SELECT doc_id, media_type, n_bytes, width, height, n_frames, features
+    FROM decoded
+    ORDER BY doc_id
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> Arrow-batched decode -> typed metadata + feature
+    vector, via mapInPandas (deterministic kernel; real codecs slot into
+    decode_real)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_and_featurize(attach_payloads(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle=f"""
+    WITH {_DUCK_DECODED}
+    SELECT doc_id, media_type, width, height,
+           GREATEST(1, CAST(FLOOR(width * LEAST(1.0,
+               256.0 / GREATEST(width, height))) AS BIGINT)) AS target_w,
+           GREATEST(1, CAST(FLOOR(height * LEAST(1.0,
+               256.0 / GREATEST(width, height))) AS BIGINT)) AS target_h
+    FROM decoded
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plan (cap 256) as pure column math over
+    decoded metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_plan(decode_and_featurize(attach_payloads(docs))).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_samples",
+    oracle=f"""
+    WITH {_DUCK_DECODED}
+    SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1, 24))
+               AS frame_idx
+    FROM decoded
+    WHERE media_type = 'video'
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-24th frame-sampling plan for video payloads (sequence +
+    explode -- generator, no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(decode_and_featurize(attach_payloads(docs))).orderBy(
+        "doc_id", "frame_idx"
+    )

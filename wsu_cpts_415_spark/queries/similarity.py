@@ -379,6 +379,64 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               {_DUCK_BUCKET.format(v='embedding')} AS bucket
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
+               list_dot_product(a.v, x.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(x.v, x.v))) AS cos_raw
+        FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(cos_raw, 6) AS cosine
+    FROM pairs
+    ORDER BY cos_raw DESC, vec_a, vec_b
+    LIMIT {TOP_K}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates: the all-pairs problem
+    pruned by the sign-bit LSH bucket (pairs must collide on all 8 leading
+    sign bits), then exact cosine on survivors, global top-k closest.
+
+    Scale shape: the bucket equi-join replaces an O(n^2) cross product
+    with per-bucket blocks (256 buckets => ~n^2/256 candidate pairs, and
+    on a cluster the join shuffles on the bucket key only); the top-k is
+    TakeOrderedAndProject.  Raising recall = multi-probe (Hamming-adjacent
+    buckets) or more/rotated hyperplanes -- same plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        F.expr(_SPARK_BUCKET.format(v="embedding")).alias("bucket"),
+    )
+    a, x = b.alias("a"), b.alias("x")
+    dot = "aggregate(zip_with(a.v, x.v, (p, q) -> p * q), 0D, (acc, s) -> acc + s)"
+    norm = "sqrt(aggregate({s}.v, 0D, (acc, p) -> acc + p * p))"
+    cos = f"{dot} / ({norm.format(s='a')} * {norm.format(s='x')})"
+    return (
+        a.join(
+            x,
+            (F.col("a.bucket") == F.col("x.bucket"))
+            & (F.col("a.vec_id") < F.col("x.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("x.vec_id").alias("vec_b"),
+            F.expr(cos).alias("cos_raw"),
+        )
+        .orderBy(F.col("cos_raw").desc(), "vec_a", "vec_b")
+        .limit(TOP_K)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+@register(
     "embedding_label_stats",
     oracle="""
     SELECT label,

@@ -1,0 +1,151 @@
+"""Streaming jobs over the events table.
+
+Design: every streaming transformation here is written against a plain
+DataFrame, so the SAME function serves batch and streaming -- the batch
+registry queries (queries/events.py) are the correctness oracle, and the
+tests assert stream-vs-batch equivalence under trigger(availableNow) (the
+replay-the-history mode: process everything available, then stop).
+
+Scale notes: watermarks bound state (late rows older than the watermark
+are dropped instead of keeping every window open forever); session windows
+use Spark's native session_window (state-store backed, merge-on-update);
+the custom stateful operator uses applyInPandasWithState with an explicit
+timeout so abandoned keys are evicted.  File-source streaming reads are
+per-file splits -- the parquet fixture replays exactly like a kafka topic
+with maxFilesPerTrigger batching.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+from wsu_cpts_415_spark.schemas import EVENTS_RAW
+
+WATERMARK = "1 day"
+SESSION_GAP = "30 minutes"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming read of the events fixture (one-file 'topic').
+
+    Same ns->us timestamp conversion as the batch loader (io/tables.py);
+    maxFilesPerTrigger=1 keeps replay deterministic."""
+    # glob (not bare file path): the file stream source requires its
+    # basePath to be a directory, and the deepest non-glob ancestor of
+    # "events.*" is sf_dir
+    raw = (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sf_dir}/events.*")
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+# --- transformations (batch/stream agnostic) -------------------------------
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Per-day, per-event-type tumbling window aggregate with watermark
+    (the streaming form of queries/events.py window_tumbling)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.to_date("w.start").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregates(events: DataFrame) -> DataFrame:
+    """Per-user session windows (30-min gap) with watermark -- Spark's
+    native session_window operator, state-store merged."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# --- custom stateful operator (applyInPandasWithState) ---------------------
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _accumulate_user(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running per-user event count + value total.  State is a pair of
+    scalars per key -- bounded, Arrow-batched, no per-row Python calls."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, float(total)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary-stateful streaming aggregate: cumulative per-user totals
+    via applyInPandasWithState (update mode).  The built-in groupBy.agg
+    could express this particular fold; the operator exists to carry the
+    engine's custom-stateful surface (SURVEY.md §7.2 P6) -- replace the
+    fold body for sessionization-with-rules, CEP, or decay counters."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _accumulate_user,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- runner -----------------------------------------------------------------
+
+
+def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Materialize a streaming DataFrame with trigger(availableNow): process
+    the full backlog, then stop.  Returns the in-memory sink contents."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
