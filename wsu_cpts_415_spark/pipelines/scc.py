@@ -40,34 +40,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _min_label_reach(
-    vertices: DataFrame, edges: DataFrame, forward: bool, max_iter: int
+def _min_reach_labels(
+    vertices: DataFrame, edges: DataFrame, max_iter: int, check_every: int = 3
 ) -> DataFrame:
-    """(id, lab): minimum vertex id reachable from ``id`` along edge
-    direction (``forward``: along src->dst; else against it), within
-    ``max_iter`` hops.  Converged when an iteration changes nothing."""
-    recv, send = ("src", "dst") if forward else ("dst", "src")
-    lab = vertices.select("id", F.col("id").alias("lab"))
-    for _ in range(max_iter):
-        msgs = edges.join(lab, F.col(send) == F.col("id")).select(
-            F.col(recv).alias("id"), "lab"
+    """(id, f, b): minimum vertex id reachable forward (along src->dst)
+    and backward from ``id``, within ``max_iter`` hops.
+
+    Both fixpoints run FUSED in one label table: each superstep is a
+    single union + min-aggregate job (min ignores the null half of each
+    message), halving the job count vs separate passes.  Convergence is
+    checked every ``check_every`` steps -- the check is a join+count
+    action over two checkpointed tables, cheap but not free."""
+    lab = vertices.select(
+        "id", F.col("id").alias("f"), F.col("id").alias("b")
+    ).localCheckpoint(eager=True)
+    steps_since_check = 0
+    for it in range(max_iter):
+        msgs_f = edges.join(lab, F.col("dst") == F.col("id")).select(
+            F.col("src").alias("id"), "f", F.lit(None).cast("string").alias("b")
+        )
+        msgs_b = edges.join(lab, F.col("src") == F.col("id")).select(
+            F.col("dst").alias("id"), F.lit(None).cast("string").alias("f"), "b"
         )
         new_lab = (
-            lab.unionByName(msgs)
+            lab.unionByName(msgs_f)
+            .unionByName(msgs_b)
             .groupBy("id")
-            .agg(F.min("lab").alias("lab"))
+            .agg(F.min("f").alias("f"), F.min("b").alias("b"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_lab.alias("n")
-            .join(lab.alias("o"), "id")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
+        steps_since_check += 1
+        if steps_since_check >= check_every or it == max_iter - 1:
+            steps_since_check = 0
+            changed = (
+                new_lab.alias("n")
+                .join(lab.alias("o"), "id")
+                .filter(
+                    (F.col("n.f") != F.col("o.f")) | (F.col("n.b") != F.col("o.b"))
+                )
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                return new_lab
         lab = new_lab
-        if changed == 0:
-            break
     return lab
 
 
@@ -120,11 +136,7 @@ def strongly_connected_components(
     for _ in range(max_rounds):
         if remaining.limit(1).count() == 0:
             break
-        f = _min_label_reach(remaining, live_edges, forward=True, max_iter=max_iter)
-        b = _min_label_reach(remaining, live_edges, forward=False, max_iter=max_iter)
-        both = f.withColumnRenamed("lab", "f").join(
-            b.withColumnRenamed("lab", "b"), "id"
-        )
+        both = _min_reach_labels(remaining, live_edges, max_iter=max_iter)
         found = both.filter(F.col("f") == F.col("b")).select(
             "id", F.col("f").alias("component")
         )
