@@ -151,3 +151,21 @@ def test_trending_score_math(spark):
     # quality filter removed the injected >5-rating violators
     violators = [i for i, v in raw.items() if v["video_attri"]["rating"] > 5]
     assert violators and all(i not in rows for i in violators)
+
+
+def test_trending_report_sink(spark, tmp_path):
+    from wsu_cpts_415_spark.pipelines.report import trending_report
+    from wsu_cpts_415_spark.pipelines.trending import trending_rankings
+
+    ranked = trending_rankings(videos_nested(spark, SF_SMOKE))
+    out = tmp_path / "trend_output.txt"
+    text = trending_report(ranked, path=str(out))
+    assert out.read_text() == text
+    assert "STATS FOR TOP VIDEOS" in text
+    assert "=== TOP 20 TRENDING VIDEOS ===" in text
+    # 20 breakdown entries (#1:..#20:) and 20 table rows
+    assert all(f"#{i}:" in text for i in range(1, 21))
+    top_id = (
+        ranked.orderBy("trending_score", ascending=False).limit(1).collect()[0]["id"]
+    )
+    assert top_id in text

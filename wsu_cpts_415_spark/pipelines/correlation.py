@@ -48,8 +48,14 @@ def numeric_projection(videos: DataFrame) -> DataFrame:
     return df.select(*[F.col(c).cast("double").alias(c) for c in NUMERIC_COLS]).na.drop()
 
 
+NEAR_ZERO = 0.1  # |corr| below this is "Near-Zero" (M4; the reference's
+# README.md:25 describes Positive/Negative/Near-Zero buckets but ships no
+# implementation -- threshold is ours, documented)
+
+
 def correlation_matrix(videos: DataFrame, decimals: int = 5) -> DataFrame:
-    """Upper-triangle pairwise Pearson correlations, one aggregate pass.
+    """Upper-triangle pairwise Pearson correlations, one aggregate pass,
+    with the sign-bucket classification (M4).
 
     28 ``corr`` aggregates share the scan and the (single-row) shuffle;
     the stack() unpivot to long form is driver-negligible.  At 100 TB this
@@ -63,8 +69,14 @@ def correlation_matrix(videos: DataFrame, decimals: int = 5) -> DataFrame:
     stack_args = ", ".join(
         f"'{a}', '{b}', round(c_{a}__{b}, {decimals})" for a, b in pairs
     )
-    return agg_row.select(
+    long_form = agg_row.select(
         F.expr(
             f"stack({len(pairs)}, {stack_args}) as (col_a, col_b, corr)"
         )
+    )
+    return long_form.withColumn(
+        "classification",
+        F.when(F.col("corr") > NEAR_ZERO, "Positive")
+        .when(F.col("corr") < -NEAR_ZERO, "Negative")
+        .otherwise("Near-Zero"),
     )

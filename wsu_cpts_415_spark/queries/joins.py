@@ -201,3 +201,70 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_richer_cust"))
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "join_asof_last_signup",
+    oracle="""
+    WITH signups AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'signup'
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(s.ts AS TIMESTAMP) AS last_signup_ts
+    FROM purchases p
+    ASOF LEFT JOIN signups s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+    ORDER BY p.event_id
+    """,
+)
+def join_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the most recent signup of the same
+    user at-or-before the purchase timestamp (Spark has no ASOF JOIN
+    operator; DuckDB's native ASOF JOIN is the oracle).
+
+    Spark-first formulation: union both event kinds into one stream and
+    carry the last signup timestamp forward with a per-user ordered window
+    (last(ignorenulls) over rowsBetween(unboundedPreceding, current)) --
+    ONE shuffle on user_id, no range join, no per-row probe.  The
+    same-timestamp tie orders signup before purchase so an equal-ts signup
+    is visible, matching ASOF's >= semantics.  At 100 TB this beats the
+    range-join formulation because state per user is one value and the
+    sort is within user partitions (time-ordered data sorts nearly free)."""
+    events = load_table(spark, sf_dir, "events")
+    tagged = events.filter(
+        F.col("event_type").isin("signup", "purchase")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "signup", 0).otherwise(1).alias("prio"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "prio", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_signup_ts",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("ts")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_signup_ts",
+        )
+        .orderBy("event_id")
+    )

@@ -240,7 +240,10 @@ _DUCK_NUMERIC = """
                 f"corr({a}, {b}) AS c_{a}__{b}" for a, b in _CORR_PAIRS
             )
         )
-        + " SELECT col_a, col_b, ROUND(corr, 5) AS corr FROM ("
+        + " SELECT col_a, col_b, ROUND(corr, 5) AS corr,"
+        + " CASE WHEN ROUND(corr, 5) > 0.1 THEN 'Positive'"
+        + "      WHEN ROUND(corr, 5) < -0.1 THEN 'Negative'"
+        + "      ELSE 'Near-Zero' END AS classification FROM ("
         + " UNION ALL ".join(
             f"SELECT '{a}' AS col_a, '{b}' AS col_b, c_{a}__{b} AS corr FROM aggs"
             for a, b in _CORR_PAIRS
@@ -251,7 +254,8 @@ _DUCK_NUMERIC = """
 def ref_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs Pearson correlation over the 8 numeric video fields
     (correlation_analysis.py:90-110) as 28 corr aggregates in ONE pass --
-    no VectorAssembler, no ML jar, one scan (SURVEY.md §2.4 A5)."""
+    no VectorAssembler, no ML jar, one scan (SURVEY.md §2.4 A5) -- plus
+    the M4 Positive/Negative/Near-Zero sign buckets (README.md:25)."""
     return correlation.correlation_matrix(videos_nested(spark, sf_dir)).orderBy(
         "col_a", "col_b"
     )
