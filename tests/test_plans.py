@@ -1,0 +1,97 @@
+"""Physical-plan quality gates: the properties that make these queries
+scale are asserted, not assumed (SURVEY.md §4).  A regression that turns a
+broadcast join into a sort-merge join, loses filter pushdown, or widens a
+scan fails HERE, long before it shows up as an sf-dependent slowdown."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+from wsu_cpts_415_spark.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def fmt_plan(df) -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q6_filters_reach_the_scan(spark, qs):
+    plan = fmt_plan(qs["q6_forecast_revenue"].fn(spark, SF_ORACLE))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # range predicate pushed
+    assert "LessThan(l_quantity,24.0)" in plan
+    # column pruning: the scan reads only the 4 needed of 11 columns
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read.count(":") - 1 == 4  # 4 fields in the struct
+
+
+def test_flagship_broadcasts_dimension_and_takeordered(spark, qs):
+    plan = fmt_plan(qs["flagship_top_customers"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan, "customer dim must broadcast"
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan, "top-k must not global-sort"
+
+
+def test_star_join_broadcasts_all_dimensions(spark, qs):
+    plan = fmt_plan(qs["join_star_revenue"].fn(spark, SF_ORACLE))
+    # lineitem joins orders/customer/nation/region: every dim broadcast,
+    # the fact table is never shuffled for a join
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_partial_aggregation(spark, qs):
+    plan = fmt_plan(qs["q1_pricing_summary"].fn(spark, SF_ORACLE))
+    assert "partial_sum" in plan, "map-side combine must run before shuffle"
+
+
+def test_topk_global_is_takeordered(spark, qs):
+    plan = fmt_plan(qs["top_k_global"].fn(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan, "no total sort for top-k"
+
+
+def test_topn_per_group_pushes_rank_limit(spark, qs):
+    plan = fmt_plan(qs["topn_per_group"].fn(spark, SF_ORACLE))
+    assert "row_number" in plan
+    # Spark's rank-limit pushdown: the per-group limit prunes rows BEFORE
+    # and after the window shuffle instead of ranking everything
+    assert "WindowGroupLimit" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark, qs):
+    df = qs["q1_pricing_summary"].fn(spark, SF_ORACLE)
+    qe = df._jdf.queryExecution()
+    codegen = qe.explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "codegen"
+        )
+    )
+    assert "WholeStageCodegen" in codegen, (
+        "agg/filter/scan pipeline must be codegen'd"
+    )
+
+
+def test_events_scan_prunes_columns(spark, qs):
+    plan = fmt_plan(qs["event_type_daily_rate"].fn(spark, SF_ORACLE))
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "props" not in read, "unused JSON blob column must not be read"
+
+
+def test_videos_derivation_prunes_text_column(spark, qs):
+    # the videos view derives every column from doc_id/n_chars/lang/source;
+    # the 'text' blob must never reach the scan (nested-schema pruning)
+    plan = fmt_plan(qs["ref_videos_flat"].fn(spark, SF_ORACLE))
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all("text" not in r for r in reads), (
+        "videos derivation must not drag document text along"
+    )
