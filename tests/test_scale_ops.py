@@ -1,0 +1,95 @@
+"""Scale-mechanics tests: bucketed co-located joins plan shuffle-free,
+salted joins are result-equivalent to plain joins, hot-key diagnostics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from wsu_cpts_415_spark.io.bucketing import colocated_join, write_bucketed
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.ops.skew import hot_keys, salted_join
+
+
+def _fmt_plan(df) -> str:
+    qe = df._jdf.queryExecution()
+    return qe.explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("warehouse")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    od = load_table(spark, SF_SMOKE, "orders")
+    write_bucketed(li, "li_b", ["l_orderkey"], n_buckets=4, path=str(wh / "li_b"))
+    write_bucketed(
+        od.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "od_b",
+        ["l_orderkey"],
+        4,
+        path=str(wh / "od_b"),
+    )
+    yield "li_b", "od_b"
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS od_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    lt, rt = bucketed_tables
+    # disable broadcast so the planner exercises the bucketed SMJ path
+    # (at real scale neither fact side fits a broadcast anyway)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, lt, rt, ["l_orderkey"])
+        plan = _fmt_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan, "scan must use the bucketed layout"
+    assert "Exchange" not in plan, "co-located bucketed join must not shuffle"
+    # and it still computes the right thing
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    od = load_table(spark, SF_SMOKE, "orders")
+    expected = li.join(
+        od.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+    ).count()
+    assert joined.count() == expected
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    od = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(od, "l_orderkey").groupBy("l_orderkey").count()
+    salted = salted_join(li, od, "l_orderkey", n_salts=4).groupBy("l_orderkey").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    # orders subset -> some lineitems unmatched
+    od = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    )
+    plain = li.join(od, "l_orderkey", "left").count()
+    salted = salted_join(li, od, "l_orderkey", n_salts=4, how="left").count()
+    assert plain == salted
+
+
+def test_hot_keys_diagnostic(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    hot = hot_keys(li, "l_suppkey", threshold_rows=100)
+    rows = hot.collect()
+    # 10 suppliers over ~6k lineitems -> every supplier is "hot" at 100
+    assert len(rows) == 10
+    assert all(r["n_rows"] > 100 for r in rows)

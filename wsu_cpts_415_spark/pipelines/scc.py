@@ -200,5 +200,8 @@ def scc_cluster_rollup(videos: DataFrame) -> DataFrame:
             F.countDistinct("category").alias("distinct_categories"),
             F.round(F.avg("views"), 4).alias("avg_views"),
         )
+        # P6: keep real clusters only (the reference filters size > 1 in
+        # pandas, graph_filter.py:53-54; here it is a plain agg filter)
+        .filter(F.col("cluster_size") > 1)
         .orderBy(F.col("cluster_size").desc(), F.col("component").asc())
     )

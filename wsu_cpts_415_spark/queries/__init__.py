@@ -11,6 +11,7 @@ from wsu_cpts_415_spark.queries import (  # noqa: F401
     relational,
     setops,
     similarity,
+    sql_surface,
     text,
     tpch,
     windows,

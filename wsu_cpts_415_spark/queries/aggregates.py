@@ -231,3 +231,41 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
     )
+
+
+@register(
+    "schema_completeness_scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_scanned,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_event_id,
+           CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_ts,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_user_id,
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_event_type,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_value,
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_props
+    FROM events
+    WHERE event_id < 10000
+    """,
+)
+def schema_completeness_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 schema-completeness scan: per-column null counts over a bounded
+    sample (reference validate_data.py:45-69 loops 10,000 docs client-side
+    and -- a known bug -- checks flat field names that never existed in
+    the nested documents; here the canonical schema is checked with ONE
+    aggregate).  The bound is a deterministic key range, not the
+    reference's order-dependent first-10000, so results are reproducible
+    and the predicate is scan-prunable."""
+    events = load_table(spark, sf_dir, "events")
+    nulls = [
+        F.sum(F.col(c).isNull().cast("bigint")).alias(f"null_{c}")
+        for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ]
+    return events.filter(F.col("event_id") < 10000).agg(
+        F.count("*").alias("n_scanned"), *nulls
+    )

@@ -297,6 +297,7 @@ def ref_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(n_chars * ((doc_id % 97) + 1)), 4) AS avg_views
     FROM documents
     GROUP BY 1
+    HAVING COUNT(*) > 1
     ORDER BY cluster_size DESC, component
     """,
 )

@@ -1,0 +1,36 @@
+"""SQL surface: the engine's tables are queryable as plain Spark SQL via
+``io.tables.register_views`` -- the same text a DuckDB user would write
+runs on Spark (modulo dialect).  One representative query keeps that
+surface oracle-pinned: identical SQL text (minus CAST dialect) feeds both
+engines."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wsu_cpts_415_spark.io.tables import register_views
+from wsu_cpts_415_spark.registry import register
+
+_SQL = """
+    SELECT s.s_name,
+           n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'N'
+    GROUP BY s.s_name, n.n_name
+    ORDER BY revenue DESC, s.s_name
+"""
+
+
+@register("sql_top_suppliers", oracle=_SQL)
+def sql_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue rollup executed through ``spark.sql`` over
+    registered views -- LITERALLY the same SQL string as the DuckDB
+    oracle.  Catalyst still broadcasts the dims and pushes the returnflag
+    filter into the parquet scan (same physical plan as the DataFrame
+    formulation)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL)
