@@ -33,8 +33,14 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    "q18_large_orders",
     "flagship_top_customers",
     "join_star_revenue",
+    "join_asof_last_signup",
+    "sql_top_suppliers",
     "topn_per_group",
     "rollup_agg",
     "window_tumbling",

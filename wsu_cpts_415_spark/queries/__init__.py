@@ -12,6 +12,7 @@ from wsu_cpts_415_spark.queries import (  # noqa: F401
     setops,
     similarity,
     sql_surface,
+    streaming_q,
     text,
     tpch,
     windows,

@@ -1,0 +1,81 @@
+"""Streaming registry queries: the watermarked window aggregates executed
+through a REAL Structured Streaming run (readStream -> writeStream with
+trigger(availableNow) -> memory sink), oracle-checked against the same
+SQL as their batch twins -- replay of a bounded source is deterministic,
+so stream output must hash-match the batch answer."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wsu_cpts_415_spark.registry import register
+from wsu_cpts_415_spark.streaming.jobs import (
+    read_events_stream,
+    run_available_now,
+    session_aggregates,
+    tumbling_counts,
+)
+
+
+@register(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day tumbling window counts computed by an actual streaming
+    query (watermark + window state, availableNow replay); the oracle is
+    the plain batch SQL -- bounded replay must agree exactly."""
+    out = run_available_now(
+        tumbling_counts(read_events_stream(spark, sf_dir)),
+        "q_streaming_tumbling",
+    )
+    return out.orderBy("day", "event_type")
+
+
+@register(
+    "streaming_session_aggs",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_session_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap session windows computed by a streaming
+    query with native session_window state merging; the oracle derives the
+    identical sessions relationally (lag -> gap flags -> running session
+    number), with session_end = last event + gap per Spark's
+    session_window semantics."""
+    out = run_available_now(
+        session_aggregates(read_events_stream(spark, sf_dir)),
+        "q_streaming_sessions",
+    )
+    return out.orderBy("user_id", "session_start")
