@@ -49,7 +49,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
-    "ngram_jaccard_pairs",
+    "ngram_jaccard_matmul",
     "cosine_topk_bruteforce",
     "ann_lsh_bucketed",
     "dedup_embedding_cosine",

@@ -1,0 +1,110 @@
+"""Command-line entry points (the engine's equivalent of the reference's
+console scripts, pyproject.toml:34-41 -- analyze_links / trending /
+correlation / graph_filter / load_data, minus the Tkinter GUI):
+
+    python -m wsu_cpts_415_spark list
+    python -m wsu_cpts_415_spark run <query> [--sf-dir DIR] [--limit N]
+                                            [--out PARQUET_DIR]
+    python -m wsu_cpts_415_spark report [--sf-dir DIR] [--out FILE]
+    python -m wsu_cpts_415_spark ingest <crawl_root> <store_dir>
+                                        [--rejects DIR] [--jsonl DIR]
+                                        [--totals DIR]
+    python -m wsu_cpts_415_spark bench  (alias of bench.py)
+
+Every reference analysis is a named query here (`run ref_link_analysis`,
+`run ref_trending_rankings`, `run ref_correlation_matrix`,
+`run ref_scc_rollup`); results print to stdout or write to parquet
+instead of MongoDB collections.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="wsu_cpts_415_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries")
+
+    runp = sub.add_parser("run", help="run a named query")
+    runp.add_argument("query")
+    runp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    runp.add_argument("--limit", type=int, default=20)
+    runp.add_argument("--out", help="write full result to this parquet dir")
+
+    repp = sub.add_parser("report", help="trending text report (S11)")
+    repp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    repp.add_argument("--out", help="write report to this file")
+
+    ingp = sub.add_parser("ingest", help="load a raw TSV crawl tree")
+    ingp.add_argument("crawl_root")
+    ingp.add_argument("store_dir")
+    ingp.add_argument("--rejects")
+    ingp.add_argument("--jsonl")
+    ingp.add_argument("--totals")
+
+    args = p.parse_args(argv)
+
+    from wsu_cpts_415_spark.registry import all_queries
+
+    if args.cmd == "list":
+        for name, q in sorted(all_queries().items()):
+            kind = "sql-oracle" if q.oracle else "rows-only"
+            doc = (q.doc or "").strip().splitlines()[0] if q.doc else ""
+            print(f"{name:32s} [{kind}] {doc}")
+        return 0
+
+    from wsu_cpts_415_spark.session import get_spark
+
+    spark = get_spark(app_name=f"wsu_cpts_415_spark-{args.cmd}")
+
+    if args.cmd == "run":
+        qs = all_queries()
+        if args.query not in qs:
+            print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+            return 2
+        df = qs[args.query].fn(spark, args.sf_dir)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "report":
+        from wsu_cpts_415_spark.pipelines.report import trending_report
+        from wsu_cpts_415_spark.pipelines.trending import trending_rankings
+        from wsu_cpts_415_spark.pipelines.videos import videos_nested
+
+        text = trending_report(
+            trending_rankings(videos_nested(spark, args.sf_dir)), path=args.out
+        )
+        if not args.out:
+            print(text)
+        return 0
+
+    if args.cmd == "ingest":
+        from wsu_cpts_415_spark.io.ingest import ingest_crawl
+
+        stats = ingest_crawl(
+            spark,
+            args.crawl_root,
+            args.store_dir,
+            reject_dir=args.rejects,
+            jsonl_dir=args.jsonl,
+            totals_dir=args.totals,
+        )
+        print(
+            f"parsed={stats.parsed} rejected={stats.rejected} "
+            f"written={stats.written} duplicates={stats.duplicates}"
+        )
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

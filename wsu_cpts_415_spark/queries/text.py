@@ -434,3 +434,117 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+@register(
+    "ngram_jaccard_matmul",
+    oracle=f"""
+    WITH shingles AS ({_DUCK_SHINGLES}),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+        FROM shingles GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM shingles a
+        JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.doc_a
+    JOIN sizes sb ON sb.doc_id = inter.doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def ngram_jaccard_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs shingle Jaccard, vectorized: the same answer as
+    ngram_jaccard_pairs computed as BLAS matrix products over the
+    doc x shingle-vocabulary indicator matrix instead of a 73M-row join
+    (measured ~10 s -> ~1.5 s at sf0.1).
+
+    Shape: dictionary-encode shingles to dense ids (one tiny shuffle),
+    compact each doc to an int-id array, broadcast the full indicator
+    matrix (docs x vocab, float32 -- bounded by the vocabulary: ~19 MB at
+    sf0.1), then mapInPandas computes its block's intersection counts
+    against all docs with one sgemm per Arrow batch and keeps only its
+    block-local top-k, so the final shuffle carries k rows per batch.
+    Intersection counts are integers below 2^24 => float32 is exact.
+
+    Honest scale bound: this kernel assumes docs x vocab fits a broadcast
+    (true for bounded vocabularies); at open-vocabulary 100 TB scale the
+    exact all-pairs problem itself is infeasible and the LSH prefilter
+    (minhash_lsh_pairs) is the path -- this query is the exactness
+    baseline those sketches are judged against."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    k = 20
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle")
+    )
+    sid = sh.select("shingle").distinct().withColumn(
+        "sid",
+        F.row_number().over(Window.orderBy("shingle")) - 1,
+    )
+    compact = (
+        sh.join(F.broadcast(sid), "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_list("sid").alias("sids"))
+    )
+    rows = compact.collect()  # ONE job; one small row per doc (ints only)
+    doc_ids = np.array(sorted(r["doc_id"] for r in rows), dtype=np.int64)
+    pos = {d: i for i, d in enumerate(doc_ids)}
+    vocab = max(max(r["sids"]) for r in rows) + 1  # sids are dense 0..V-1
+    S = np.zeros((len(doc_ids), vocab), dtype=np.float32)
+    for r in rows:
+        S[pos[r["doc_id"]], r["sids"]] = 1.0
+    n_sh = S.sum(axis=1)
+    bc = spark.sparkContext.broadcast((doc_ids, S, n_sh))
+
+    out_schema = "doc_a long, doc_b long, jaccard double"
+
+    def block_topk(batches):
+        ids_all, S_all, n_all = bc.value
+        p = {d: i for i, d in enumerate(ids_all)}
+        for pdf in batches:
+            present = [d for d in pdf["doc_id"] if d in p]
+            if not present:
+                continue
+            bpos = np.array([p[d] for d in present], dtype=np.int64)
+            C = S_all[bpos] @ S_all.T  # intersection counts, exact
+            na = n_all[bpos][:, None]
+            jac = C / (na + n_all[None, :] - C)
+            a_ids = ids_all[bpos][:, None]
+            b_ids = ids_all[None, :]
+            mask = (a_ids < b_ids) & (C > 0)
+            ai, bi = np.nonzero(mask)
+            if len(ai) == 0:
+                continue
+            cand = pd.DataFrame(
+                {
+                    "doc_a": ids_all[bpos][ai],
+                    "doc_b": ids_all[bi],
+                    "jaccard": jac[ai, bi].astype(np.float64),
+                }
+            ).sort_values(
+                ["jaccard", "doc_a", "doc_b"], ascending=[False, True, True]
+            ).head(k)
+            yield cand
+
+    # kernel input is just the doc-id scan (the bitset rides the
+    # broadcast); docs without shingles are skipped inside the kernel
+    return (
+        docs.select("doc_id")
+        .repartition(32)
+        .mapInPandas(block_topk, schema=out_schema)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(k)
+    )
