@@ -60,3 +60,59 @@ def test_stateful_running_totals(spark):
     )
     cols = ["user_id", "n_events"]
     assert _rows(final, cols) == _rows(batch, cols)
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Incremental-source contract: with a persistent checkpoint, a second
+    availableNow run ingests ONLY files that arrived after the first run,
+    and the complete-mode result equals the batch answer over all files."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from wsu_cpts_415_spark.schemas import EVENTS_RAW
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "f1.parquet")
+
+    def run_once(name):
+        raw = (
+            spark.readStream.schema(EVENTS_RAW)
+            .parquet(f"{src}/*.parquet")
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        q = (
+            tumbling_counts(raw)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows_in = sum(p["numInputRows"] for p in q.recentProgress)
+        return spark.table(name), rows_in
+
+    _, n1 = run_once("ckpt_run1")
+    base = load_table(spark, SF_SMOKE, "events")
+    assert n1 == base.count()
+
+    # a second batch of events "arrives": same raw shape (ts = int64 ns,
+    # like the fixture), shifted ids/time
+    raw_base = spark.read.schema(EVENTS_RAW).parquet(f"{SF_SMOKE}/events.parquet")
+    batch2_raw = raw_base.withColumn(
+        "event_id", F.col("event_id") + 1_000_000
+    ).withColumn("ts", F.col("ts") + F.lit(60 * 86400 * 10**9))
+    batch2 = batch2_raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    n2_rows = batch2.count()
+    batch2_raw.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    part = next((tmp_path / "stage").glob("part-*.parquet"))
+    shutil.copy(part, src / "f2.parquet")
+
+    out2, n2 = run_once("ckpt_run2")
+    assert n2 == n2_rows, "resume must read only the new file"
+    both = tumbling_counts(base.unionByName(batch2))
+    cols = ["day", "event_type", "n_events", "sum_value"]
+    assert _rows(out2, cols) == _rows(both, cols)
