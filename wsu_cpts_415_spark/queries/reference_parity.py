@@ -306,3 +306,45 @@ def ref_scc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     uploaders/categories, avg views, biggest cluster first.  countDistinct
     replaces size(collect_set(...)) -- no unbounded per-group arrays."""
     return scc.scc_cluster_rollup(videos_nested(spark, sf_dir))
+
+
+@register(
+    "ref_link_analysis_outer",
+    oracle=f"""
+    WITH {VIDEOS_FLAT_DUCK_CTE},
+    links AS (
+        SELECT unnest(related_ids) AS id FROM videos_flat
+    ),
+    counts AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS times_linked
+        FROM links GROUP BY id
+    )
+    SELECT v.id, COALESCE(c.times_linked, 0) AS times_linked, v.views
+    FROM videos_flat v
+    LEFT JOIN counts c USING (id)
+    ORDER BY times_linked DESC, v.id
+    """,
+)
+def ref_link_analysis_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer variant of the link analysis (F1 explode_outer semantics):
+    every video appears, zero-inbound-link videos included with
+    times_linked = 0 -- the rows the reference's inner join silently
+    drops (analyze_links.py:141).  Left join + coalesce, dimension side
+    aggregated first."""
+    videos = videos_nested(spark, sf_dir)
+    counts = (
+        videos.select(F.explode_outer("related_ids").alias("id"))
+        .filter(F.col("id").isNotNull())
+        .groupBy("id")
+        .agg(F.count("*").alias("times_linked"))
+    )
+    return (
+        videos.select("id", F.col("video_engagement.views").alias("views"))
+        .join(counts, "id", "left_outer")
+        .select(
+            "id",
+            F.coalesce("times_linked", F.lit(0)).alias("times_linked"),
+            "views",
+        )
+        .orderBy(F.col("times_linked").desc(), F.col("id").asc())
+    )

@@ -79,3 +79,32 @@ def streaming_session_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_streaming_sessions",
     )
     return out.orderBy("user_id", "session_start")
+
+
+@register(
+    "streaming_distinct_users_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def streaming_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup: dropDuplicates on (user_id, day) keeps
+    the first event per key (state-store backed), then a windowed count
+    per day -- the streaming form of COUNT(DISTINCT user_id).  Which row
+    survives is arrival-dependent; the per-day distinct COUNT is not,
+    which is what the oracle pins."""
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day"), "ts"
+    )
+    firsts = ev.dropDuplicates(["user_id", "day"])
+    out = run_available_now(
+        firsts.groupBy("day").agg(F.count("*").alias("n_users")),
+        "q_streaming_distinct_users",
+    )
+    return out.orderBy("day")
