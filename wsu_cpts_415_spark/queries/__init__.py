@@ -15,5 +15,6 @@ from wsu_cpts_415_spark.queries import (  # noqa: F401
     streaming_q,
     text,
     tpch,
+    tpch2,
     windows,
 )
