@@ -10,7 +10,9 @@ from wsu_cpts_415_spark.queries import (  # noqa: F401
     reference_parity,
     relational,
     setops,
+    shapes,
     similarity,
+    similarity2,
     sql_surface,
     streaming_q,
     text,

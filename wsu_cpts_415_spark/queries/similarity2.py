@@ -1,0 +1,211 @@
+"""Second wave of similarity operators: SimHash near-dup PAIRS (banded,
+the scale path) and IVF-style ANN (coarse quantizer -> probe -> exact
+rerank).
+
+Completes the dedup/similarity matrix mandated alongside SURVEY.md §2:
+``simhash_fingerprints`` produces the sketch; ``simhash_hamming_pairs``
+turns it into near-duplicate detection without an O(n^2) cross join.
+``ann_lsh_bucketed`` prunes by hash bucket; ``ann_ivf_probe`` prunes by
+nearest coarse centroid (the IVF pattern behind FAISS-style indexes),
+with centroids computed distributively from the data itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.queries.similarity import _DUCK_H32, _QUERY_VEC_ID, TOP_K
+from wsu_cpts_415_spark.registry import register
+
+HAMMING_MAX = 3  # near-dup threshold on 32-bit simhash
+N_SIM_BANDS = 4  # 8 bits per band; ham <= 3 cannot change all 4 bands
+N_PROBE = 2  # IVF: number of coarse cells searched
+
+_DUCK_SIMHASH_CTE = f"""
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN ({_DUCK_H32.format(x='t')} >> b) % 2 = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM tok, UNNEST(generate_series(0, 31)) AS u(b)
+        GROUP BY doc_id, b
+    ),
+    sh AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits
+        GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_DUCK_SIMHASH_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    ORDER BY hamming, doc_a, doc_b
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= 3, found by
+    BANDING instead of an all-pairs join: the 32-bit fingerprint splits
+    into 4 x 8-bit bands, and by pigeonhole any pair within distance 3
+    agrees on at least one whole band -- so candidates are exactly the
+    pairs sharing (band_index, band_value), an equi-join.  The DuckDB
+    oracle is the brute-force O(n^2) definition, proving the banded plan
+    loses no pairs.
+
+    Scale: the shuffle key is (band, band_value); each doc emits 4 rows
+    of (key, doc_id, simhash).  Candidate verification is a bit_count on
+    a 64-bit int.  Hot buckets (constant band values from boilerplate
+    text) would be salted or capped in production; fingerprints here are
+    near-uniform."""
+    from wsu_cpts_415_spark.queries.similarity import simhash_fingerprints
+
+    sig = simhash_fingerprints(spark, sf_dir)  # (doc_id, simhash)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_SIM_BANDS - 1}),"
+                f" b -> named_struct('band', b,"
+                f" 'val', pmod(shiftright(simhash, b * 8), 256)))"
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band", "bv.val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()  # a pair can collide in several bands
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.expr("sim_a ^ sim_b")).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("hamming", "doc_a", "doc_b")
+    )
+
+
+_DUCK_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+_SPARK_COS = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " 0D, (acc, v) -> acc + v)"
+    " / (sqrt(aggregate({a}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    " * sqrt(aggregate({b}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))"
+)
+
+
+@register(
+    "ann_ivf_probe",
+    oracle=f"""
+    WITH dims AS (
+        SELECT label,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, list(av ORDER BY pos) AS cv
+        FROM (SELECT label, pos, AVG(v) AS av FROM dims GROUP BY label, pos)
+        GROUP BY label
+    ),
+    q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        WHERE vec_id = {_QUERY_VEC_ID}
+    ),
+    probe AS (
+        SELECT c.label FROM cent c, q
+        ORDER BY {_DUCK_COS.format(a="c.cv", b="q.qv")} DESC, c.label
+        LIMIT {N_PROBE}
+    )
+    SELECT e.vec_id, e.label,
+           ROUND({_DUCK_COS.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")},
+                 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> {_QUERY_VEC_ID}
+      AND e.label IN (SELECT label FROM probe)
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer (here: the ``label`` column as
+    the cell assignment, centroid = elementwise mean of the cell) maps
+    the query to its nearest N_PROBE cells; exact cosine reranking runs
+    only inside those cells.
+
+    Scale: centroid computation is posexplode -> (cell, dim) average --
+    one shuffle of n_vectors * dim skinny rows, the standard distributed
+    k-means step.  The centroid table is cells-sized (broadcast); the
+    probed-cell filter prunes the fact scan BEFORE distance math, and at
+    scale the table would be partitioned by cell so pruning is physical.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).withColumnsRenamed({"pos": "pos", "col": "v"})
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.avg("v").alias("av"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, av))), x -> x.av)"
+            ).alias("cv")
+        )
+    )
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            F.expr(_SPARK_COS.format(a="cv", b="qv")).alias("cent_cos"),
+        )
+        .orderBy(F.col("cent_cos").desc(), "label")
+        .limit(N_PROBE)
+        .select("label")
+    )
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(probe), "label", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.expr(_SPARK_COS.format(a="embedding", b="qv")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
