@@ -37,6 +37,11 @@ HEADLINE = [
     "q12_shipmode_priority",
     "q14_promo_revenue",
     "q18_large_orders",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q21_suppliers_waiting",
     "flagship_top_customers",
     "join_star_revenue",
     "join_asof_last_signup",
@@ -49,6 +54,9 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
+    "simhash_hamming_pairs",
+    "ann_ivf_probe",
+    "grouping_sets_agg",
     "ngram_jaccard_matmul",
     "cosine_topk_bruteforce",
     "ann_lsh_bucketed",

@@ -12,6 +12,8 @@ with centroids computed distributively from the data itself.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -121,6 +123,59 @@ _SPARK_COS = (
     " / (sqrt(aggregate({a}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
     " * sqrt(aggregate({b}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))"
 )
+
+
+@register(
+    "cosine_topk_pandas",
+    oracle=f"""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        WHERE vec_id = {_QUERY_VEC_ID}
+    )
+    SELECT e.vec_id, e.label,
+           ROUND({_DUCK_COS.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")},
+                 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k via a VECTORIZED Pandas UDF -- the Arrow
+    path for when distance math outgrows SQL expressions (learned
+    metrics, quantized codes).  Must return byte-identical results to
+    ``cosine_topk_bruteforce`` (same oracle).
+
+    The batch computes one numpy matmul per Arrow batch (rows x dim @
+    dim), not a Python loop per row; the query vector is a bounded
+    one-row lookup baked into the UDF closure (broadcast with the task,
+    NOT re-read per batch).  Still one scan, no shuffle, top-k via
+    TakeOrderedAndProject."""
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("embedding")
+        .first()[0],
+        dtype=np.float64,
+    )
+    q_norm = float(np.sqrt((qv * qv).sum()))
+
+    @pandas_udf("double")
+    def cos(col: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        dots = mat @ qv
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        return pd.Series(dots / (norms * q_norm))
+
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select("vec_id", "label", F.round(cos("embedding"), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
 
 
 @register(

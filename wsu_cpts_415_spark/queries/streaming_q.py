@@ -108,3 +108,51 @@ def streaming_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFram
         "q_streaming_distinct_users",
     )
     return out.orderBy("day")
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS DATE) AS day,
+           c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 4) AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with a broadcast
+    customer dimension BEFORE the windowed aggregate -- the canonical
+    streaming-ETL shape (dimension lookup per micro-batch, no stream
+    state for the join side; only the window aggregate keeps state).
+    The static side is re-planned each micro-batch, so a slowly-changing
+    dimension would be picked up on refresh."""
+    from pyspark.sql import functions as F
+
+    from wsu_cpts_415_spark.io.tables import load_table
+    from wsu_cpts_415_spark.streaming.jobs import WATERMARK
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = (
+        joined.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 day").alias("w"), "segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.to_date("w.start").alias("day"),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    out = run_available_now(agg, "q_streaming_static_enrich")
+    return out.orderBy("day", "segment")
