@@ -95,3 +95,45 @@ def test_videos_derivation_prunes_text_column(spark, qs):
     assert reads and all("text" not in r for r in reads), (
         "videos derivation must not drag document text along"
     )
+
+
+def test_q21_decorrelates_without_nested_loop(spark, qs):
+    # EXISTS / NOT EXISTS must become aggregates + joins, never a
+    # per-row correlated scan
+    plan = fmt_plan(qs["q21_suppliers_waiting"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_correlated_avg_broadcasts(spark, qs):
+    # the per-part average is |part|-sized and must broadcast back into
+    # the fact scan, not shuffle the fact table
+    plan = fmt_plan(qs["q17_small_quantity_revenue"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_simhash_pairs_are_equi_join_not_cross(spark, qs):
+    # banding turns the O(n^2) pair problem into an equi-join on
+    # (band, value); a cross-join regression would be quadratic
+    plan = fmt_plan(qs["simhash_hamming_pairs"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_probe_prunes_before_distance_math(spark, qs):
+    # the probed-cell filter must be a semi join on label (pruning),
+    # and the query vector a broadcast, so the only full pass over the
+    # embeddings is the centroid aggregate
+    plan = fmt_plan(qs["ann_ivf_probe"].fn(spark, SF_ORACLE))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_single_scan(spark, qs):
+    # GROUPING SETS must Expand one scan, not union three scans
+    plan = fmt_plan(qs["grouping_sets_agg"].fn(spark, SF_ORACLE))
+    assert "Expand" in plan
+    # formatted explain prints each scan once in the tree and once in the
+    # details section; one physical scan => exactly one Location line
+    assert plan.count("Location:") == 1

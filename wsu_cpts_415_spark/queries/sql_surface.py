@@ -34,3 +34,29 @@ def sql_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation)."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 2
+    ) t
+    WHERE c.c_custkey < 50
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+@register("sql_lateral_topn", oracle=_LATERAL_SQL)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery -- top-2 orders per customer -- as one
+    SQL text accepted verbatim by both Spark and DuckDB.  Catalyst
+    rewrites the lateral per-row LIMIT into a window rank-filter
+    (DecorrelateInnerQuery), so the physical plan is a join + ranked
+    window, never a per-customer re-scan of orders."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

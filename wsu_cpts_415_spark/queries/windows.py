@@ -207,3 +207,92 @@ def top_k_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(25)
     )
+
+
+@register(
+    "window_analytics",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(CUME_DIST() OVER w, 6) AS cdist,
+           FIRST_VALUE(c_custkey) OVER w AS richest,
+           LAST_VALUE(c_custkey) OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_mktsegment, drank, c_custkey
+    """,
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-function surface beyond rank/row_number: dense_rank,
+    ntile, cume_dist, first_value, last_value over one per-segment
+    window.  The order key carries a custkey tie-break so ntile bucket
+    boundaries are deterministic.  One shuffle on the partition key
+    serves all five functions (same WindowSpec -> one Window operator).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        customer.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.dense_rank().over(w).cast("long").alias("drank"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.first("c_custkey").over(w).alias("richest"),
+            F.last("c_custkey").over(w_full).alias("poorest"),
+        )
+        .orderBy("c_mktsegment", "drank", "c_custkey")
+    )
+
+
+@register(
+    "range_frame_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, day_no,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY day_no
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2)
+             AS trailing_30d
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               datediff('day', DATE '1995-01-01',
+                        CAST(o_orderdate AS DATE)) AS day_no
+        FROM orders
+    )
+    ORDER BY o_custkey, day_no, o_orderkey
+    """,
+)
+def range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per customer, the sum
+    of order totals in the trailing 30-day window of each order.  RANGE
+    includes same-day peer rows regardless of their order, so the result
+    is deterministic under ties -- the property ROWS frames lack.  Day
+    number is materialized as an integer (Spark's rangeBetween bounds
+    are numeric offsets on the sort key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_no = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", day_no.alias("day_no")
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "day_no",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d"),
+        )
+        .orderBy("o_custkey", "day_no", "o_orderkey")
+    )
