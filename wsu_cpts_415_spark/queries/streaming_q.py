@@ -156,3 +156,72 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(agg, "q_streaming_static_enrich")
     return out.orderBy("day", "segment")
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT s.user_id,
+           s.event_id AS signup_event,
+           p.event_id AS purchase_event,
+           CAST(s.ts AS TIMESTAMP) AS signup_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           ROUND(p.value, 4) AS purchase_value
+    FROM events s
+    JOIN events p
+      ON s.user_id = p.user_id
+     AND p.ts >= s.ts
+     AND p.ts <= s.ts + INTERVAL 7 DAY
+    WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+    ORDER BY s.user_id, signup_ts, purchase_ts, signup_event, purchase_event
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: signups joined to purchases by the same
+    user within the following 7 days, both sides watermarked so the join
+    state is bounded -- a signup can be evicted once the purchase-side
+    watermark passes signup_ts + 7 days.  The equi-key (user_id) routes
+    both streams to the same state partition; the time bound is the
+    state-cleanup contract, not just a filter.  Bounded replay must
+    reproduce the batch self-join exactly (the oracle)."""
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream(spark, sf_dir)
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_event"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "1 day")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_event"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")),
+    ).select(
+        "user_id",
+        "signup_event",
+        "purchase_event",
+        "signup_ts",
+        "purchase_ts",
+        F.round("value", 4).alias("purchase_value"),
+    )
+    out = run_available_now(
+        joined, "q_streaming_ss_join", output_mode="append"
+    )
+    return out.orderBy(
+        "user_id", "signup_ts", "purchase_ts", "signup_event", "purchase_event"
+    )
