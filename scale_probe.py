@@ -16,11 +16,12 @@ queries are excluded (they assume doc_id contiguity).
 Reading the numbers: text/embedding payloads are replicated VERBATIM, so
 every document gains N-1 exact duplicates -- near-dup candidate pairs
 grow ~quadratically in N by construction, and the dedup queries' probe
-times reflect that duplicate-heavy corpus, not a plan regression.  The
-relational shapes scale sub-linearly (x10 data observed at sf0.1 base:
-q1 2.7x, q3 4.5x, q5 6.5x, star join ~linear 9.4x, windowed events
-~flat), which is the AQE + partial-agg + broadcast behavior the engine
-is designed around.
+times reflect that duplicate-heavy corpus, not a plan regression
+(minhash_lsh_pairs 11x at x10 is this effect).  The relational shapes
+scale sub-linearly (x10 data observed at sf0.1 base: q1 2.2x, q3 3.6x,
+q13 3.4x, q21 3.7x, q2 4.4x, grouping-sets 5x, star join ~linear,
+windowed events ~flat), which is the AQE + partial-agg + broadcast
+behavior the engine is designed around.
 """
 
 from __future__ import annotations
@@ -61,6 +62,10 @@ PROBE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q18_large_orders",
+    "q2_min_cost_supplier",
+    "q13_customer_distribution",
+    "q21_suppliers_waiting",
+    "grouping_sets_agg",
     "flagship_top_customers",
     "join_star_revenue",
     "window_tumbling",

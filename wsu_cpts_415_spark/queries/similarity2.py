@@ -87,7 +87,9 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "simhash", "bv.band", "bv.val")
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    # hamming is computed and filtered BEFORE the dedup so the distinct
+    # (a pair can collide in several bands) shuffles only surviving pairs
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -97,18 +99,12 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        .distinct()  # a pair can collide in several bands
-    )
-    return (
-        cand.select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.expr("sim_a ^ sim_b")).cast("long").alias("hamming"),
+            F.bit_count(F.expr("a.simhash ^ b.simhash"))
+            .cast("long")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
         .orderBy("hamming", "doc_a", "doc_b")
     )
 
