@@ -269,3 +269,30 @@ def schema_completeness_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.filter(F.col("event_id") < 10000).agg(
         F.count("*").alias("n_scanned"), *nulls
     )
+
+
+@register("percentiles_approx")  # no oracle: t-digest/GK sketch is engine-specific
+def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile with bounded relative error -- the 100 TB
+    percentile path: a mergeable quantile sketch per group (constant
+    memory, one partial+final aggregate) instead of the per-group sort
+    exact percentile() needs.  Rows-only check: sketch results are
+    engine-specific by design; the exact twin (``percentiles``) is the
+    oracle-checked shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = 10_000  # 1/acc relative rank error
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                f"approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), {acc})"
+            ).alias("p_approx")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("p_approx")[0], 4).alias("p50"),
+            F.round(F.col("p_approx")[1], 4).alias("p90"),
+            F.round(F.col("p_approx")[2], 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )

