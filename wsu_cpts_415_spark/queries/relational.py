@@ -70,3 +70,34 @@ def flagship_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("order_cnt").desc(), F.col("c_custkey").asc())
         .limit(TOP_K)
     )
+
+
+@register(
+    "sample_systematic",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           ROUND(SUM(o_totalprice), 2) AS sampled_total
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% systematic sample (key mod 20) aggregated per
+    priority -- the reproducible subsetting pattern for pipeline
+    debugging at scale.  Unlike TABLESAMPLE/df.sample, the predicate is
+    engine-independent (same rows in Spark and DuckDB) and pushes to the
+    scan; for unbiased estimates on skewed keys switch the predicate to
+    a hash of the key, same shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") % 20 == 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.sum("o_totalprice"), 2).alias("sampled_total"),
+        )
+        .orderBy("o_orderpriority")
+    )

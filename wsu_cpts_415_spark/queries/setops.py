@@ -104,3 +104,54 @@ def union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = customer.select(F.lit("customer").alias("kind"), F.col("c_nationkey").alias("nationkey"))
     b = supplier.select(F.lit("supplier").alias("kind"), F.col("s_nationkey").alias("nationkey"))
     return a.unionByName(b).groupBy("kind").agg(F.count("*").alias("n")).orderBy("kind")
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderstatus = 'F'
+    ORDER BY custkey
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: bag semantics -- a custkey appearing m times on the
+    left and n times on the right survives min(m, n) times.  Spark plans
+    it as a count-compare aggregate (no distinct collapse), one shuffle
+    per side."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b).orderBy("custkey")
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderstatus = 'F'
+    ORDER BY custkey
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: bag difference -- max(m - n, 0) copies survive, so
+    multiplicity carries information (how many more urgent orders than
+    finished ones a customer has) that EXCEPT's distinct form discards."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b).orderBy("custkey")
