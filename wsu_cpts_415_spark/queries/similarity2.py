@@ -260,3 +260,60 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+@register(
+    "embedding_center_groups",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, label,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings
+    ),
+    centered AS (
+        SELECT vec_id, label,
+               v - AVG(v) OVER (PARTITION BY label, pos) AS cv
+        FROM dims
+    )
+    SELECT vec_id, label,
+           ROUND(sqrt(SUM(cv * cv)), 6) AS centered_norm
+    FROM centered
+    GROUP BY vec_id, label
+    ORDER BY vec_id
+    """,
+)
+def embedding_center_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per label cell, subtract the cell
+    centroid from every member vector and return each vector's centered
+    L2 norm -- the whitening step before per-cluster similarity search.
+
+    This is the one UDF form the engine hadn't exercised (mapInPandas
+    covers per-partition, applyInPandasWithState covers stateful
+    streaming): groupBy(label) routes each cell to one worker as a
+    pandas DataFrame, the centroid subtraction is one vectorized numpy
+    pass, and the output schema is declared up front.  Scale: state is
+    one cell's vectors, bounded by the coarse-quantizer fanout -- the
+    same per-group memory contract as collect_list (SURVEY.md §7.3),
+    acceptable because cells are capacity-bounded by construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        centered = mat - mat.mean(axis=0, keepdims=True)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "label": pdf["label"],
+                "centered_norm": np.round(
+                    np.sqrt((centered * centered).sum(axis=1)), 6
+                ),
+            }
+        )
+
+    return (
+        emb.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(center, "vec_id long, label int, centered_norm double")
+        .orderBy("vec_id")
+    )
