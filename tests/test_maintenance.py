@@ -1,0 +1,95 @@
+"""Upsert-merge and compaction: content-exactness and layout guarantees."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from wsu_cpts_415_spark.io.maintenance import (
+    compact,
+    merge_upsert,
+    store_summary,
+    table_file_stats,
+)
+from wsu_cpts_415_spark.io.tables import load_table
+
+
+def _content_key(df):
+    """Order-insensitive content fingerprint: sorted tuple list."""
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_upsert_replaces_and_inserts(spark, tmp_path):
+    store = str(tmp_path / "store")
+    cust = load_table(spark, SF_ORACLE, "customer")
+    cust.write.parquet(store)
+    n0 = cust.count()
+
+    # 3 replacements (existing keys, changed balance) + 2 inserts
+    updates = (
+        cust.filter(F.col("c_custkey") < 3)
+        .withColumn("c_acctbal", F.lit(0.0))
+        .unionByName(
+            cust.filter(F.col("c_custkey") < 2).withColumn(
+                "c_custkey", F.col("c_custkey") + 10_000_000
+            )
+        )
+    )
+    stats = merge_upsert(spark, store, updates, keys=["c_custkey"])
+    assert stats == {
+        "before": n0,
+        "updates": 5,
+        "after": n0 + 2,
+        "replaced": 3,
+    }
+    merged = spark.read.parquet(store)
+    # replaced rows carry the update's value, not the original
+    assert (
+        merged.filter(F.col("c_custkey") < 3)
+        .agg(F.sum(F.abs("c_acctbal")))
+        .first()[0]
+        == 0.0
+    )
+    # inserted keys present exactly once
+    assert merged.filter(F.col("c_custkey") >= 10_000_000).count() == 2
+
+
+def test_merge_upsert_is_idempotent(spark, tmp_path):
+    store = str(tmp_path / "store")
+    load_table(spark, SF_ORACLE, "supplier").write.parquet(store)
+
+    # updates re-derived per call: a lazy DataFrame over the store's OLD
+    # snapshot would dangle after the first swap (documented contract)
+    def updates():
+        return spark.read.parquet(store).filter(F.col("s_suppkey") < 5)
+
+    merge_upsert(spark, store, updates(), keys=["s_suppkey"])
+    first = _content_key(spark.read.parquet(store))
+    merge_upsert(spark, store, updates(), keys=["s_suppkey"])
+    assert _content_key(spark.read.parquet(store)) == first
+
+
+def test_compact_preserves_content_and_shrinks_files(spark, tmp_path):
+    store = str(tmp_path / "store")
+    orders = load_table(spark, SF_ORACLE, "orders")
+    # simulate micro-batch debris: 40 small files
+    orders.repartition(40).write.parquet(store)
+    assert table_file_stats(store)["n_files"] == 40
+    before = _content_key(spark.read.parquet(store))
+
+    stats = compact(spark, store, target_file_bytes=1 << 30)
+    assert stats["files_after"] == 1
+    assert _content_key(spark.read.parquet(store)) == before
+
+
+def test_store_summary_counts_nulls(spark, tmp_path):
+    store = str(tmp_path / "store")
+    nation = load_table(spark, SF_ORACLE, "nation")
+    nation.withColumn(
+        "n_name",
+        F.when(F.col("n_nationkey") % 5 == 0, None).otherwise(F.col("n_name")),
+    ).write.parquet(store)
+    row = store_summary(spark, store).first()
+    assert row["n_rows"] == 25
+    assert row["nulls_n_name"] == 5
+    assert row["nulls_n_nationkey"] == 0
