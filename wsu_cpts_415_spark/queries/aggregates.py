@@ -38,7 +38,8 @@ def group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
            CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
-           ROUND(AVG(c_acctbal), 2) AS avg_bal,
+           FLOOR((2 * SUM(ROUND(c_acctbal * 100)) + COUNT(*))
+                 / (2 * COUNT(*))) / 100.0 AS avg_bal,
            ROUND(MIN(c_acctbal), 2) AS min_bal,
            ROUND(MAX(c_acctbal), 2) AS max_bal,
            list_sort(list(DISTINCT c_mktsegment)) AS segments
@@ -61,7 +62,23 @@ def multi_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_customers"),
             F.countDistinct("c_mktsegment").alias("n_segments"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            # exact-cents average with explicit half-up rounding done in
+            # integer space: c_acctbal has 2 decimals, so SUM(ROUND(x*100))
+            # is an exact integer-valued double in any summation order, and
+            # FLOOR((2*cents + n) / (2n)) is the half-up-rounded mean in
+            # cents with every intermediate exact below 2^53.  A plain
+            # ROUND(AVG(x), 2) diverges across engines whenever the true
+            # mean is an exact half-cent (sf0.001 nationkey 17: mean
+            # 4201.315 -> Spark 4201.32 via decimal-string HALF_UP, DuckDB
+            # 4201.31 via raw-double rounding).
+            (
+                F.floor(
+                    (2 * F.sum(F.round(F.col("c_acctbal") * 100, 0))
+                     + F.count("*"))
+                    / (2 * F.count("*"))
+                )
+                / 100.0
+            ).alias("avg_bal"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
             F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),

@@ -86,7 +86,8 @@ def project_cast_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE 'jumbo'
            END AS size_class,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(p_retailprice), 2) AS avg_price
+           FLOOR((2 * SUM(ROUND(p_retailprice * 100)) + COUNT(*))
+                 / (2 * COUNT(*))) / 100.0 AS avg_price
     FROM part
     GROUP BY 1
     ORDER BY size_class
@@ -107,7 +108,17 @@ def case_when_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("size_class")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            # exact-cents half-up average in integer space (see
+            # multi_agg_per_group): immune to the cross-engine rounding
+            # divergence on exact half-cent means
+            (
+                F.floor(
+                    (2 * F.sum(F.round(F.col("p_retailprice") * 100, 0))
+                     + F.count("*"))
+                    / (2 * F.count("*"))
+                )
+                / 100.0
+            ).alias("avg_price"),
         )
         .orderBy("size_class")
     )
