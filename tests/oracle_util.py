@@ -53,9 +53,21 @@ def _norm_cell(v) -> str:
     return str(v)
 
 
-def normalize(pdf: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
+def driver_canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The driver's stricter canonicalization step: a raw pandas
+    ``sort_values`` over every column, BEFORE any stringification.
+    This is exactly what crashed three round-1 queries (``TypeError:
+    unhashable type: 'list'`` from pandas' hash-based sort on list
+    cells), so running it here makes any array/struct/map output column
+    fail locally before the driver ever sees it."""
     cols = sorted(pdf.columns)
-    rows = [tuple(_norm_cell(v) for v in row) for row in pdf[cols].itertuples(index=False)]
+    return pdf[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+
+
+def normalize(pdf: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
+    pdf = driver_canonicalize(pdf)
+    cols = list(pdf.columns)
+    rows = [tuple(_norm_cell(v) for v in row) for row in pdf.itertuples(index=False)]
     return cols, sorted(rows)
 
 

@@ -42,7 +42,8 @@ def group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (2 * COUNT(*))) / 100.0 AS avg_bal,
            ROUND(MIN(c_acctbal), 2) AS min_bal,
            ROUND(MAX(c_acctbal), 2) AS max_bal,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+               AS segments
     FROM customer
     GROUP BY c_nationkey
     ORDER BY c_nationkey
@@ -81,7 +82,11 @@ def multi_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_bal"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            # serialized (array_join) so the output is scalar-typed: the
+            # driver's pandas canonicalizer cannot sort list cells
+            F.array_join(
+                F.sort_array(F.collect_set("c_mktsegment")), ","
+            ).alias("segments"),
         )
         .orderBy("c_nationkey")
     )
@@ -184,15 +189,50 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct")  # no oracle: HLL result is engine-specific
+@register(
+    "approx_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           ABS(approx_count_distinct(l_partkey)
+               - COUNT(DISTINCT l_partkey)) * 1.0
+               / COUNT(DISTINCT l_partkey) <= 0.05 AS parts_within_5pct,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           ABS(approx_count_distinct(l_orderkey)
+               - COUNT(DISTINCT l_orderkey)) * 1.0
+               / COUNT(DISTINCT l_orderkey) <= 0.05 AS orders_within_5pct
+    FROM lineitem
+    """,
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) -- the 100 TB substitute for
-    exact distinct (constant memory per group, no expand).  Rows-only
-    check: sketch estimates differ across engines by design."""
+    exact distinct (constant memory per group, no expand).
+
+    Sketch estimates differ across engines by design, so the oracle is
+    self-validating: each engine runs its OWN sketch and its own exact
+    count, and the registered output is the exact count plus a boolean
+    "estimate within 5% of exact" -- deterministic and engine-agnostic
+    (HLL++ at rsd 0.02 and DuckDB's HLL are both far inside 5% at these
+    cardinalities)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02)
+                - F.countDistinct("l_partkey")
+            )
+            / F.countDistinct("l_partkey")
+            <= 0.05
+        ).alias("parts_within_5pct"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", 0.02)
+                - F.countDistinct("l_orderkey")
+            )
+            / F.countDistinct("l_orderkey")
+            <= 0.05
+        ).alias("orders_within_5pct"),
     )
 
 
@@ -288,14 +328,36 @@ def schema_completeness_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("percentiles_approx")  # no oracle: t-digest/GK sketch is engine-specific
+@register(
+    "percentiles_approx",
+    oracle="""
+    SELECT l_returnflag,
+           approx_quantile(l_extendedprice, 0.5)
+               BETWEEN quantile_cont(l_extendedprice, 0.49)
+                   AND quantile_cont(l_extendedprice, 0.51) AS p50_ok,
+           approx_quantile(l_extendedprice, 0.9)
+               BETWEEN quantile_cont(l_extendedprice, 0.89)
+                   AND quantile_cont(l_extendedprice, 0.91) AS p90_ok,
+           approx_quantile(l_extendedprice, 0.99)
+               BETWEEN quantile_cont(l_extendedprice, 0.98)
+                   AND MAX(l_extendedprice) AS p99_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile with bounded relative error -- the 100 TB
     percentile path: a mergeable quantile sketch per group (constant
     memory, one partial+final aggregate) instead of the per-group sort
-    exact percentile() needs.  Rows-only check: sketch results are
-    engine-specific by design; the exact twin (``percentiles``) is the
-    oracle-checked shape."""
+    exact percentile() needs.
+
+    Sketch values are engine-specific (Spark GK vs DuckDB t-digest), so
+    the oracle is self-validating: each engine checks its OWN sketch
+    against its own exact quantiles with a +-1-percentile rank bracket,
+    and the registered output is the deterministic boolean verdict per
+    group.  The exact twin (``percentiles``) remains the value-checked
+    shape."""
     li = load_table(spark, sf_dir, "lineitem")
     acc = 10_000  # 1/acc relative rank error
     return (
@@ -303,13 +365,18 @@ def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr(
                 f"approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), {acc})"
-            ).alias("p_approx")
+            ).alias("pa"),
+            F.expr(
+                "percentile(l_extendedprice,"
+                " array(0.49, 0.51, 0.89, 0.91, 0.98))"
+            ).alias("pe"),
+            F.max("l_extendedprice").alias("mx"),
         )
         .select(
             "l_returnflag",
-            F.round(F.col("p_approx")[0], 4).alias("p50"),
-            F.round(F.col("p_approx")[1], 4).alias("p90"),
-            F.round(F.col("p_approx")[2], 4).alias("p99"),
+            F.col("pa")[0].between(F.col("pe")[0], F.col("pe")[1]).alias("p50_ok"),
+            F.col("pa")[1].between(F.col("pe")[2], F.col("pe")[3]).alias("p90_ok"),
+            F.col("pa")[2].between(F.col("pe")[4], F.col("mx")).alias("p99_ok"),
         )
         .orderBy("l_returnflag")
     )

@@ -44,7 +44,9 @@ _DUCK_DECODED = """
     "multimodal_decode_features",
     oracle=f"""
     WITH {_DUCK_DECODED}
-    SELECT doc_id, media_type, n_bytes, width, height, n_frames, features
+    SELECT doc_id, media_type, n_bytes, width, height, n_frames,
+           array_to_string(list_transform(features, x -> printf('%.6f', x)),
+                           ',') AS features
     FROM decoded
     ORDER BY doc_id
     """,
@@ -52,9 +54,20 @@ _DUCK_DECODED = """
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> Arrow-batched decode -> typed metadata + feature
     vector, via mapInPandas (deterministic kernel; real codecs slot into
-    decode_real)."""
+    decode_real).
+
+    The feature vector is serialized to a fixed-format CSV string in the
+    registered output (identically in both engines) because the driver's
+    pandas canonicalizer cannot sort list cells; the array-typed form
+    stays available via pipelines.multimodal.decode_and_featurize."""
     docs = load_table(spark, sf_dir, "documents")
-    return decode_and_featurize(attach_payloads(docs)).orderBy("doc_id")
+    decoded = decode_and_featurize(attach_payloads(docs))
+    return decoded.withColumn(
+        "features",
+        F.array_join(
+            F.transform("features", lambda x: F.format_string("%.6f", x)), ","
+        ),
+    ).orderBy("doc_id")
 
 
 @register(

@@ -35,7 +35,8 @@ from wsu_cpts_415_spark.registry import register
     oracle=f"""
     WITH {VIDEOS_FLAT_DUCK_CTE}
     SELECT id, uploader_name, age_days, category, length_seconds, views,
-           video_rating, num_ratings, num_comments, upload_date, related_ids
+           video_rating, num_ratings, num_comments, upload_date,
+           array_to_string(related_ids, ',') AS related_ids
     FROM videos_flat
     ORDER BY id
     """,
@@ -43,8 +44,19 @@ from wsu_cpts_415_spark.registry import register
 def ref_videos_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical videos view, flat shape (reference data_types.py:9-21):
     deterministic derivation from documents, incl. the related-ids graph.
-    Checking this row-for-row pins the input of every parity pipeline."""
-    return videos_flat(spark, sf_dir).orderBy("id")
+    Checking this row-for-row pins the input of every parity pipeline.
+
+    ``related_ids`` is serialized to a CSV string in the registered
+    output (both engines) because the driver's pandas canonicalizer
+    cannot sort list cells; pipelines keep consuming the array form via
+    ``videos_flat`` directly."""
+    flat = videos_flat(spark, sf_dir)
+    return flat.withColumn(
+        "related_ids",
+        F.array_join(
+            F.transform("related_ids", lambda x: x.cast("string")), ","
+        ),
+    ).orderBy("id")
 
 
 # ---------------------------------------------------------------------------

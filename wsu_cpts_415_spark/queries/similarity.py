@@ -107,7 +107,7 @@ def _duck_minhash_sig() -> str:
 @register(
     "minhash_signatures",
     oracle=f"""
-    SELECT doc_id, {_duck_minhash_sig()} AS sig
+    SELECT doc_id, array_to_string({_duck_minhash_sig()}, ',') AS sig
     FROM (SELECT doc_id, {_DUCK_BASE_HASHES} AS hs FROM documents)
     ORDER BY doc_id
     """,
@@ -115,10 +115,20 @@ def _duck_minhash_sig() -> str:
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature per document ({N_HASHES} seeded md5 hash
     functions over bigram shingles).  Pure map-side array math -- the
-    signature replaces the document in every downstream near-dup step."""
+    signature replaces the document in every downstream near-dup step.
+
+    The registered output serializes the signature to a CSV string in
+    both engines (driver's pandas canonicalizer cannot sort list cells);
+    downstream LSH banding keeps using the array form."""
     docs = load_table(spark, sf_dir, "documents")
     return _spark_hashed(docs).select(
-        "doc_id", F.expr(_spark_minhash_sig()).alias("sig")
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.expr(_spark_minhash_sig()), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("sig"),
     ).orderBy("doc_id")
 
 
