@@ -169,3 +169,28 @@ def test_trending_report_sink(spark, tmp_path):
         ranked.orderBy("trending_score", ascending=False).limit(1).collect()[0]["id"]
     )
     assert top_id in text
+
+
+def test_trending_scalable_percentile_matches_parity_window(spark):
+    """Forcing the range-partitioned W2 path (scalable_rows=0) must give
+    bit-identical global percentiles to the reference's single-partition
+    window -- the bound only switches plans, never values."""
+    from wsu_cpts_415_spark.pipelines.trending import trending_rankings
+
+    videos = videos_nested(spark, SF_SMOKE)
+    parity = {
+        r["id"]: r
+        for r in trending_rankings(videos, scalable_rows=1 << 60).collect()
+    }
+    scalable = {
+        r["id"]: r for r in trending_rankings(videos, scalable_rows=0).collect()
+    }
+    assert parity.keys() == scalable.keys()
+    for vid, p in parity.items():
+        s = scalable[vid]
+        assert p["category_rank"] == s["category_rank"]
+        assert p["global_percentile"] == s["global_percentile"], (
+            vid,
+            p["global_percentile"],
+            s["global_percentile"],
+        )

@@ -37,5 +37,5 @@ def colocated_join(
     spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
 ) -> DataFrame:
     """Join two equally-bucketed tables on their bucket key -- planned
-    shuffle-free (assert via tests/test_bucketing.py)."""
+    shuffle-free (assert via tests/test_scale_ops.py)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)

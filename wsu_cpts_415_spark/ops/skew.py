@@ -29,7 +29,7 @@ def salted_join(
     row (spreads each hot key uniformly); small rows are replicated once
     per salt value (an explode of a literal range -- size * n_salts rows,
     so keep ``small`` genuinely small or n_salts modest).  Result equals
-    the plain join exactly (tests/test_skew.py asserts equivalence)."""
+    the plain join exactly (tests/test_scale_ops.py asserts equivalence)."""
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         # replicating the small side would duplicate its unmatched rows
         # under right/full semantics

@@ -33,6 +33,12 @@ WEIGHTS = {
 
 TOP_N_PER_CATEGORY = 50  # trending_predictor.py:164
 
+# Above this row count the W2 global percent_rank switches from the
+# reference's single-partition window (parity form, fine for bounded
+# inputs) to the range-partitioned exact formulation below.  Both paths
+# produce bit-identical values, so oracle hashes are unaffected.
+SCALABLE_PERCENTILE_ROWS = 1_000_000
+
 
 def prepare_data(videos: DataFrame) -> DataFrame:
     """Flatten nested fields and apply the quality filter
@@ -115,18 +121,83 @@ def trending_scores(videos: DataFrame) -> DataFrame:
     return calculate_trending_score(calculate_features(prepare_data(videos)))
 
 
-def trending_rankings(videos: DataFrame, top_n: int = TOP_N_PER_CATEGORY) -> DataFrame:
+def _global_percentile_scalable(scored: DataFrame, n: int, npart: int = 64) -> DataFrame:
+    """Exact global percent_rank over ``trending_score`` with NO
+    unpartitioned window: range-partition by score (equal scores land in
+    one partition, so tie groups never straddle a boundary), rank locally
+    within each partition, then add the count of rows in all preceding
+    partitions -- the same local-order + offset technique Spark's own
+    global sort uses.  Driver traffic is one row count per partition
+    (``npart`` longs), independent of data size.
+
+    percent_rank = (rank - 1) / (n - 1) with rank over score alone, so
+    tied scores share a percentile -- bit-identical to the parity window
+    and to the DuckDB oracle.
+
+    The bucket id is a pure function of the score against boundary
+    LITERALS frozen from one approxQuantile action (NOT
+    repartitionByRange, whose sampled boundaries could differ between
+    the size job and the rank job and desynchronize the offsets);
+    boundary quality only affects balance, never correctness."""
+    bounds = scored.approxQuantile(
+        "trending_score", [i / npart for i in range(1, npart)], 0.001
+    )
+    bounds_arr = F.array(*[F.lit(float(b)) for b in bounds])
+    # descending buckets: _pid = #boundaries above this score, so bucket 0
+    # holds the top scores and equal scores always share a bucket
+    parts = scored.withColumn(
+        "_pid",
+        F.size(F.filter(bounds_arr, lambda b: b > F.col("trending_score"))),
+    )
+    sizes = dict(
+        parts.groupBy("_pid").count().collect()
+    )  # <= npart rows -- bounded driver fetch
+    offsets, acc = {}, 0
+    for pid in range(npart):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+    offset_col = F.element_at(
+        F.array(*[F.lit(offsets.get(p, 0)) for p in range(npart)]),
+        F.col("_pid") + 1,
+    )
+    local_w = Window.partitionBy("_pid").orderBy(F.desc("trending_score"))
+    denom = max(n - 1, 1)
+    return parts.withColumn(
+        "global_percentile",
+        (F.rank().over(local_w) - 1 + offset_col).cast("double") / denom,
+    ).drop("_pid")
+
+
+def trending_rankings(
+    videos: DataFrame,
+    top_n: int = TOP_N_PER_CATEGORY,
+    scalable_rows: int = SCALABLE_PERCENTILE_ROWS,
+) -> DataFrame:
     """W1 per-category row_number (kept <= top_n) + W2 global percent_rank
     (trending_predictor.py:164-191).  The row_number ordering adds an ``id``
     tie-break the reference lacks, making ranks reproducible; percent_rank
     orders by score alone so tied scores share a percentile (SQL
-    semantics, identical in the DuckDB oracle)."""
+    semantics, identical in the DuckDB oracle).
+
+    The global percentile is the reference's W2 scale hazard: above
+    ``scalable_rows`` rows it is computed by the exact range-partitioned
+    formulation (``_global_percentile_scalable``) instead of the
+    single-partition window; values are identical on both paths
+    (``tests/test_pipelines.py`` asserts equality by forcing
+    ``scalable_rows=0`` at fixture scale)."""
     scored = trending_scores(videos)
+    n = scored.count()
+    if n > scalable_rows:
+        with_pct = _global_percentile_scalable(scored, n)
+    else:
+        with_pct = scored.withColumn(
+            "global_percentile",
+            F.percent_rank().over(Window.orderBy(F.desc("trending_score"))),
+        )
     category_window = Window.partitionBy("category").orderBy(
         F.desc("trending_score"), F.asc("id")
     )
-    global_window = Window.orderBy(F.desc("trending_score"))
-    return scored.select(
+    return with_pct.select(
         "id",
         "uploader_name",
         "category",
@@ -145,5 +216,5 @@ def trending_rankings(videos: DataFrame, top_n: int = TOP_N_PER_CATEGORY) -> Dat
         "trending_score",
         "new_video_engagement_bonus",
         F.row_number().over(category_window).alias("category_rank"),
-        F.percent_rank().over(global_window).alias("global_percentile"),
+        "global_percentile",
     ).filter(F.col("category_rank") <= top_n)

@@ -471,86 +471,109 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs shingle Jaccard, vectorized: the same answer as
-    ngram_jaccard_pairs computed as BLAS matrix products over the
-    doc x shingle-vocabulary indicator matrix instead of a 73M-row join
-    (measured ~10 s -> ~1.5 s at sf0.1).
+    """Exact all-pairs shingle Jaccard, vectorized and fully distributed:
+    the same answer as ngram_jaccard_pairs computed as BLAS matrix
+    products over block-pair indicator matrices instead of a 73M-row
+    join.
 
-    Shape: dictionary-encode shingles to dense ids (one tiny shuffle),
-    compact each doc to an int-id array, broadcast the full indicator
-    matrix (docs x vocab, float32 -- bounded by the vocabulary: ~19 MB at
-    sf0.1), then mapInPandas computes its block's intersection counts
-    against all docs with one sgemm per Arrow batch and keeps only its
-    block-local top-k, so the final shuffle carries k rows per batch.
-    Intersection counts are integers below 2^24 => float32 is exact.
+    Shape: compact each doc to an array of xxhash64 shingle hashes (one
+    aggregate -- no global dictionary, no unpartitioned window), assign
+    each doc to one of NB deterministic blocks, replicate each compact
+    doc to its NB block-pairs, then applyInPandas per (block_i, block_j)
+    factorizes the pair's hash union to LOCAL dense ids, builds the two
+    indicator matrices, and computes intersection counts with one sgemm.
+    Each group keeps only its top-k, so the final shuffle carries
+    k * NB*(NB+1)/2 rows.  Intersection counts are integers below 2^24
+    => float32 sgemm is exact.
 
-    Honest scale bound: this kernel assumes docs x vocab fits a broadcast
-    (true for bounded vocabularies); at open-vocabulary 100 TB scale the
-    exact all-pairs problem itself is infeasible and the LSH prefilter
-    (minhash_lsh_pairs) is the path -- this query is the exactness
-    baseline those sketches are judged against."""
+    Scale: nothing touches the driver -- no collect, no broadcast of the
+    corpus.  Shuffle volume is NB x the compacted corpus (int64 hashes,
+    ~1% of the text); per-task memory is two blocks x the pair's local
+    vocabulary, and NB is the knob that caps it (grow NB ~ sqrt(docs) to
+    hold block size constant).  The exact all-pairs problem is still
+    inherently quadratic in docs, so at open-vocabulary 100 TB scale the
+    LSH prefilter (minhash_lsh_pairs) is the production path -- this
+    query is the exactness baseline those sketches are judged against."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window
 
     k = 20
+    n_blocks = 8
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_rows(docs)
-    sid = sh.select("shingle").distinct().withColumn(
-        "sid",
-        F.row_number().over(Window.orderBy("shingle")) - 1,
-    )
     compact = (
-        sh.join(F.broadcast(sid), "shingle")
+        _shingle_rows(docs)
         .groupBy("doc_id")
-        .agg(F.collect_list("sid").alias("sids"))
+        .agg(F.collect_list(F.xxhash64("shingle")).alias("hs"))
+        .withColumn("blk", (F.col("doc_id") % n_blocks).cast("int"))
     )
-    rows = compact.collect()  # ONE job; one small row per doc (ints only)
-    doc_ids = np.array(sorted(r["doc_id"] for r in rows), dtype=np.int64)
-    pos = {d: i for i, d in enumerate(doc_ids)}
-    vocab = max(max(r["sids"]) for r in rows) + 1  # sids are dense 0..V-1
-    S = np.zeros((len(doc_ids), vocab), dtype=np.float32)
-    for r in rows:
-        S[pos[r["doc_id"]], r["sids"]] = 1.0
-    n_sh = S.sum(axis=1)
-    bc = spark.sparkContext.broadcast((doc_ids, S, n_sh))
+    # Replicate each doc to every block-pair it participates in: doc in
+    # block b meets counterpart block c for c in 0..NB-1; the unordered
+    # pair key (least, greatest) lands each (i, j) group exactly once.
+    replicated = compact.select(
+        "doc_id",
+        "blk",
+        "hs",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("c"),
+    ).select(
+        F.least("blk", "c").alias("bi"),
+        F.greatest("blk", "c").alias("bj"),
+        "doc_id",
+        "blk",
+        "hs",
+    )
 
     out_schema = "doc_a long, doc_b long, jaccard double"
 
-    def block_topk(batches):
-        ids_all, S_all, n_all = bc.value
-        p = {d: i for i, d in enumerate(ids_all)}
-        for pdf in batches:
-            present = [d for d in pdf["doc_id"] if d in p]
-            if not present:
-                continue
-            bpos = np.array([p[d] for d in present], dtype=np.int64)
-            C = S_all[bpos] @ S_all.T  # intersection counts, exact
-            na = n_all[bpos][:, None]
-            jac = C / (na + n_all[None, :] - C)
-            a_ids = ids_all[bpos][:, None]
-            b_ids = ids_all[None, :]
-            mask = (a_ids < b_ids) & (C > 0)
-            ai, bi = np.nonzero(mask)
-            if len(ai) == 0:
-                continue
-            cand = pd.DataFrame(
-                {
-                    "doc_a": ids_all[bpos][ai],
-                    "doc_b": ids_all[bi],
-                    "jaccard": jac[ai, bi].astype(np.float64),
-                }
-            ).sort_values(
-                ["jaccard", "doc_a", "doc_b"], ascending=[False, True, True]
-            ).head(k)
-            yield cand
+    def pair_block_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        a_rows = pdf[pdf["blk"] == bi].sort_values("doc_id")
+        b_rows = a_rows if bi == bj else pdf[pdf["blk"] == bj].sort_values("doc_id")
+        if a_rows.empty or b_rows.empty:
+            return empty
+        # local dense ids: factorize the union of this pair's hashes
+        all_hashes = np.concatenate(
+            [np.concatenate(a_rows["hs"].values), np.concatenate(b_rows["hs"].values)]
+        )
+        vocab = np.unique(all_hashes)
+        vsize = len(vocab)
 
-    # kernel input is just the doc-id scan (the bitset rides the
-    # broadcast); docs without shingles are skipped inside the kernel
+        def indicator(rows: pd.DataFrame) -> np.ndarray:
+            S = np.zeros((len(rows), vsize), dtype=np.float32)
+            for i, hs in enumerate(rows["hs"].values):
+                S[i, np.searchsorted(vocab, hs)] = 1.0
+            return S
+
+        SA = indicator(a_rows)
+        SB = SA if bi == bj else indicator(b_rows)
+        C = SA @ SB.T  # intersection counts, exact in float32
+        na = SA.sum(axis=1)[:, None]
+        nb = SB.sum(axis=1)[None, :]
+        jac = C / (na + nb - C)
+        a_ids = a_rows["doc_id"].values[:, None]
+        b_ids = b_rows["doc_id"].values[None, :]
+        mask = (a_ids < b_ids) if bi == bj else (a_ids != b_ids)
+        mask &= C > 0
+        ai, bix = np.nonzero(mask)
+        if len(ai) == 0:
+            return empty
+        doc_a = a_rows["doc_id"].values[ai]
+        doc_b = b_rows["doc_id"].values[bix]
+        return (
+            pd.DataFrame(
+                {
+                    "doc_a": np.minimum(doc_a, doc_b),
+                    "doc_b": np.maximum(doc_a, doc_b),
+                    "jaccard": jac[ai, bix].astype(np.float64),
+                }
+            )
+            .sort_values(["jaccard", "doc_a", "doc_b"], ascending=[False, True, True])
+            .head(k)
+        )
+
     return (
-        docs.select("doc_id")
-        .repartition(32)
-        .mapInPandas(block_topk, schema=out_schema)
+        replicated.groupBy("bi", "bj")
+        .applyInPandas(pair_block_topk, schema=out_schema)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
         .limit(k)
