@@ -39,6 +39,12 @@ def main(argv: list[str] | None = None) -> int:
     repp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     repp.add_argument("--out", help="write report to this file")
 
+    chp = sub.add_parser(
+        "charts", help="render the reference's three PNG artifacts (S10/S11)"
+    )
+    chp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    chp.add_argument("--out-dir", default=".")
+
     ingp = sub.add_parser("ingest", help="load a raw TSV crawl tree")
     ingp.add_argument("crawl_root")
     ingp.add_argument("store_dir")
@@ -84,6 +90,27 @@ def main(argv: list[str] | None = None) -> int:
         )
         if not args.out:
             print(text)
+        return 0
+
+    if args.cmd == "charts":
+        import os
+
+        from wsu_cpts_415_spark.pipelines.charts import (
+            correlation_heatmap,
+            link_analysis_chart,
+            scc_rollup_chart,
+        )
+        from wsu_cpts_415_spark.registry import all_queries
+
+        qs = all_queries()
+        os.makedirs(args.out_dir, exist_ok=True)
+        for fn, query, fname in (
+            (link_analysis_chart, "ref_link_analysis", "analyze_links.png"),
+            (correlation_heatmap, "ref_correlation_matrix", "correlation_heatmap.png"),
+            (scc_rollup_chart, "ref_scc_rollup", "graph_filter.png"),
+        ):
+            out = fn(qs[query].fn(spark, args.sf_dir), os.path.join(args.out_dir, fname))
+            print(f"wrote {out}")
         return 0
 
     if args.cmd == "ingest":

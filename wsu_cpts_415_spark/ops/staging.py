@@ -1,0 +1,54 @@
+"""Session-scoped staged-projection cache.
+
+Sketch pipelines share expensive staged projections: the shingle+md5
+base-hash table feeds both ``minhash_signatures`` and both sides of the
+``minhash_lsh_pairs`` self-join; the SimHash fingerprint table feeds
+``simhash_fingerprints`` and both sides of ``simhash_hamming_pairs``.
+Without materialization Spark recomputes the whole subtree per alias of a
+self-join and per query -- the md5/shingle math is the dominant cost of
+every sketch query (BENCH r1: the three sketch queries were 5.5 s of a
+24 s suite).
+
+``staged`` memoizes + persists a built projection per (SparkContext,
+name, sf_dir).  MEMORY_AND_DISK keeps it spill-safe; entries are keyed by
+the context id so a restarted session never sees another session's
+DataFrames.  This is the local-mode analogue of writing a staged table
+once and reading it from several jobs -- exactly what a 100 TB pipeline
+does with its staged parquet layers (the cache holds the compacted
+sketch columns, never raw text payloads beyond the shingle arrays).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def staged(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Return the persisted DataFrame registered under ``name`` for this
+    session + dataset, building (and persisting) it on first use."""
+    key = (id(spark.sparkContext), name, sf_dir)
+    df = _CACHE.get(key)
+    if df is None:
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        _CACHE[key] = df
+    return df
+
+
+def clear_staged() -> None:
+    """Unpersist and drop every cache entry (tests; memory pressure)."""
+    for df in _CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _CACHE.clear()

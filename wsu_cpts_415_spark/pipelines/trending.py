@@ -186,9 +186,15 @@ def trending_rankings(
     (``tests/test_pipelines.py`` asserts equality by forcing
     ``scalable_rows=0`` at fixture scale)."""
     scored = trending_scores(videos)
-    n = scored.count()
-    if n > scalable_rows:
-        with_pct = _global_percentile_scalable(scored, n)
+    # cheap routing probe: scan at most scalable_rows+1 pruned rows
+    # (LocalLimit short-circuits) instead of a full count; limit() takes a
+    # Java int, so clamp huge bounds (they can never trip anyway)
+    probe = min(scalable_rows + 1, 2**31 - 1)
+    over_bound = (
+        scored.select(F.lit(1).alias("one")).limit(probe).count() > scalable_rows
+    )
+    if over_bound:
+        with_pct = _global_percentile_scalable(scored, scored.count())
     else:
         with_pct = scored.withColumn(
             "global_percentile",

@@ -96,6 +96,20 @@ def _spark_hashed(docs: DataFrame) -> DataFrame:
     )
 
 
+def _hashed_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (doc_id, shingles, hs) projection: the md5+shingle
+    math dominates every minhash query, and the LSH self-join would
+    otherwise recompute it once per join side (ops/staging.py)."""
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    return staged(
+        spark,
+        "minhash_hashed",
+        sf_dir,
+        lambda: _spark_hashed(load_table(spark, sf_dir, "documents")),
+    )
+
+
 def _duck_minhash_sig() -> str:
     mins = ", ".join(
         f"list_min(list_transform(hs, h -> (CAST({a} AS BIGINT) * h + {b}) % {_MERSENNE_P}))"
@@ -120,8 +134,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     The registered output serializes the signature to a CSV string in
     both engines (driver's pandas canonicalizer cannot sort list cells);
     downstream LSH banding keeps using the array form."""
-    docs = load_table(spark, sf_dir, "documents")
-    return _spark_hashed(docs).select(
+    return _hashed_staged(spark, sf_dir).select(
         "doc_id",
         F.array_join(
             F.transform(
@@ -172,11 +185,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s-curve selectivity).  Only candidates are verified with the exact
     shingle-set Jaccard -- at 100 TB this is the difference between a
     bucket-local join and an impossible n^2 comparison."""
-    docs = load_table(spark, sf_dir, "documents")
     # Stage 1: slim band table (doc_id, band, two signature slots) -- the
     # self-join shuffles ONLY ids + hashes, never text or shingle arrays.
+    # The staged projection is computed once and read by the band build
+    # AND both candidate-verification sides below.
     bands = (
-        _spark_hashed(docs)
+        _hashed_staged(spark, sf_dir)
         .select("doc_id", F.expr(_spark_minhash_sig()).alias("sig"))
         .select(
             "doc_id", F.explode(F.expr(f"sequence(0, {N_BANDS - 1})")).alias("b"), "sig"
@@ -202,7 +216,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
     # Stage 2: attach shingle sets to the (deduped) candidates only.
-    sh = _spark_shingled(docs)
+    sh = _hashed_staged(spark, sf_dir).select("doc_id", "shingles")
     sa = sh.alias("sa")
     sb = sh.alias("sb")
     pairs = cand.join(sa, F.col("doc_a") == F.col("sa.doc_id")).join(
@@ -253,26 +267,36 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bit fold measured 11 s at sf0.1 vs ~1 s for this vectorized
     hash-aggregate plan; the shuffle key is doc_id and the shuffle rows
     are (doc_id, 32 ints), map-side combined."""
-    docs = load_table(spark, sf_dir, "documents")
-    h = _SPARK_H32.format(x="t")
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.expr(f"transform(split(text, ' '), t -> {h})")).alias("h"),
-    )
-    bit_sums = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"pmod(shiftright(h, {b}), 2) = 1"), 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(32)
-        ]
-    )
-    recombine = " + ".join(
-        f"IF(s{b} > 0, shiftleft(1L, {b}), 0L)" for b in range(32)
-    )
-    return bit_sums.select(
-        "doc_id", F.expr(recombine).alias("simhash")
-    ).orderBy("doc_id")
+    return simhash_staged(spark, sf_dir).orderBy("doc_id")
+
+
+def simhash_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (doc_id, simhash) fingerprint table -- computed
+    once, read by the fingerprint query and BOTH sides of the
+    ``simhash_hamming_pairs`` self-join (ops/staging.py)."""
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        h = _SPARK_H32.format(x="t")
+        tok = docs.select(
+            "doc_id",
+            F.explode(F.expr(f"transform(split(text, ' '), t -> {h})")).alias("h"),
+        )
+        bit_sums = tok.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.when(F.expr(f"pmod(shiftright(h, {b}), 2) = 1"), 1).otherwise(-1)
+                ).alias(f"s{b}")
+                for b in range(32)
+            ]
+        )
+        recombine = " + ".join(
+            f"IF(s{b} > 0, shiftleft(1L, {b}), 0L)" for b in range(32)
+        )
+        return bit_sums.select("doc_id", F.expr(recombine).alias("simhash"))
+
+    return staged(spark, "simhash_fingerprints", sf_dir, build)
 
 
 # --------------------------------------------------------------------------

@@ -71,9 +71,9 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 64-bit int.  Hot buckets (constant band values from boilerplate
     text) would be salted or capped in production; fingerprints here are
     near-uniform."""
-    from wsu_cpts_415_spark.queries.similarity import simhash_fingerprints
+    from wsu_cpts_415_spark.queries.similarity import simhash_staged
 
-    sig = simhash_fingerprints(spark, sf_dir)  # (doc_id, simhash)
+    sig = simhash_staged(spark, sf_dir)  # (doc_id, simhash), session-cached
     bands = sig.select(
         "doc_id",
         "simhash",

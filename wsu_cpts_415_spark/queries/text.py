@@ -356,6 +356,18 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
     )
 
 
+def _shingle_rows_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same rows as ``_shingle_rows`` but exploded from the session-cached
+    (doc_id, shingles) projection shared with the minhash suite -- the
+    split+shingle pass over the corpus runs once per session, not once
+    per sketch query."""
+    from wsu_cpts_415_spark.queries.similarity import _hashed_staged
+
+    return _hashed_staged(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
@@ -392,8 +404,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherently Σ df(shingle)^2; at 100 TB you cap df (a stop-shingle cut)
     or prefilter with the MinHash-LSH bucketer (minhash_lsh_pairs) --
     both bound the posting-list blowup before it exists."""
-    docs = load_table(spark, sf_dir, "documents")
-    shingles = _shingle_rows(docs)
+    shingles = _shingle_rows_staged(spark, sf_dir)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # Inverted index: per shingle, the sorted list of containing docs.
     # The repartition after this low-cardinality agg matters: the agg
@@ -497,14 +508,17 @@ def ngram_jaccard_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from wsu_cpts_415_spark.queries.similarity import _hashed_staged
+
     k = 20
     n_blocks = 8
-    docs = load_table(spark, sf_dir, "documents")
-    compact = (
-        _shingle_rows(docs)
-        .groupBy("doc_id")
-        .agg(F.collect_list(F.xxhash64("shingle")).alias("hs"))
-        .withColumn("blk", (F.col("doc_id") % n_blocks).cast("int"))
+    # compact straight off the session-cached shingle arrays: a per-row
+    # transform to 64-bit hashes -- NO explode/groupBy shuffle at all
+    # (the shingles are already distinct per doc)
+    compact = _hashed_staged(spark, sf_dir).select(
+        "doc_id",
+        F.expr("transform(shingles, s -> xxhash64(s))").alias("hs"),
+        (F.col("doc_id") % n_blocks).cast("int").alias("blk"),
     )
     # Replicate each doc to every block-pair it participates in: doc in
     # block b meets counterpart block c for c in 0..NB-1; the unordered
