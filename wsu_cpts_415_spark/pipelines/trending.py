@@ -36,8 +36,10 @@ TOP_N_PER_CATEGORY = 50  # trending_predictor.py:164
 # Above this row count the W2 global percent_rank switches from the
 # reference's single-partition window (parity form, fine for bounded
 # inputs) to the range-partitioned exact formulation below.  Both paths
-# produce bit-identical values, so oracle hashes are unaffected.
-SCALABLE_PERCENTILE_ROWS = 1_000_000
+# produce bit-identical values, so oracle hashes are unaffected; beyond
+# a few thousand rows the scalable path's two extra bounded jobs cost
+# less than funneling the whole table through one window partition.
+SCALABLE_PERCENTILE_ROWS = 2_000
 
 
 def prepare_data(videos: DataFrame) -> DataFrame:
@@ -121,7 +123,9 @@ def trending_scores(videos: DataFrame) -> DataFrame:
     return calculate_trending_score(calculate_features(prepare_data(videos)))
 
 
-def _global_percentile_scalable(scored: DataFrame, n: int, npart: int = 64) -> DataFrame:
+def _global_percentile_scalable(
+    scored: DataFrame, n: int, bounds: list[float], npart: int = 64
+) -> DataFrame:
     """Exact global percent_rank over ``trending_score`` with NO
     unpartitioned window: range-partition by score (equal scores land in
     one partition, so tie groups never straddle a boundary), rank locally
@@ -135,13 +139,13 @@ def _global_percentile_scalable(scored: DataFrame, n: int, npart: int = 64) -> D
     and to the DuckDB oracle.
 
     The bucket id is a pure function of the score against boundary
-    LITERALS frozen from one approxQuantile action (NOT
-    repartitionByRange, whose sampled boundaries could differ between
-    the size job and the rank job and desynchronize the offsets);
-    boundary quality only affects balance, never correctness."""
-    bounds = scored.approxQuantile(
-        "trending_score", [i / npart for i in range(1, npart)], 0.001
-    )
+    LITERALS frozen from one approx_percentile action (NOT
+    repartitionByRange, whose per-execution sampled boundaries could
+    desynchronize plan passes); boundary quality only affects balance,
+    never correctness.  Bucket offsets are computed INSIDE the final DAG
+    by a triangular join over the npart-row bucket-count table
+    (broadcast, bounded metadata) -- no extra driver action and no
+    single-partition window anywhere."""
     bounds_arr = F.array(*[F.lit(float(b)) for b in bounds])
     # descending buckets: _pid = #boundaries above this score, so bucket 0
     # holds the top scores and equal scores always share a bucket
@@ -149,23 +153,23 @@ def _global_percentile_scalable(scored: DataFrame, n: int, npart: int = 64) -> D
         "_pid",
         F.size(F.filter(bounds_arr, lambda b: b > F.col("trending_score"))),
     )
-    sizes = dict(
-        parts.groupBy("_pid").count().collect()
-    )  # <= npart rows -- bounded driver fetch
-    offsets, acc = {}, 0
-    for pid in range(npart):
-        offsets[pid] = acc
-        acc += sizes.get(pid, 0)
-    offset_col = F.element_at(
-        F.array(*[F.lit(offsets.get(p, 0)) for p in range(npart)]),
-        F.col("_pid") + 1,
+    bcounts = parts.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    a, b = bcounts.alias("a"), bcounts.alias("b")
+    offsets = (
+        a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
     )
     local_w = Window.partitionBy("_pid").orderBy(F.desc("trending_score"))
     denom = max(n - 1, 1)
-    return parts.withColumn(
-        "global_percentile",
-        (F.rank().over(local_w) - 1 + offset_col).cast("double") / denom,
-    ).drop("_pid")
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "global_percentile",
+            (F.rank().over(local_w) - 1 + F.col("_off")).cast("double") / denom,
+        )
+        .drop("_pid", "_off")
+    )
 
 
 def trending_rankings(
@@ -185,16 +189,28 @@ def trending_rankings(
     single-partition window; values are identical on both paths
     (``tests/test_pipelines.py`` asserts equality by forcing
     ``scalable_rows=0`` at fixture scale)."""
-    scored = trending_scores(videos)
-    # cheap routing probe: scan at most scalable_rows+1 pruned rows
-    # (LocalLimit short-circuits) instead of a full count; limit() takes a
-    # Java int, so clamp huge bounds (they can never trip anyway)
-    probe = min(scalable_rows + 1, 2**31 - 1)
-    over_bound = (
-        scored.select(F.lit(1).alias("one")).limit(probe).count() > scalable_rows
-    )
-    if over_bound:
-        with_pct = _global_percentile_scalable(scored, scored.count())
+    from pyspark import StorageLevel
+
+    # The ranking is a multi-pass consumer (row-count routing + on the
+    # scalable path the quantile-bounds action + the rank job), so stage
+    # the scored table once instead of re-deriving it per pass -- the
+    # same scored-layer materialization a 100 TB pipeline would do.
+    # Spark's cache manager dedupes by logical plan, so repeated calls
+    # reuse one entry per dataset.
+    scored = trending_scores(videos).persist(StorageLevel.MEMORY_AND_DISK)
+    npart = 64
+    fracs = ", ".join(str(i / npart) for i in range(1, npart))
+    # ONE action materializes the stage and returns both the routing row
+    # count and the (cheap, approximate-is-fine) bucket boundaries
+    stats = scored.agg(
+        F.count("*").alias("n"),
+        F.expr(f"approx_percentile(trending_score, array({fracs}), 1000)").alias(
+            "bounds"
+        ),
+    ).first()
+    n = stats["n"]
+    if n > scalable_rows:
+        with_pct = _global_percentile_scalable(scored, n, stats["bounds"], npart)
     else:
         with_pct = scored.withColumn(
             "global_percentile",

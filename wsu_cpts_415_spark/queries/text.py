@@ -538,7 +538,7 @@ def ngram_jaccard_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out_schema = "doc_a long, doc_b long, jaccard double"
 
-    def pair_block_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def pair_block_topk(key, pdf):
         bi, bj = key
         empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
         a_rows = pdf[pdf["blk"] == bi].sort_values("doc_id")
