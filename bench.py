@@ -63,6 +63,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "quality_score",
     "doc_fingerprint",
+    "repetition_filter",
+    "contamination_containment",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

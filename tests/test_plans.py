@@ -137,3 +137,18 @@ def test_grouping_sets_single_scan(spark, qs):
     # formatted explain prints each scan once in the tree and once in the
     # details section; one physical scan => exactly one Location line
     assert plan.count("Location:") == 1
+
+
+def test_contamination_broadcasts_eval_side(spark, qs):
+    """The benchmark shingle set must broadcast: the corpus side of the
+    contamination scan is never shuffled for the join."""
+    plan = fmt_plan(qs["contamination_containment"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_filter_partial_aggregates(spark, qs):
+    plan = fmt_plan(qs["repetition_filter"].fn(spark, SF_ORACLE))
+    assert "partial_count" in plan or "partial_max" in plan, (
+        "per-doc mode count must map-side combine"
+    )

@@ -6,6 +6,7 @@ from wsu_cpts_415_spark.queries import (  # noqa: F401
     events,
     filters,
     joins,
+    llm_filters,
     multimodal_q,
     reference_parity,
     relational,

@@ -1,0 +1,198 @@
+"""Training-data hygiene filters beyond the reference's surface: Gopher-
+style intra-document repetition scoring and train/eval contamination
+detection by n-gram containment.  Both are standard large-corpus curation
+steps (see the quality-filter discussion in PAPERS.md) expressed as pure
+DataFrame plans over the ``documents`` fixture.
+
+Scale design:
+  * ``repetition_filter`` is one explode + two hash aggregates per doc --
+    embarrassingly partition-parallel, shuffle key doc_id only.
+  * ``contamination_containment`` broadcast-joins the EVAL shingle set
+    against the corpus scan: the held-out benchmark is tiny by
+    construction (that is what makes it a benchmark), so the corpus is
+    never shuffled -- the contamination scan stays one pass at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.registry import register
+
+# stand-in held-out eval set: ~1% of docs by a fixed residue class
+BENCH_MOD = 97
+CONTAIN_THRESHOLD = 0.2
+
+_DUCK_BIGRAMS_ALL = """
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i + 1]
+           ) AS grams
+    FROM documents
+"""
+
+
+@register(
+    "repetition_filter",
+    oracle=f"""
+    WITH grams AS ({_DUCK_BIGRAMS_ALL}),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS total_2grams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_2grams
+        FROM grams
+    ),
+    tops AS (
+        SELECT doc_id, MAX(c) AS top_c
+        FROM (
+            SELECT doc_id, g, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(grams) AS g FROM grams)
+            GROUP BY doc_id, g
+        )
+        GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           p.total_2grams,
+           ROUND(1.0 - CAST(p.distinct_2grams AS DOUBLE) / p.total_2grams, 6)
+               AS dup_2gram_frac,
+           ROUND(CAST(t.top_c AS DOUBLE) / p.total_2grams, 6)
+               AS top_2gram_frac,
+           (1.0 - CAST(p.distinct_2grams AS DOUBLE) / p.total_2grams) <= 0.2
+               AND CAST(t.top_c AS DOUBLE) / p.total_2grams <= 0.1 AS keep
+    FROM per_doc p JOIN tops t USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition scores per document: duplicate-bigram
+    fraction (1 - distinct/total, with multiplicity) and top-bigram
+    fraction (most frequent bigram / total), plus the keep verdict at
+    the classic <=0.2 / <=0.1 thresholds.  Boilerplate-heavy documents
+    (navigation bars, templated spam) light up both scores.
+
+    Plan: bigrams WITH multiplicity from one split (the distinct count
+    comes from the same array -- no second pass over text), mode count
+    via explode + two hash aggregates keyed by doc_id.  No windows, no
+    driver state; every aggregate partial-combines map-side."""
+    from wsu_cpts_415_spark.io.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1),"
+            " i -> concat(element_at(split(text, ' '), i), ' ',"
+            " element_at(split(text, ' '), i + 1)))"
+        ).alias("grams"),
+    ).select(
+        "doc_id",
+        F.size("grams").cast("bigint").alias("total_2grams"),
+        F.size(F.array_distinct("grams")).cast("bigint").alias("distinct_2grams"),
+        "grams",
+    )
+    tops = (
+        grams.select("doc_id", F.explode("grams").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    dup_frac = 1.0 - F.col("distinct_2grams").cast("double") / F.col("total_2grams")
+    top_frac = F.col("top_c").cast("double") / F.col("total_2grams")
+    return (
+        grams.drop("grams")
+        .join(tops, "doc_id")
+        .select(
+            "doc_id",
+            "total_2grams",
+            F.round(dup_frac, 6).alias("dup_2gram_frac"),
+            F.round(top_frac, 6).alias("top_2gram_frac"),
+            ((dup_frac <= 0.2) & (top_frac <= 0.1)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "contamination_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1]
+               ))) AS shingle
+        FROM documents
+    ),
+    bench AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+    bench_sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+        FROM bench GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT c.doc_id AS corpus_doc, b.doc_id AS bench_doc,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM corpus c JOIN bench b ON c.shingle = b.shingle
+        GROUP BY c.doc_id, b.doc_id
+    )
+    SELECT h.corpus_doc, h.bench_doc,
+           ROUND(CAST(h.n_common AS DOUBLE) / s.n_sh, 6) AS containment
+    FROM hits h JOIN bench_sizes s ON s.doc_id = h.bench_doc
+    WHERE CAST(h.n_common AS DOUBLE) / s.n_sh >= {CONTAIN_THRESHOLD}
+    ORDER BY containment DESC, corpus_doc, bench_doc
+    """,
+)
+def contamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination scan: flag corpus documents whose bigram-
+    shingle overlap CONTAINS >= {CONTAIN_THRESHOLD:.0%} of some held-out
+    benchmark document's shingles (the GPT-3/PaLM-style n-gram collision
+    check; containment is |corpus ∩ bench| / |bench|, asymmetric on
+    purpose -- a giant page quoting a whole eval item must flag even
+    though its Jaccard is tiny).
+
+    Plan: the benchmark split (doc_id % {BENCH_MOD} == 0, ~1% stand-in
+    for a real eval suite) is exploded to (shingle, doc) rows and
+    BROADCAST; the corpus side streams through one equi-join + one hash
+    aggregate -- the 100 TB corpus is never shuffled, which is the whole
+    design: benchmark smallness is a precondition of being a benchmark.
+    Shares the session-staged shingle projection with the minhash/ngram
+    suites."""
+    from wsu_cpts_415_spark.queries.similarity import _hashed_staged
+
+    staged = _hashed_staged(spark, sf_dir).select("doc_id", "shingles")
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = (
+        staged.filter(is_bench)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .withColumnRenamed("doc_id", "bench_doc")
+    )
+    bench_sizes = staged.filter(is_bench).select(
+        F.col("doc_id").alias("bench_doc"),
+        F.size("shingles").cast("bigint").alias("n_sh"),
+    )
+    corpus = (
+        staged.filter(~is_bench)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .withColumnRenamed("doc_id", "corpus_doc")
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("corpus_doc", "bench_doc")
+        .agg(F.count("*").alias("n_common"))
+    )
+    containment = F.col("n_common").cast("double") / F.col("n_sh")
+    return (
+        hits.join(F.broadcast(bench_sizes), "bench_doc")
+        .filter(containment >= CONTAIN_THRESHOLD)
+        .select(
+            "corpus_doc",
+            "bench_doc",
+            F.round(containment, 6).alias("containment"),
+        )
+        .orderBy(F.col("containment").desc(), "corpus_doc", "bench_doc")
+    )
