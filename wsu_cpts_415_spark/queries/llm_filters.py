@@ -1,8 +1,9 @@
 """Training-data hygiene filters beyond the reference's surface: Gopher-
 style intra-document repetition scoring and train/eval contamination
 detection by n-gram containment.  Both are standard large-corpus curation
-steps (see the quality-filter discussion in PAPERS.md) expressed as pure
-DataFrame plans over the ``documents`` fixture.
+steps (repetition thresholds after Rae et al. 2021 "Scaling Language
+Models" app. A; n-gram collision checks after Brown et al. 2020 app. C)
+expressed as pure DataFrame plans over the ``documents`` fixture.
 
 Scale design:
   * ``repetition_filter`` is one explode + two hash aggregates per doc --
@@ -73,47 +74,47 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic <=0.2 / <=0.1 thresholds.  Boilerplate-heavy documents
     (navigation bars, templated spam) light up both scores.
 
-    Plan: bigrams WITH multiplicity from one split (the distinct count
-    comes from the same array -- no second pass over text), mode count
-    via explode + two hash aggregates keyed by doc_id.  No windows, no
-    driver state; every aggregate partial-combines map-side."""
+    Plan: ONE pass -- bigrams hashed to 64-bit per row (the shuffle
+    carries (doc_id, long), never bigram strings), explode, count per
+    (doc, gram-hash), then total = sum(c), distinct = count(*), top =
+    max(c) from the same aggregate; both aggregates partial-combine
+    map-side.  Within-doc 64-bit collisions are ~(grams^2 / 2^64) --
+    vanishing, and only they could perturb the counts."""
     from wsu_cpts_415_spark.io.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
+    # tokens staged through a Project: the inline form re-evaluates
+    # split(text) per element access, O(tokens^2) per doc (text.py:344)
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    ex = toks.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 1),"
-            " i -> concat(element_at(split(text, ' '), i), ' ',"
-            " element_at(split(text, ' '), i + 1)))"
-        ).alias("grams"),
-    ).select(
-        "doc_id",
-        F.size("grams").cast("bigint").alias("total_2grams"),
-        F.size(F.array_distinct("grams")).cast("bigint").alias("distinct_2grams"),
-        "grams",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> xxhash64(concat(element_at(toks, i), ' ',"
+                " element_at(toks, i + 1))))"
+            )
+        ).alias("h"),
     )
-    tops = (
-        grams.select("doc_id", F.explode("grams").alias("g"))
-        .groupBy("doc_id", "g")
+    stats = (
+        ex.groupBy("doc_id", "h")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
-        .agg(F.max("c").alias("top_c"))
+        .agg(
+            F.sum("c").alias("total_2grams"),
+            F.count("*").alias("distinct_2grams"),
+            F.max("c").alias("top_c"),
+        )
     )
     dup_frac = 1.0 - F.col("distinct_2grams").cast("double") / F.col("total_2grams")
     top_frac = F.col("top_c").cast("double") / F.col("total_2grams")
-    return (
-        grams.drop("grams")
-        .join(tops, "doc_id")
-        .select(
-            "doc_id",
-            "total_2grams",
-            F.round(dup_frac, 6).alias("dup_2gram_frac"),
-            F.round(top_frac, 6).alias("top_2gram_frac"),
-            ((dup_frac <= 0.2) & (top_frac <= 0.1)).alias("keep"),
-        )
-        .orderBy("doc_id")
-    )
+    return stats.select(
+        "doc_id",
+        F.col("total_2grams").cast("bigint").alias("total_2grams"),
+        F.round(dup_frac, 6).alias("dup_2gram_frac"),
+        F.round(top_frac, 6).alias("top_2gram_frac"),
+        ((dup_frac <= 0.2) & (top_frac <= 0.1)).alias("keep"),
+    ).orderBy("doc_id")
 
 
 @register(
