@@ -5,6 +5,7 @@ from wsu_cpts_415_spark.queries import (  # noqa: F401
     aggregates,
     events,
     filters,
+    graph_ops,
     joins,
     llm_filters,
     multimodal_q,

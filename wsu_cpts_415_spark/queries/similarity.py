@@ -145,10 +145,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "minhash_lsh_pairs",
-    oracle=f"""
-    WITH sigs AS (
+# Reusable DuckDB CTE chain ending in ``lsh_pairs(doc_a, doc_b, jaccard)``
+# -- the verified LSH candidate-pair table.  minhash_lsh_pairs selects from
+# it directly; graph_ops composes it into connected-components oracles.
+LSH_PAIRS_DUCK_CTES = f"""sigs AS (
         SELECT doc_id, {_duck_minhash_sig()} AS sig
         FROM (SELECT doc_id, {_DUCK_BASE_HASHES} AS hs FROM documents)
     ),
@@ -165,26 +165,24 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (
         SELECT doc_id, {_DUCK_SHINGLES_LIST} AS shingles FROM documents
-    )
-    SELECT c.doc_a, c.doc_b,
-           ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-                 / (len(sa.shingles) + len(sb.shingles)
-                    - len(list_intersect(sa.shingles, sb.shingles))), 6)
-               AS jaccard
-    FROM cand c
-    JOIN sh sa ON sa.doc_id = c.doc_a
-    JOIN sh sb ON sb.doc_id = c.doc_b
-    ORDER BY jaccard DESC, doc_a, doc_b
-    """,
-)
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH candidate pairs with exact Jaccard verification.
+    ),
+    lsh_pairs AS (
+        SELECT c.doc_a, c.doc_b,
+               ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                     / (len(sa.shingles) + len(sb.shingles)
+                        - len(list_intersect(sa.shingles, sb.shingles))), 6)
+                   AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+    )"""
 
-    Banding: signature split into {N_BANDS} bands of 2; documents
-    colliding on any full band become candidates (the classic
-    s-curve selectivity).  Only candidates are verified with the exact
-    shingle-set Jaccard -- at 100 TB this is the difference between a
-    bucket-local join and an impossible n^2 comparison."""
+
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered verified candidate-pair table (doc_a, doc_b, jaccard):
+    LSH banding prunes to bucket collisions, then the exact shingle-set
+    Jaccard is computed on candidates only.  Shared by the registered
+    pair query and the near-dup clustering operator (graph_ops.py)."""
     # Stage 1: slim band table (doc_id, band, two signature slots) -- the
     # self-join shuffles ONLY ids + hashes, never text or shingle arrays.
     # The staged projection is computed once and read by the band build
@@ -231,7 +229,28 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.size("sa.shingles") + F.size("sb.shingles") - inter),
             6,
         ).alias("jaccard"),
-    ).orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+    )
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {LSH_PAIRS_DUCK_CTES}
+    SELECT doc_a, doc_b, jaccard FROM lsh_pairs
+    ORDER BY jaccard DESC, doc_a, doc_b
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH candidate pairs with exact Jaccard verification.
+
+    Banding: signature split into {N_BANDS} bands of 2; documents
+    colliding on any full band become candidates (the classic
+    s-curve selectivity).  Only candidates are verified with the exact
+    shingle-set Jaccard -- at 100 TB this is the difference between a
+    bucket-local join and an impossible n^2 comparison."""
+    return lsh_verified_pairs(spark, sf_dir).orderBy(
+        F.col("jaccard").desc(), "doc_a", "doc_b"
+    )
 
 
 @register(
