@@ -3,12 +3,15 @@
 
 from wsu_cpts_415_spark.queries import (  # noqa: F401
     aggregates,
+    clustering,
+    cohorts,
     events,
     filters,
     graph_ops,
     joins,
     llm_filters,
     multimodal_q,
+    ranking,
     reference_parity,
     relational,
     setops,

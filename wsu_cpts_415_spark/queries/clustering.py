@@ -1,0 +1,162 @@
+"""K-Means (Lloyd) clustering over the ``embeddings`` fixture: the
+centroid-training step behind the IVF ANN index (queries/similarity2.py
+``ann_ivf_probe`` uses label-seeded centroids; real deployments train them
+exactly like this).
+
+Determinism across engines (the whole point of registering an iterative
+ML kernel against a SQL oracle):
+
+  * embeddings are cast float->double up front (exact), so every distance
+    is IEEE double math over identical inputs;
+  * squared distances are accumulated strictly left-to-right over the
+    dimension axis in BOTH engines (Spark ``aggregate`` fold / DuckDB
+    ``list_sum`` over the dimension list), then rounded to 6 decimals
+    BEFORE the argmin, with the cluster index as tie-break;
+  * re-estimated centroids are rounded to 6 decimals before the next
+    assignment, collapsing the one engine-visible ordering effect (the
+    per-cluster mean is a sum over rows, whose order differs) far below
+    the rounding grain.
+
+Scale design: the per-iteration driver round-trip is k x dim doubles (the
+model), never data -- the same contract as distributed K-Means in MLlib
+(assignment map-side against broadcast centroids; means via one partial
+aggregate).  Assignment cost is O(rows * k * dim) with zero shuffle; the
+centroid update shuffles k * dim partial sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.registry import register
+
+K = 8
+LLOYD_ITERS = 2  # assignment rounds; centroids re-estimated between them
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+
+
+def _assign_expr(cents: list[tuple[int, list[float]]]) -> str:
+    """array_min over (rounded distance, cluster) structs: the argmin with
+    deterministic tie-break, evaluated entirely JVM-side per row."""
+    structs = []
+    for c, vec in cents:
+        arr = "array(" + ",".join(repr(float(x)) for x in vec) + ")"
+        dist = (
+            f"round(aggregate(zip_with(v, {arr}, (x, y) -> (x - y) * (x - y)),"
+            f" cast(0 as double), (acc, x) -> acc + x), 6)"
+        )
+        structs.append(f"struct({dist} as d, {c} as c)")
+    return f"array_min(array({', '.join(structs)}))"
+
+
+def _duck_kmeans_ctes() -> str:
+    """emb/c0/d1/a1/cent1/c1/.../a{LLOYD_ITERS} chained CTEs mirroring the
+    Lloyd rounds; distances fold in dimension order like the Spark side."""
+    parts = [
+        """emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )""",
+        f"""c0 AS (
+        SELECT CAST(vec_id AS INT) AS c, v FROM emb WHERE vec_id < {K}
+    )""",
+    ]
+    for i in range(1, LLOYD_ITERS + 1):
+        parts.append(
+            f"""d{i} AS (
+        SELECT e.vec_id, c.c,
+               ROUND(list_sum(list_transform(
+                   generate_series(1, len(e.v)),
+                   i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6) AS d
+        FROM emb e CROSS JOIN c{i - 1} c
+    )""",
+        )
+        parts.append(
+            f"""a{i} AS (
+        SELECT vec_id, c, d FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d, c
+            ) AS rn FROM d{i}
+        ) WHERE rn = 1
+    )""",
+        )
+        if i < LLOYD_ITERS:
+            parts.append(
+                f"""cent{i} AS (
+        SELECT a.c, t.dim, ROUND(AVG(e.v[t.dim]), 6) AS val
+        FROM a{i} a
+        JOIN emb e USING (vec_id),
+        UNNEST(generate_series(1, len(e.v))) AS t(dim)
+        GROUP BY a.c, t.dim
+    )""",
+            )
+            parts.append(
+                f"""c{i} AS (
+        SELECT c, list(val ORDER BY dim) AS v FROM cent{i} GROUP BY c
+    )""",
+            )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "kmeans_lloyd",
+    oracle=f"""
+    WITH {_duck_kmeans_ctes()}
+    SELECT vec_id, c AS cluster, d AS dist_sq
+    FROM a{LLOYD_ITERS}
+    ORDER BY vec_id
+    """,
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Means: {LLOYD_ITERS} Lloyd rounds, k={K}, deterministic init
+    (the first {K} vectors by vec_id).  Output: every vector's final
+    cluster and its rounded squared distance to that centroid.
+
+    Assignment never shuffles (argmin against broadcast centroid
+    literals); the inter-round centroid update is one partial-combining
+    aggregate whose k x dim result rides back through the driver, the
+    standard distributed-KMeans model exchange."""
+    emb = _emb_double(spark, sf_dir)
+    cents = [
+        (int(r["c"]), list(r["v"]))
+        for r in emb.filter(F.col("vec_id") < K)
+        .select(F.col("vec_id").cast("int").alias("c"), "v")
+        .collect()
+    ]
+    assigned = None
+    for it in range(LLOYD_ITERS):
+        assigned = emb.select(
+            "vec_id", "v", F.expr(_assign_expr(sorted(cents))).alias("mc")
+        )
+        if it < LLOYD_ITERS - 1:
+            rows = (
+                assigned.select(
+                    F.col("mc.c").alias("c"),
+                    F.posexplode("v").alias("dim", "val"),
+                )
+                .groupBy("c", "dim")
+                .agg(F.round(F.avg("val"), 6).alias("val"))
+                .collect()
+            )
+            by_c: dict[int, list[tuple[int, float]]] = {}
+            for r in rows:
+                by_c.setdefault(int(r["c"]), []).append(
+                    (int(r["dim"]), float(r["val"]))
+                )
+            cents = [
+                (c, [v for _, v in sorted(dims)]) for c, dims in by_c.items()
+            ]
+    return assigned.select(
+        "vec_id",
+        F.col("mc.c").alias("cluster"),
+        F.col("mc.d").alias("dist_sq"),
+    ).orderBy("vec_id")

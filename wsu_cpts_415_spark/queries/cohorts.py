@@ -1,0 +1,119 @@
+"""User-lifecycle analytics over the ``events`` stream table: weekly
+retention cohorts and consecutive-day activity streaks (gap-and-islands).
+
+Product-analytics staples that exercise distinct relational shapes not
+covered elsewhere in the suite: a self-referential min-aggregate join
+(cohort assignment) and the rank-difference islands trick (streaks) --
+both pure DataFrame plans with total-order determinism.
+
+Scale design:
+  * Cohort assignment is two hash aggregates (distinct user-weeks, then
+    min week per user) and one shuffle join on user_id; the final rollup
+    groups on (cohort_week, offset) -- tiny output cardinality.
+  * Streak detection needs one window sort per user partition
+    (row_number over activity days); the groupBy on the island key is a
+    map-side-combinable aggregate.  Per-user day counts are bounded
+    (days since epoch), so no partition can skew unboundedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.registry import register
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    first_wk AS (
+        SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week, u.wk) // 7 AS INT)
+               AS week_offset,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users
+    FROM uw u JOIN first_wk f USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users bucketed by first-activity week
+    (Monday-truncated), counted in each subsequent week they return.
+    The classic cohort triangle every growth dashboard renders."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    first_wk = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        uw.join(first_wk, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("wk", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    islands AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d
+               ) AS INTEGER) AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS max_streak_days
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user via the gap-and-islands
+    rank-difference trick: activity date minus its per-user row_number is
+    constant exactly along an unbroken daily run."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id",
+        "d",
+        F.date_sub("d", F.row_number().over(w)).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.count("*").alias("n_streaks"),
+            F.max("len").alias("max_streak_days"),
+        )
+        .orderBy("user_id")
+    )

@@ -25,6 +25,52 @@ from wsu_cpts_415_spark.registry import register
 BENCH_MOD = 97
 CONTAIN_THRESHOLD = 0.2
 
+# language rebalancing: keep-rate percent per language.  The fixture corpus
+# is ~44% English; capping 'en' while keeping the tail languages whole is
+# the standard multilingual-mix correction.
+LANG_KEEP_PCT = {"en": 20}
+DEFAULT_KEEP_PCT = 60
+
+
+@register(
+    "stratified_sample_lang",
+    oracle=f"""
+    SELECT doc_id, lang, bucket
+    FROM (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS bucket
+        FROM documents
+    )
+    WHERE bucket < CASE lang WHEN 'en' THEN {LANG_KEEP_PCT['en']}
+                   ELSE {DEFAULT_KEEP_PCT} END
+    ORDER BY doc_id
+    """,
+)
+def stratified_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language: each document hashes
+    to a stable [0,100) bucket (md5 of its id -- identical in every
+    engine, every run, every cluster size), and a per-language keep-rate
+    admits the bucket prefix.  Unlike ``df.sampleBy`` (seeded RNG over
+    partition iteration order), hash-bucket sampling is reproducible
+    under repartitioning and incremental reruns -- at 100 TB the sample
+    is a pure row-local filter pushed at the scan, no shuffle at all."""
+    from wsu_cpts_415_spark.io.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+        " as bigint), 100)"
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(LANG_KEEP_PCT["en"])).otherwise(
+        F.lit(DEFAULT_KEEP_PCT)
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+        .orderBy("doc_id")
+    )
+
 _DUCK_BIGRAMS_ALL = """
     SELECT doc_id,
            list_transform(
