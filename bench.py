@@ -65,6 +65,15 @@ HEADLINE = [
     "doc_fingerprint",
     "repetition_filter",
     "contamination_containment",
+    "neardup_clusters",
+    "neardup_dedup_summary",
+    "pagerank_videos",
+    "tfidf_top_terms",
+    "bm25_rank",
+    "retention_cohorts",
+    "activity_streaks",
+    "kmeans_lloyd",
+    "stratified_sample_lang",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",
@@ -113,6 +122,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                # the headline set grows as operators land; compare rounds
+                # per-query (the "queries" map), not by raw total
+                "n_queries": len(timings),
             }
         )
     )

@@ -194,3 +194,42 @@ def test_trending_scalable_percentile_matches_parity_window(spark):
             p["global_percentile"],
             s["global_percentile"],
         )
+
+
+def test_min_label_components_matches_union_find(spark):
+    """min-label propagation == union-find on assorted pair graphs:
+    chains (worst-case diameter), stars, cliques, disjoint singleton
+    pairs, and a pseudo-random mix."""
+    from wsu_cpts_415_spark.queries.graph_ops import min_label_components
+
+    cases = [
+        [(i, i + 1) for i in range(0, 12)],                      # one chain
+        [(0, i) for i in range(1, 8)],                           # star
+        [(a, b) for a in range(5) for b in range(a + 1, 5)],     # clique
+        [(10, 11), (20, 21), (30, 31)],                          # pairs
+        [((i * 7) % 23, (i * 11) % 23) for i in range(1, 15) if (i * 7) % 23 != (i * 11) % 23],
+    ]
+    for pairs in cases:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {v: find(v) for v in parent}
+
+        df = spark.createDataFrame(
+            [Row(doc_a=a, doc_b=b) for a, b in pairs]
+        )
+        got = {
+            r["doc_id"]: r["label"]
+            for r in min_label_components(df).collect()
+        }
+        assert got == expected, f"pairs={pairs}"

@@ -152,3 +152,42 @@ def test_repetition_filter_partial_aggregates(spark, qs):
     assert "partial_count" in plan or "partial_max" in plan, (
         "per-doc mode count must map-side combine"
     )
+
+
+def test_bm25_broadcasts_stats_and_df(spark, qs):
+    """The df/avgdl model tables are scalar-to-tiny; the posting-list side
+    must stream through broadcast joins, never a sort-merge shuffle."""
+    plan = fmt_plan(qs["bm25_rank"].fn(spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan, "top-k must not global-sort"
+
+
+def test_tfidf_window_pushes_rank_limit(spark, qs):
+    plan = fmt_plan(qs["tfidf_top_terms"].fn(spark, SF_ORACLE))
+    assert "WindowGroupLimit" in plan, "rank<=k must prune before the window"
+
+
+def test_stratified_sample_is_scan_local(spark, qs):
+    """Hash-bucket sampling is a pure row filter: the only exchange in the
+    plan is the presentation sort, never a hash shuffle."""
+    plan = fmt_plan(qs["stratified_sample_lang"].fn(spark, SF_ORACLE))
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_kmeans_assignment_is_shuffle_free(spark, qs):
+    """Centroid argmin is row-local math against broadcast literals; the
+    returned assignment plan may sort for presentation but must not
+    shuffle or join."""
+    plan = fmt_plan(qs["kmeans_lloyd"].fn(spark, SF_ORACLE))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_neardup_pair_graph_is_equi_join(spark, qs):
+    """Candidate generation must stay a banded equi-join (no cross
+    product) all the way through the clustering query."""
+    plan = fmt_plan(qs["neardup_clusters"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -71,54 +71,76 @@ _NEARDUP_DUCK_CTES = f"""{LSH_PAIRS_DUCK_CTES},
     )"""
 
 
-def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, cluster_id) for every document: cluster_id is the minimum
-    doc_id reachable through the >= {NEARDUP_THRESHOLD} Jaccard pair
-    graph; documents in no pair are their own singleton cluster."""
-    pairs = (
-        lsh_verified_pairs(spark, sf_dir)
-        .filter(F.col("jaccard") >= NEARDUP_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
+def min_label_components(pairs: DataFrame) -> DataFrame:
+    """Connected components of an undirected pair graph by min-label
+    propagation: (doc_a, doc_b) pairs in, (doc_id, label) out for every
+    vertex incident to a pair, label = component-minimum vertex id.
+    Converges in graph-diameter rounds with per-round convergence check
+    and lineage truncation (generic kernel; property-tested against a
+    union-find oracle in tests/test_pipelines.py)."""
+    # The pair graph is a sliver of the corpus; keep the iteration loop on
+    # a handful of partitions so per-round task overhead tracks GRAPH size
+    # (on a cluster this would be `coalesce(edges_bytes / target)`).
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
+        .coalesce(4)
         .localCheckpoint(eager=True)
     )
-    # label loop over incident vertices only -- the corpus never enters it
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
+        .coalesce(4)
         .localCheckpoint(eager=True)
     )
+    # Min-label sums are strictly decreasing until the fixpoint, so one
+    # scalar aggregate per round doubles as the convergence test (no
+    # old-vs-new join needed).
+    prev_sum = None
     for _ in range(MAX_CC_ROUNDS):
         prop = edges.join(
             labels, edges["src"] == labels["doc_id"], "inner"
         ).select(F.col("dst").alias("doc_id"), "label")
-        new_labels = (
+        labels = (
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
+            .coalesce(4)
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        label_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if label_sum == prev_sum:
             break
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.join(labels, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("label", "doc_id").cast("bigint").alias("cluster_id"),
-    )
+        prev_sum = label_sum
+    return labels
+
+
+def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every document: cluster_id is the minimum
+    doc_id reachable through the >= {NEARDUP_THRESHOLD} Jaccard pair
+    graph; documents in no pair are their own singleton cluster."""
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    def build() -> DataFrame:
+        pairs = (
+            lsh_verified_pairs(spark, sf_dir)
+            .filter(F.col("jaccard") >= NEARDUP_THRESHOLD)
+            .select("doc_a", "doc_b")
+        )
+        # label loop over incident vertices only -- the corpus never
+        # enters it; the result is session-staged because the clusters
+        # query and the dedup summary share it verbatim.
+        labels = min_label_components(pairs)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        return docs.join(labels, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("label", "doc_id").cast("bigint").alias("cluster_id"),
+        )
+
+    return staged(spark, "neardup_labels", sf_dir, build)
 
 
 @register(
@@ -230,20 +252,46 @@ def pagerank_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate by dst, one left join back to the vertex set (nodes
     with no in-links decay to (1-d)/N).  The staged (src, dst, deg)
     table is the only input re-read each round."""
-    flat = videos_flat(spark, sf_dir)
-    verts = flat.select("id")
-    raw = flat.select(F.col("id").alias("src"), F.explode("related_ids").alias("dst"))
-    live = raw.join(
-        verts.select(F.col("id").alias("dst")), "dst", "leftsemi"
-    )
     from pyspark.sql import Window
 
-    edges_deg = live.select(
-        "src", "dst", F.count("*").over(Window.partitionBy("src")).alias("deg")
-    ).localCheckpoint(eager=True)
+    from wsu_cpts_415_spark.ops.staging import staged
 
-    n = verts.count()  # scalar vertex count: one job, same as MLlib PageRank
-    ranks = verts.select("id", F.lit(1.0 / n).alias("pr"))
+    # The videos derivation (wide expression tree -> codegen compile per
+    # plan) is materialized ONCE as a slim (id, related_ids) projection;
+    # vertex set, edge list, degrees, and the vertex count all derive from
+    # that staged table instead of re-deriving the view per action.
+    flat_slim = staged(
+        spark,
+        "videos_graph_slim",
+        sf_dir,
+        lambda: videos_flat(spark, sf_dir).select("id", "related_ids"),
+    )
+    verts = flat_slim.select("id")
+    raw = flat_slim.select(
+        F.col("id").alias("src"), F.explode("related_ids").alias("dst")
+    )
+    live = raw.join(verts.select(F.col("id").alias("dst")), "dst", "leftsemi")
+
+    n = verts.count()  # scalar vertex count: one job, as in MLlib PageRank
+    # iteration parallelism sized by the GRAPH, not the session default:
+    # ~100k vertices per task keeps a 1000-executor cluster busy at web
+    # scale while a fixture graph runs in single-digit tasks
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n // 100_000))
+    edges_deg = (
+        live.select(
+            "src", "dst", F.count("*").over(Window.partitionBy("src")).alias("deg")
+        )
+        .coalesce(parts)
+        .localCheckpoint(eager=True)
+    )
+    verts_c = verts.coalesce(parts).localCheckpoint(eager=True)
+    # Each iteration's rank table is LAZILY checkpointed: without a
+    # materialization boundary, iteration i's subtree is re-evaluated by
+    # both consumers at level i+1 (the contribution join's broadcast AND
+    # the vertex left join), compounding 2^iters; lazy checkpoints cache
+    # each level on first evaluation while keeping the whole recurrence
+    # inside one action.
+    ranks = verts_c.select("id", F.lit(1.0 / n).alias("pr"))
     for _ in range(PR_ITERS):
         contribs = (
             edges_deg.join(ranks, edges_deg["src"] == ranks["id"], "inner")
@@ -254,7 +302,7 @@ def pagerank_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("m"))
         )
         ranks = (
-            verts.join(contribs, "id", "left")
+            verts_c.join(contribs, "id", "left")
             .select(
                 "id",
                 (
@@ -262,7 +310,7 @@ def pagerank_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + PR_DAMPING * F.coalesce(F.col("m"), F.lit(0.0))
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks.select("id", F.round("pr", 9).alias("pagerank")).orderBy(
         F.col("pagerank").desc(), "id"
