@@ -74,6 +74,9 @@ HEADLINE = [
     "activity_streaks",
     "kmeans_lloyd",
     "stratified_sample_lang",
+    "neardup_consensus_pairs",
+    "zscore_anomalies",
+    "event_transition_matrix",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

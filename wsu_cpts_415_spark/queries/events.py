@@ -262,3 +262,107 @@ def event_type_daily_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("share"),
     ).orderBy("day", "event_type")
+
+
+@register(
+    "zscore_anomalies",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+        FROM events GROUP BY event_type
+    ),
+    scored AS (
+        SELECT e.event_id, e.event_type, e.value,
+               ROUND((e.value - s.mu) / s.sigma, 4) AS zscore,
+               ROUND(ABS(e.value - s.mu) / s.sigma, 6) AS abs_z
+        FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_id, event_type, value, zscore, rnk
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY abs_z DESC, event_id
+               ) AS INT) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 5
+    ORDER BY event_type, rnk
+    """,
+)
+def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 z-score outliers per event type: per-type mean/stddev in one
+    aggregate, every event scored against its type's distribution, rank
+    by |z| (rounded before ranking; event_id tie-break).  Rank-based
+    output instead of a |z|>k cut keeps the result deterministic across
+    engines -- a threshold filter on a float boundary is not.
+
+    Scale: one aggregate pass for the stats (broadcast back -- one row
+    per type), one scan to score, one partitioned window with rank
+    pushdown.  No global sort until the 5xtypes-row result."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    scored = ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias(
+            "zscore"
+        ),
+        F.round(
+            F.abs(F.col("value") - F.col("mu")) / F.col("sigma"), 6
+        ).alias("abs_z"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("abs_z").desc(), "event_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("event_id", "event_type", "value", "zscore", "rnk")
+        .orderBy("event_type", "rnk")
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive events of
+    the same user (total order: ts then event_id): which action follows
+    which -- the input to journey mining and next-event prediction.
+
+    Scale: one window sort per user partition (the same shuffle the
+    sessionizer pays), then a map-side-combinable count on a
+    types^2-bounded key space."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("from_type", "to_type")
+    )

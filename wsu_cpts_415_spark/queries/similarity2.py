@@ -25,52 +25,49 @@ HAMMING_MAX = 3  # near-dup threshold on 32-bit simhash
 N_SIM_BANDS = 4  # 8 bits per band; ham <= 3 cannot change all 4 bands
 N_PROBE = 2  # IVF: number of coarse cells searched
 
-_DUCK_SIMHASH_CTE = f"""
-    tok AS (
+# Brute-force pair definition as a reusable CTE chain ending in
+# ``sim_pairs(doc_a, doc_b, hamming)`` (composed by the registered pair
+# query and the multi-method consensus query).  CTE names are sim_-prefixed
+# so the chain composes with LSH_PAIRS_DUCK_CTES in one WITH clause.
+SIMHASH_PAIRS_DUCK_CTES = f"""sim_tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
     ),
-    bits AS (
+    sim_bits AS (
         SELECT doc_id, b,
                SUM(CASE WHEN ({_DUCK_H32.format(x='t')} >> b) % 2 = 1
                         THEN 1 ELSE -1 END) AS s
-        FROM tok, UNNEST(generate_series(0, 31)) AS u(b)
+        FROM sim_tok, UNNEST(generate_series(0, 31)) AS u(b)
         GROUP BY doc_id, b
     ),
-    sh AS (
+    sim_sh AS (
         SELECT doc_id,
                CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
                              ELSE 0 END) AS BIGINT) AS simhash
-        FROM bits
+        FROM sim_bits
         GROUP BY doc_id
-    )
-"""
+    ),
+    sim_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sim_sh a JOIN sim_sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    )"""
 
 
-@register(
-    "simhash_hamming_pairs",
-    oracle=f"""
-    WITH {_DUCK_SIMHASH_CTE}
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
-    ORDER BY hamming, doc_a, doc_b
-    """,
-)
-def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance <= 3, found by
-    BANDING instead of an all-pairs join: the 32-bit fingerprint splits
-    into 4 x 8-bit bands, and by pigeonhole any pair within distance 3
-    agrees on at least one whole band -- so candidates are exactly the
-    pairs sharing (band_index, band_value), an equi-join.  The DuckDB
-    oracle is the brute-force O(n^2) definition, proving the banded plan
-    loses no pairs.
+def simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered near-duplicate pair table (doc_a, doc_b, hamming) by
+    SimHash Hamming distance <= {HAMMING_MAX}, found by BANDING instead
+    of an all-pairs join: the 32-bit fingerprint splits into
+    {N_SIM_BANDS} x 8-bit bands, and by pigeonhole any pair within
+    distance {HAMMING_MAX} agrees on at least one whole band -- so
+    candidates are exactly the pairs sharing (band_index, band_value),
+    an equi-join.
 
-    Scale: the shuffle key is (band, band_value); each doc emits 4 rows
-    of (key, doc_id, simhash).  Candidate verification is a bit_count on
-    a 64-bit int.  Hot buckets (constant band values from boilerplate
-    text) would be salted or capped in production; fingerprints here are
-    near-uniform."""
+    Scale: the shuffle key is (band, band_value); each doc emits
+    {N_SIM_BANDS} rows of (key, doc_id, simhash).  Candidate
+    verification is a bit_count on a 64-bit int.  Hot buckets (constant
+    band values from boilerplate text) would be salted or capped in
+    production; fingerprints here are near-uniform."""
     from wsu_cpts_415_spark.queries.similarity import simhash_staged
 
     sig = simhash_staged(spark, sf_dir)  # (doc_id, simhash), session-cached
@@ -105,7 +102,23 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
-        .orderBy("hamming", "doc_a", "doc_b")
+    )
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH {SIMHASH_PAIRS_DUCK_CTES}
+    SELECT doc_a, doc_b, hamming FROM sim_pairs
+    ORDER BY hamming, doc_a, doc_b
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of ``simhash_banded_pairs``; the DuckDB oracle is
+    the brute-force O(n^2) definition, proving the banded plan loses no
+    pairs."""
+    return simhash_banded_pairs(spark, sf_dir).orderBy(
+        "hamming", "doc_a", "doc_b"
     )
 
 
@@ -317,3 +330,63 @@ def embedding_center_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(center, "vec_id long, label int, centered_norm double")
         .orderBy("vec_id")
     )
+
+
+NEARDUP_JACCARD = 0.5  # same cut as graph_ops.NEARDUP_THRESHOLD
+
+from wsu_cpts_415_spark.queries.similarity import LSH_PAIRS_DUCK_CTES  # noqa: E402
+
+_CONSENSUS_ORACLE = f"""
+    WITH {LSH_PAIRS_DUCK_CTES},
+    {SIMHASH_PAIRS_DUCK_CTES},
+    mh AS (SELECT * FROM lsh_pairs WHERE jaccard >= {NEARDUP_JACCARD})
+    SELECT COALESCE(m.doc_a, s.doc_a) AS doc_a,
+           COALESCE(m.doc_b, s.doc_b) AS doc_b,
+           m.jaccard IS NOT NULL AS by_minhash,
+           s.hamming IS NOT NULL AS by_simhash,
+           m.jaccard,
+           s.hamming
+    FROM mh m
+    FULL OUTER JOIN sim_pairs s
+      ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+
+
+@register(
+    "neardup_consensus_pairs",
+    oracle=_CONSENSUS_ORACLE,
+)
+def neardup_consensus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-method dedup consensus: the union of MinHash-LSH verified
+    pairs (exact Jaccard >= 0.5) and SimHash banded pairs (Hamming <= 3),
+    full-outer-joined so every pair carries which detector(s) fired and
+    both scores where available.  Production dedup runs exactly this
+    cross-check -- sketch families have disjoint blind spots (MinHash
+    sees shingle-set overlap, SimHash weighted token profiles), and the
+    disagreement rows are the tuning signal for thresholds.
+
+    Scale: both inputs are already bucketed pair tables (no new
+    all-pairs work); the full outer join keys on (doc_a, doc_b) -- pair
+    ids only, never text."""
+    from wsu_cpts_415_spark.queries.similarity import lsh_verified_pairs
+
+    mh = lsh_verified_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= NEARDUP_JACCARD
+    )
+    sh_pairs = simhash_banded_pairs(spark, sf_dir)
+    joined = mh.alias("m").join(
+        sh_pairs.alias("s"),
+        (F.col("m.doc_a") == F.col("s.doc_a"))
+        & (F.col("m.doc_b") == F.col("s.doc_b")),
+        "full",
+    )
+    return joined.select(
+        F.coalesce("m.doc_a", "s.doc_a").alias("doc_a"),
+        F.coalesce("m.doc_b", "s.doc_b").alias("doc_b"),
+        F.col("m.jaccard").isNotNull().alias("by_minhash"),
+        F.col("s.hamming").isNotNull().alias("by_simhash"),
+        "m.jaccard",
+        "s.hamming",
+    ).orderBy("doc_a", "doc_b")
