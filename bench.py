@@ -77,6 +77,9 @@ HEADLINE = [
     "neardup_consensus_pairs",
     "zscore_anomalies",
     "event_transition_matrix",
+    "rolling_7d_avg",
+    "histogram_bins",
+    "mode_per_group",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

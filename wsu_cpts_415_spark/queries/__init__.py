@@ -19,6 +19,7 @@ from wsu_cpts_415_spark.queries import (  # noqa: F401
     similarity,
     similarity2,
     sql_surface,
+    stats_ops,
     streaming_q,
     text,
     tpch,

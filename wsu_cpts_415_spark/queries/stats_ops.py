@@ -1,0 +1,143 @@
+"""Statistical shapes rounding out the aggregate surface: time-interval
+rolling windows, fixed-width histograms, and deterministic per-group mode.
+
+Each exercises a distinct engine capability not covered elsewhere in the
+suite: a RANGE frame over *time* (vs the value-RANGE frame in
+``range_frame_sum``), binning as pure arithmetic (the scalable
+alternative to sorting for distribution sketches), and argmax-by-count
+with a total-order tie policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.registry import register
+
+BIN_WIDTH = 5000.0  # histogram bin width over l_extendedprice
+
+
+@register(
+    "rolling_7d_avg",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               ROUND(SUM(value), 4) AS daily_total
+        FROM events GROUP BY 1
+    )
+    SELECT d, daily_total,
+           ROUND(AVG(daily_total) OVER (
+               ORDER BY d
+               RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+           ), 4) AS avg_7d
+    FROM daily
+    ORDER BY d
+    """,
+)
+def rolling_7d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day average of the daily event-value total: a RANGE
+    frame over TIME (gaps in the calendar shrink the frame -- a ROWS
+    frame would silently average the wrong days).  Daily totals are
+    rounded before the window so the frame consumes identical inputs in
+    both engines.
+
+    Scale: the window runs over the per-DAY aggregate (bounded
+    cardinality: 365 rows/year), not raw events -- the heavy reduction
+    happens in the partial-combining groupBy underneath, so the
+    unpartitioned window is a non-issue at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value"), 4).alias("daily_total")
+    )
+    # RANGE frame keyed on epoch seconds: -6 days .. current row
+    w = (
+        Window.orderBy(F.unix_timestamp(F.col("d").cast("timestamp")))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "d",
+        "daily_total",
+        F.round(F.avg("daily_total").over(w), 4).alias("avg_7d"),
+    ).orderBy("d")
+
+
+@register(
+    "histogram_bins",
+    oracle=f"""
+    SELECT CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / {BIN_WIDTH}) AS BIGINT)
+               AS bin,
+           CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / {BIN_WIDTH})
+                * {BIN_WIDTH} AS DOUBLE) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY bin
+    """,
+)
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram of l_extendedprice (width
+    {BIN_WIDTH:.0f}): binning is row-local arithmetic + one hash
+    aggregate on a bounded key space -- the distribution sketch that
+    needs NO sort and NO percentile state, the first thing to reach for
+    at 100 TB before any quantile machinery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = F.floor(F.col("l_extendedprice").cast("double") / BIN_WIDTH)
+    return (
+        li.groupBy(
+            bin_col.cast("bigint").alias("bin"),
+            (bin_col * BIN_WIDTH).cast("double").alias("bin_lo"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "mode_per_group",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (
+        SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY COUNT(*) DESC, o_orderpriority
+               ) AS rn
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+    )
+    WHERE rn = 1
+    ORDER BY o_orderstatus
+    """,
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent order priority per order status, smallest-value
+    tie-break (Spark's ``mode()`` and DuckDB's ``mode()`` both leave
+    ties unspecified -- an explicit count + rank is the portable,
+    deterministic form).  Two partial-combining aggregates over a
+    statuses x priorities bounded key space; the window sees one row per
+    combination, never data."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+        .orderBy("o_orderstatus")
+    )
