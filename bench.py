@@ -80,6 +80,7 @@ HEADLINE = [
     "rolling_7d_avg",
     "histogram_bins",
     "mode_per_group",
+    "curation_funnel",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

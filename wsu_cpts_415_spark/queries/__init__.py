@@ -5,6 +5,7 @@ from wsu_cpts_415_spark.queries import (  # noqa: F401
     aggregates,
     clustering,
     cohorts,
+    curation,
     events,
     filters,
     graph_ops,

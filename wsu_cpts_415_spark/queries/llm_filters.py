@@ -82,17 +82,17 @@ _DUCK_BIGRAMS_ALL = """
 """
 
 
-@register(
-    "repetition_filter",
-    oracle=f"""
-    WITH grams AS ({_DUCK_BIGRAMS_ALL}),
-    per_doc AS (
+# Reusable CTE chain ending in ``rep(doc_id, total_2grams, dup_2gram_frac,
+# top_2gram_frac, keep)`` -- selected by the registered query and composed
+# into the curation-funnel oracle (queries/curation.py).
+REPETITION_DUCK_CTES = f"""grams AS ({_DUCK_BIGRAMS_ALL}),
+    rep_per_doc AS (
         SELECT doc_id,
                CAST(len(grams) AS BIGINT) AS total_2grams,
                CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_2grams
         FROM grams
     ),
-    tops AS (
+    rep_tops AS (
         SELECT doc_id, MAX(c) AS top_c
         FROM (
             SELECT doc_id, g, COUNT(*) AS c
@@ -100,16 +100,27 @@ _DUCK_BIGRAMS_ALL = """
             GROUP BY doc_id, g
         )
         GROUP BY doc_id
-    )
-    SELECT p.doc_id,
-           p.total_2grams,
-           ROUND(1.0 - CAST(p.distinct_2grams AS DOUBLE) / p.total_2grams, 6)
-               AS dup_2gram_frac,
-           ROUND(CAST(t.top_c AS DOUBLE) / p.total_2grams, 6)
-               AS top_2gram_frac,
-           (1.0 - CAST(p.distinct_2grams AS DOUBLE) / p.total_2grams) <= 0.2
-               AND CAST(t.top_c AS DOUBLE) / p.total_2grams <= 0.1 AS keep
-    FROM per_doc p JOIN tops t USING (doc_id)
+    ),
+    rep AS (
+        SELECT p.doc_id,
+               p.total_2grams,
+               ROUND(1.0 - CAST(p.distinct_2grams AS DOUBLE) / p.total_2grams,
+                     6) AS dup_2gram_frac,
+               ROUND(CAST(t.top_c AS DOUBLE) / p.total_2grams, 6)
+                   AS top_2gram_frac,
+               (1.0 - CAST(p.distinct_2grams AS DOUBLE) / p.total_2grams)
+                   <= 0.2
+                   AND CAST(t.top_c AS DOUBLE) / p.total_2grams <= 0.1 AS keep
+        FROM rep_per_doc p JOIN rep_tops t USING (doc_id)
+    )"""
+
+
+@register(
+    "repetition_filter",
+    oracle=f"""
+    WITH {REPETITION_DUCK_CTES}
+    SELECT doc_id, total_2grams, dup_2gram_frac, top_2gram_frac, keep
+    FROM rep
     ORDER BY doc_id
     """,
 )

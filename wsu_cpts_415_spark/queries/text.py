@@ -127,29 +127,39 @@ def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Reusable CTE ending in ``qual(doc_id, stop_ratio, unique_ratio,
+# len_band, quality)`` -- selected by the registered query and composed
+# into the curation-funnel oracle (queries/curation.py).
+QUALITY_DUCK_CTES = f"""qual AS (
+        SELECT doc_id,
+               ROUND(stop_ratio, 6) AS stop_ratio,
+               ROUND(unique_ratio, 6) AS unique_ratio,
+               len_band,
+               ROUND(0.4 * (1 - stop_ratio) + 0.4 * unique_ratio
+                     + 0.2 * CASE len_band WHEN 'good' THEN 1.0
+                                           WHEN 'short' THEN 0.3 ELSE 0.6 END,
+                     6) AS quality
+        FROM (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS stop_ratio,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS unique_ratio,
+                   CASE WHEN len(string_split(text, ' ')) < 40 THEN 'short'
+                        WHEN len(string_split(text, ' ')) <= 60 THEN 'good'
+                        ELSE 'long' END AS len_band
+            FROM documents
+        )
+    )"""
+
+
 @register(
     "quality_score",
     oracle=f"""
-    SELECT doc_id,
-           ROUND(stop_ratio, 6) AS stop_ratio,
-           ROUND(unique_ratio, 6) AS unique_ratio,
-           len_band,
-           ROUND(0.4 * (1 - stop_ratio) + 0.4 * unique_ratio
-                 + 0.2 * CASE len_band WHEN 'good' THEN 1.0
-                                       WHEN 'short' THEN 0.3 ELSE 0.6 END,
-                 6) AS quality
-    FROM (
-        SELECT doc_id,
-               CAST(len(list_filter(string_split(text, ' '),
-                        t -> t IN ({_STOP_SQL}))) AS DOUBLE)
-                   / len(string_split(text, ' ')) AS stop_ratio,
-               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                   / len(string_split(text, ' ')) AS unique_ratio,
-               CASE WHEN len(string_split(text, ' ')) < 40 THEN 'short'
-                    WHEN len(string_split(text, ' ')) <= 60 THEN 'good'
-                    ELSE 'long' END AS len_band
-        FROM documents
-    )
+    WITH {QUALITY_DUCK_CTES}
+    SELECT doc_id, stop_ratio, unique_ratio, len_band, quality
+    FROM qual
     ORDER BY doc_id
     """,
 )
