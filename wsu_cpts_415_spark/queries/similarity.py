@@ -182,7 +182,21 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered verified candidate-pair table (doc_a, doc_b, jaccard):
     LSH banding prunes to bucket collisions, then the exact shingle-set
     Jaccard is computed on candidates only.  Shared by the registered
-    pair query and the near-dup clustering operator (graph_ops.py)."""
+    pair query, the near-dup clustering operator (graph_ops.py), and the
+    multi-method consensus (similarity2.py) -- so the verified table is
+    session-staged like the base projections: a 100 TB dedup run writes
+    the pair table once and every consumer reads it, instead of
+    re-running the banding join per consumer (re-derivation also fuses
+    badly: measured 26 s vs 1 s for the consensus full-outer join when
+    both pair subtrees are inlined into one plan at sf0.1)."""
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    return staged(
+        spark, "lsh_verified_pairs", sf_dir, lambda: _lsh_verified_pairs(spark, sf_dir)
+    )
+
+
+def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage 1: slim band table (doc_id, band, two signature slots) -- the
     # self-join shuffles ONLY ids + hashes, never text or shingle arrays.
     # The staged projection is computed once and read by the band build

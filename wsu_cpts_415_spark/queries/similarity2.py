@@ -55,6 +55,21 @@ SIMHASH_PAIRS_DUCK_CTES = f"""sim_tok AS (
 
 
 def simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-staged near-dup pair table by SimHash banding -- shared by
+    the registered pair query and the multi-method consensus, so the
+    banding self-join runs once per session+dataset (see
+    similarity.lsh_verified_pairs for the staging rationale)."""
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    return staged(
+        spark,
+        "simhash_banded_pairs",
+        sf_dir,
+        lambda: _simhash_banded_pairs(spark, sf_dir),
+    )
+
+
+def _simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered near-duplicate pair table (doc_a, doc_b, hamming) by
     SimHash Hamming distance <= {HAMMING_MAX}, found by BANDING instead
     of an all-pairs join: the 32-bit fingerprint splits into
