@@ -71,16 +71,22 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     from pyspark.sql import functions as F
     from wsu_cpts_415_spark.schemas import EVENTS_RAW
 
+    from wsu_cpts_415_spark.io.tables import _events_ts_is_nanos
+
     src = tmp_path / "src"
     src.mkdir()
     ckpt = str(tmp_path / "ckpt")
     shutil.copy(f"{SF_SMOKE}/events.parquet", src / "f1.parquet")
 
+    # the fixture's physical unit varies by round (ns or us); mirror the
+    # loader's sniff so the raw int64 -> timestamp conversion is exact
+    per_us = 1000 if _events_ts_is_nanos(f"{SF_SMOKE}/events.parquet") else 1
+
     def run_once(name):
         raw = (
             spark.readStream.schema(EVENTS_RAW)
             .parquet(f"{src}/*.parquet")
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .withColumn("ts", F.expr(f"timestamp_micros(ts div {per_us})"))
         )
         q = (
             tumbling_counts(raw)
@@ -99,13 +105,13 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     base = load_table(spark, SF_SMOKE, "events")
     assert n1 == base.count()
 
-    # a second batch of events "arrives": same raw shape (ts = int64 ns,
-    # like the fixture), shifted ids/time
+    # a second batch of events "arrives": same raw int64 shape as the
+    # fixture (whatever its unit), shifted ids/time
     raw_base = spark.read.schema(EVENTS_RAW).parquet(f"{SF_SMOKE}/events.parquet")
     batch2_raw = raw_base.withColumn(
         "event_id", F.col("event_id") + 1_000_000
-    ).withColumn("ts", F.col("ts") + F.lit(60 * 86400 * 10**9))
-    batch2 = batch2_raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ).withColumn("ts", F.col("ts") + F.lit(60 * 86400 * 10**6 * per_us))
+    batch2 = batch2_raw.withColumn("ts", F.expr(f"timestamp_micros(ts div {per_us})"))
     n2_rows = batch2.count()
     batch2_raw.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
     part = next((tmp_path / "stage").glob("part-*.parquet"))

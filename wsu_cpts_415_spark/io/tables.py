@@ -21,16 +21,43 @@ TABLE_NAMES = tuple(FIXTURE_SCHEMAS)
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """True when the events parquet stores ``ts`` as TIMESTAMP(NANOS).
+
+    Reads only the footer of one part file (driver-side, metadata-only).
+    Defaults to False (let Spark's native reader handle it) when the
+    footer can't be inspected.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        part = path
+        if os.path.isdir(path):
+            parts = sorted(
+                p for p in os.listdir(path) if p.endswith(".parquet")
+            )
+            if not parts:
+                return False
+            part = os.path.join(path, parts[0])
+        schema = pq.ParquetFile(part).schema_arrow
+        field = schema.field("ts")
+        return getattr(field.type, "unit", None) == "ns"
+    except Exception:
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its canonical schema."""
     if name not in FIXTURE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and _events_ts_is_nanos(path):
         # ts is parquet TIMESTAMP(NANOS) which Spark cannot read natively
         # (PARQUET_TYPE_ILLEGAL): read the physical int64 and floor-convert
         # ns -> us with integer division (exact; double division would lose
-        # precision on ~1.7e18 ns epochs).
+        # precision on ~1.7e18 ns epochs).  Fixture generators have shipped
+        # both NANOS and MICROS across rounds, so the unit is sniffed from
+        # footer metadata (one driver-side read) instead of assumed.
         raw = spark.read.schema(EVENTS_RAW).parquet(path)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     # Parquet is self-describing; passing the canonical schema pins the

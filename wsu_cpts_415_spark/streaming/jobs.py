@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-from wsu_cpts_415_spark.schemas import EVENTS_RAW
+from wsu_cpts_415_spark.io.tables import _events_ts_is_nanos
+from wsu_cpts_415_spark.schemas import EVENTS, EVENTS_RAW
 
 WATERMARK = "1 day"
 SESSION_GAP = "30 minutes"
@@ -39,12 +40,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # glob (not bare file path): the file stream source requires its
     # basePath to be a directory, and the deepest non-glob ancestor of
     # "events.*" is sf_dir
-    raw = (
-        spark.readStream.schema(EVENTS_RAW)
+    if _events_ts_is_nanos(f"{sf_dir}/events.parquet"):
+        raw = (
+            spark.readStream.schema(EVENTS_RAW)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{sf_dir}/events.*")
+        )
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return (
+        spark.readStream.schema(EVENTS)
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{sf_dir}/events.*")
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 # --- transformations (batch/stream agnostic) -------------------------------
