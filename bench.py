@@ -81,6 +81,10 @@ HEADLINE = [
     "histogram_bins",
     "mode_per_group",
     "curation_funnel",
+    "sequence_packing",
+    "crossdoc_span_dedup",
+    "quality_weighted_sample",
+    "range_join_events",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

@@ -191,3 +191,39 @@ def test_neardup_pair_graph_is_equi_join(spark, qs):
     plan = fmt_plan(qs["neardup_clusters"].fn(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_equi_on_user(spark, qs):
+    """The attribution-window range join must hash on the user_id equi
+    key with the time range as a residual condition -- never a nested
+    loop over the cross product."""
+    plan = fmt_plan(qs["range_join_events"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_sequence_packing_window_is_sharded(spark, qs):
+    """The packing offset window partitions by the source shard (never a
+    global 'No Partition Defined' window), and the block aggregate rides
+    the window's partitioning instead of re-shuffling documents."""
+    plan = fmt_plan(qs["sequence_packing"].fn(spark, SF_ORACLE))
+    assert "Window" in plan
+    # one data exchange: the window's hashpartitioning(source); the only
+    # other allowed exchange is the presentation-order range partitioning
+    # (formatted mode puts the partitioning in an Arguments: line)
+    assert plan.count("hashpartitioning(source") == 1
+    assert plan.count("hashpartitioning(") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_crossdoc_span_dedup_partial_aggregates(spark, qs):
+    """Single-pass span dedup: one corpus scan (no self-join that would
+    re-explode the corpus), document frequency carried by the inverted
+    posting list, per-doc rollup map-side combined, and no sort anywhere
+    before the presentation orderBy."""
+    plan = fmt_plan(qs["crossdoc_span_dedup"].fn(spark, SF_ORACLE))
+    # formatted mode prints each scan twice (tree node + details header)
+    assert plan.count("Scan parquet") <= 2, "span DF must not rescan corpus"
+    assert "Join" not in plan
+    assert "partial_count" in plan

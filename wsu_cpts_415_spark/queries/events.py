@@ -265,6 +265,58 @@ def event_type_daily_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_events",
+    oracle="""
+    SELECT p.event_id,
+           CAST(COUNT(c.event_id) AS BIGINT) AS n_prior_clicks
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts < p.ts
+    GROUP BY p.event_id
+    ORDER BY p.event_id
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch range join (the batch twin of the streaming interval join,
+    streaming/jobs.py): for every purchase, how many clicks the same
+    user made in the preceding 30 minutes -- the classic
+    attribution-window lookup.
+
+    Scale: the equi-key (user_id) carries the shuffle, so this is a hash
+    or sort-merge join per user with the time-range predicate evaluated
+    inside the matched bucket -- never a cross product (the plan gate
+    asserts no BroadcastNestedLoopJoin).  At 100 TB the same query runs
+    against a time-bucketed layout: pre-bucketing both sides by
+    (user_id) makes the join zero-Exchange, and partition pruning on a
+    date column bounds each side's scan to the attribution horizon."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(F.count("c_event_id").alias("n_prior_clicks"))
+        .orderBy("event_id")
+    )
+
+
+@register(
     "zscore_anomalies",
     oracle="""
     WITH stats AS (
