@@ -85,6 +85,8 @@ HEADLINE = [
     "crossdoc_span_dedup",
     "quality_weighted_sample",
     "range_join_events",
+    "embedding_quantize_int8",
+    "ann_int8_topk",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

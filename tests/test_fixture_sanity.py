@@ -46,3 +46,17 @@ def test_events_ts_plausible_epoch(spark):
     )
     assert row["lo"].year >= 2000, f"ts unit drift: min ts {row['lo']}"
     assert row["hi"].year <= 2100, f"ts unit drift: max ts {row['hi']}"
+
+
+def test_all_tables_readable_and_counts_match(spark):
+    """Every fixture table must load under its pinned schema and agree
+    with DuckDB on row count -- catches physical-type drift in any
+    regenerated fixture before individual queries fail confusingly."""
+    from wsu_cpts_415_spark.io.tables import TABLE_NAMES
+
+    for name in TABLE_NAMES:
+        n_spark = load_table(spark, SF_ORACLE, name).count()
+        n_duck = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{SF_ORACLE}/{name}.parquet'"
+        ).fetchone()[0]
+        assert n_spark == n_duck, f"{name}: spark={n_spark} duck={n_duck}"
