@@ -87,6 +87,12 @@ HEADLINE = [
     "range_join_events",
     "embedding_quantize_int8",
     "ann_int8_topk",
+    "triangle_counts",
+    "common_neighbor_sim",
+    "fk_orphan_audit",
+    "funnel_three_step",
+    "token_entropy",
+    "zipf_slope",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

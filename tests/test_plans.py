@@ -227,3 +227,23 @@ def test_crossdoc_span_dedup_partial_aggregates(spark, qs):
     assert plan.count("Scan parquet") <= 2, "span DF must not rescan corpus"
     assert "Join" not in plan
     assert "partial_count" in plan
+
+
+def test_triangle_enumeration_is_equi_joins(spark, qs):
+    """Triangle enumeration must stay two equi-joins on vertex keys --
+    no cross product, and map-side combine on the participation count."""
+    plan = fmt_plan(qs["triangle_counts"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    # wedge + closing-edge joins are hash equi joins (the only permitted
+    # nested loop is the 1-row scalar count cross-join inside the staged
+    # videos derivation)
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 2
+    assert "partial_count" in plan
+
+
+def test_fk_orphan_audit_broadcasts_parents(spark, qs):
+    """Every parent-key side must broadcast; the fact scans are never
+    shuffled for the joins."""
+    plan = fmt_plan(qs["fk_orphan_audit"].fn(spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

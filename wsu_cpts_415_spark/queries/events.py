@@ -418,3 +418,94 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "funnel_three_step",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'view') AS first_view
+        FROM events GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, s1.first_view,
+               MIN(e.ts) FILTER (
+                   WHERE e.event_type = 'click' AND e.ts > s1.first_view
+               ) AS first_click
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        GROUP BY e.user_id, s1.first_view
+    ),
+    s3 AS (
+        SELECT e.user_id, s2.first_view, s2.first_click,
+               MIN(e.ts) FILTER (
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.first_click
+               ) AS first_purchase
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        GROUP BY e.user_id, s2.first_view, s2.first_click
+    )
+    SELECT CAST(COUNT(first_view) AS BIGINT) AS n_view,
+           CAST(COUNT(first_click) AS BIGINT) AS n_view_click,
+           CAST(COUNT(first_purchase) AS BIGINT) AS n_view_click_purchase,
+           ROUND(COUNT(first_click) * 1.0 / COUNT(first_view), 6)
+               AS view_to_click,
+           ROUND(COUNT(first_purchase) * 1.0 / COUNT(first_click), 6)
+               AS click_to_purchase
+    FROM s3
+    """,
+)
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered three-step funnel (view -> click -> purchase):
+    each step must happen AFTER the user's first completion of the
+    previous step, so a purchase before the first post-view click does
+    not count -- the semantics product analytics tools call "in order"
+    conversion.
+
+    Scale: three aggregate passes, all keyed on user_id -- the same
+    shuffle key every pass, so on a cluster the second and third joins
+    are co-partitioned with the first's output (AQE reuses the layout);
+    nothing ever shuffles on a non-user key and the final result is a
+    single global row."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        )
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .groupBy("user_id", "first_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).alias("first_click")
+        )
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .groupBy("user_id", "first_view", "first_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).alias("first_purchase")
+        )
+    )
+    return s3.agg(
+        F.count("first_view").alias("n_view"),
+        F.count("first_click").alias("n_view_click"),
+        F.count("first_purchase").alias("n_view_click_purchase"),
+        F.round(
+            F.count("first_click") * F.lit(1.0) / F.count("first_view"), 6
+        ).alias("view_to_click"),
+        F.round(
+            F.count("first_purchase") * F.lit(1.0) / F.count("first_click"), 6
+        ).alias("click_to_purchase"),
+    )

@@ -291,10 +291,19 @@ def pagerank_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the vertex left join), compounding 2^iters; lazy checkpoints cache
     # each level on first evaluation while keeping the whole recurrence
     # inside one action.
+    # Rank-table join strategy is size-aware, like GraphX's choice
+    # between broadcast and co-partitioned iteration: while the rank
+    # table is bounded (the reference caps its graph inputs at 100k
+    # vertices, analyze_links.py workload cap), broadcasting it removes
+    # BOTH per-iteration edge shuffles -- each superstep is then one
+    # partial-agg exchange of |verts| contribution rows.  Past the
+    # bound, fall back to hash joins (AQE co-partitions both sides).
+    bcast = n <= 5_000_000
+    hint = F.broadcast if bcast else (lambda df: df)
     ranks = verts_c.select("id", F.lit(1.0 / n).alias("pr"))
     for _ in range(PR_ITERS):
         contribs = (
-            edges_deg.join(ranks, edges_deg["src"] == ranks["id"], "inner")
+            edges_deg.join(hint(ranks), edges_deg["src"] == ranks["id"], "inner")
             .select(
                 F.col("dst").alias("id"), (F.col("pr") / F.col("deg")).alias("c")
             )
@@ -302,7 +311,7 @@ def pagerank_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("m"))
         )
         ranks = (
-            verts_c.join(contribs, "id", "left")
+            verts_c.join(hint(contribs), "id", "left")
             .select(
                 "id",
                 (
@@ -314,4 +323,176 @@ def pagerank_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return ranks.select("id", F.round("pr", 9).alias("pagerank")).orderBy(
         F.col("pagerank").desc(), "id"
+    )
+
+
+_UND_EDGES_DUCK = f"""{VIDEOS_FLAT_DUCK_CTE},
+    verts AS (SELECT id FROM videos_flat),
+    e0 AS (
+        SELECT v.id AS src, unnest(v.related_ids) AS dst FROM videos_flat v
+    ),
+    live AS (
+        SELECT e0.src, e0.dst FROM e0 JOIN verts t ON t.id = e0.dst
+        WHERE e0.src <> e0.dst
+    ),
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM live
+    )"""
+
+
+def _und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected edge list (a < b, deduped, dangling refs and
+    self-loops dropped) of the videos related-ids graph -- the Spark twin
+    of _UND_EDGES_DUCK."""
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    flat_slim = staged(
+        spark,
+        "videos_graph_slim",
+        sf_dir,
+        lambda: videos_flat(spark, sf_dir).select("id", "related_ids"),
+    )
+    verts = flat_slim.select("id")
+    raw = flat_slim.select(
+        F.col("id").alias("src"), F.explode("related_ids").alias("dst")
+    )
+    live = raw.join(
+        verts.select(F.col("id").alias("dst")), "dst", "leftsemi"
+    ).filter(F.col("src") != F.col("dst"))
+    return live.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+
+
+@register(
+    "triangle_counts",
+    oracle=f"""
+    WITH {_UND_EDGES_DUCK},
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+        SELECT x AS id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    GROUP BY id
+    ORDER BY n_triangles DESC, id
+    """,
+)
+def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle participation over the undirected videos
+    graph -- the clustering-coefficient numerator and the classic
+    cohesion signal (which videos sit inside tightly-linked pockets
+    rather than chains).
+
+    Algorithm: canonical a<b<c enumeration -- each triangle found
+    exactly once by joining wedge (a,b)+(b,c) against closing edge
+    (a,c).  Scale: two equi-joins on vertex keys; the wedge join's skew
+    is bounded by max degree (production orders vertices by degree
+    before directing edges, which caps wedge counts at
+    O(edges^1.5) total -- the standard node-iterator++ bound); no
+    cross product anywhere (plan-gated)."""
+    und = _und_edges(spark, sf_dir)
+    # explicit relation aliases: a 3-way self-join without them lets the
+    # analyzer deduplicate the shared subplan's attributes, collapsing
+    # the closing-edge equi condition into a trivial comparison and
+    # falling back to a nested-loop join (correct, but quadratic)
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "id")
+    )
+
+
+COMMON_NEIGHBOR_TOP_K = 50
+
+
+@register(
+    "common_neighbor_sim",
+    oracle=f"""
+    WITH {_UND_EDGES_DUCK},
+    adj AS (
+        SELECT a AS node, b AS nbr FROM und
+        UNION ALL
+        SELECT b AS node, a AS nbr FROM und
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY node
+    ),
+    wedges AS (
+        SELECT l.node AS u, r.node AS w,
+               CAST(COUNT(*) AS BIGINT) AS common
+        FROM adj l JOIN adj r ON l.nbr = r.nbr AND l.node < r.node
+        GROUP BY l.node, r.node
+    )
+    SELECT u, w, common,
+           ROUND(CAST(common AS DOUBLE)
+                 / (du.deg + dw.deg - common), 6) AS jaccard
+    FROM wedges
+    JOIN deg du ON du.node = u
+    JOIN deg dw ON dw.node = w
+    ORDER BY jaccard DESC, u, w
+    LIMIT {COMMON_NEIGHBOR_TOP_K}
+    """,
+)
+def common_neighbor_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood overlap: for every vertex pair
+    sharing at least one neighbor, the Jaccard similarity of their
+    neighbor sets (|N(u) ∩ N(w)| / |N(u) ∪ N(w)|), top-{COMMON_NEIGHBOR_TOP_K}.
+
+    Scale: candidate pairs come from the wedge join (only pairs with a
+    common neighbor ever exist -- never the all-pairs matrix); the
+    shuffle carries (node, nbr) edge rows keyed by neighbor.  Hub
+    vertices fan out quadratically exactly as in the LSH hot-bucket
+    case; the production knob is the same (cap or salt the hub's
+    wedge list).  Degrees ride along via two broadcast-sized joins."""
+    und = _und_edges(spark, sf_dir)
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
+    left = adj.select(F.col("node").alias("u"), "nbr")
+    right = adj.select(F.col("node").alias("w"), F.col("nbr").alias("nbr2"))
+    wedges = (
+        left.join(right, (F.col("nbr") == F.col("nbr2")) & (F.col("u") < F.col("w")))
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("common"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dw = deg.select(F.col("node").alias("w"), F.col("deg").alias("deg_w"))
+    return (
+        wedges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dw), "w")
+        .select(
+            "u",
+            "w",
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("deg_u") + F.col("deg_w") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "u", "w")
+        .limit(COMMON_NEIGHBOR_TOP_K)
     )

@@ -101,3 +101,65 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_FK_RELS = [
+    # (name, child table, child key, parent table, parent key)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "fk_orphan_audit",
+    oracle="\n    UNION ALL\n".join(
+        f"""SELECT '{name}' AS relationship,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(COUNT(*) FILTER (WHERE p.{pk} IS NULL) AS BIGINT) AS n_orphans
+    FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+      ON c.{ck} = p.{pk}"""
+        for name, child, ck, parent, pk in _FK_RELS
+    )
+    + "\n    ORDER BY relationship",
+)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for every foreign-key relationship in
+    the star schema, how many child rows point at a missing parent --
+    the data-quality gate a warehouse load runs before publishing (the
+    engine twin of the reference's reject-channel accounting in
+    io/ingest.py, which audits rows that fail to DECODE; this audits
+    rows that fail to JOIN).
+
+    Scale: each relationship is one left join against the DISTINCT
+    parent-key projection -- dimensions broadcast, and the fact-side
+    join never moves more than (child_key) columns; counts are
+    map-side combined.  Relationships are independent, so on a cluster
+    all seven run concurrently inside one action (the union is of
+    1-row aggregates, not data)."""
+    results = None
+    for name, child, ck, parent, pk in _FK_RELS:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("ck"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("pk"))
+            .distinct()
+        )
+        one = (
+            c.join(F.broadcast(p), F.col("ck") == F.col("pk"), "left")
+            .agg(
+                F.count("*").alias("n_child_rows"),
+                F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(
+                F.lit(name).alias("relationship"), "n_child_rows", "n_orphans"
+            )
+        )
+        results = one if results is None else results.unionByName(one)
+    return results.orderBy("relationship")

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from wsu_cpts_415_spark.io.tables import load_table
 from wsu_cpts_415_spark.registry import register
@@ -601,4 +602,118 @@ def ngram_jaccard_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
         .limit(k)
+    )
+
+
+@register(
+    "token_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY doc_id, tok
+    ),
+    n AS (
+        SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n FROM tf GROUP BY doc_id
+    )
+    SELECT tf.doc_id,
+           CAST(ANY_VALUE(n.n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(-SUM((tf.c / n.n) * LOG2(tf.c / n.n)), 6) AS entropy_bits
+    FROM tf JOIN n USING (doc_id)
+    GROUP BY tf.doc_id
+    ORDER BY tf.doc_id
+    """,
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram (token) Shannon entropy in bits: the
+    information-density signal curation pipelines use alongside the
+    Gopher repetition fractions -- low entropy means a document repeats
+    itself regardless of WHICH n-gram repeats.
+
+    Scale: explode to (doc, token), two stacked aggregates both keyed by
+    doc_id (token counts, then the entropy sum) -- one shuffle key
+    throughout, map-side combinable, output one row per document.  The
+    p*log2(p) sum is over each doc's distinct tokens only."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    w_doc = Window.partitionBy("doc_id")
+    scored = tf.select(
+        "doc_id",
+        "c",
+        F.sum("c").over(w_doc).cast("double").alias("n"),
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "zipf_slope",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+        FROM tok GROUP BY tok
+    ),
+    ranked AS (
+        SELECT f,
+               CAST(ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS BIGINT) AS r
+        FROM freq
+    ),
+    pts AS (
+        SELECT LN(r) AS x, LN(f) AS y FROM ranked
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND(COVAR_POP(x, y) / VAR_POP(x), 6) AS zipf_slope,
+           ROUND(AVG(y) - (COVAR_POP(x, y) / VAR_POP(x)) * AVG(x), 6)
+               AS intercept
+    FROM pts
+    """,
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf fit: least-squares slope of log-frequency vs log-rank
+    over the whole vocabulary -- natural text sits near -1; synthetic,
+    boilerplate-heavy, or template-generated corpora drift away, making
+    this a one-number corpus-health check.
+
+    Scale: token counting is the standard map-side-combined aggregate;
+    the rank window runs over the VOCABULARY (bounded, ~O(1M) for web
+    corpora -- it fits one partition at any corpus size; beyond that the
+    rank-by-offset technique of percent_rank_scalable applies); the
+    regression is a single covariance aggregate, one row out."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), "tok"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    pts = ranked.select(F.log("r").alias("x"), F.log("f").alias("y"))
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return pts.agg(
+        F.count("*").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
     )
