@@ -17,11 +17,15 @@ Reading the numbers: text/embedding payloads are replicated VERBATIM, so
 every document gains N-1 exact duplicates -- near-dup candidate pairs
 grow ~quadratically in N by construction, and the dedup queries' probe
 times reflect that duplicate-heavy corpus, not a plan regression
-(minhash_lsh_pairs 11x at x10 is this effect).  The relational shapes
-scale sub-linearly (x10 data observed at sf0.1 base: q1 2.2x, q3 3.6x,
+(minhash_lsh_pairs 11x at x10 is this effect; crossdoc_span_dedup 4.8x
+is its posting lists growing 10x each).  The relational shapes scale
+sub-linearly (x10 data observed at sf0.1 base: q1 2.2x, q3 3.6x,
 q13 3.4x, q21 3.7x, q2 4.4x, grouping-sets 5x, star join ~linear,
 windowed events ~flat), which is the AQE + partial-agg + broadcast
-behavior the engine is designed around.
+behavior the engine is designed around.  The round-4 operators measured
+at x10 (vs their sf0.1 base): sequence_packing 1.4x, range_join_events
+1.9x, token_entropy ~2x, embedding_quantize_int8 ~1.5x, fk_orphan_audit
+~2x, funnel_three_step ~2x -- all sub-linear.
 """
 
 from __future__ import annotations
@@ -76,6 +80,13 @@ PROBE = [
     "cosine_topk_bruteforce",
     "ann_lsh_bucketed",
     "quality_score",
+    "sequence_packing",
+    "crossdoc_span_dedup",
+    "range_join_events",
+    "token_entropy",
+    "embedding_quantize_int8",
+    "fk_orphan_audit",
+    "funnel_three_step",
 ]
 
 
@@ -94,9 +105,8 @@ def build(spark) -> None:
             dt = dict(df.dtypes)[k]
             reps = reps.withColumn(k, (F.col(k) + F.col("_rep") * off).cast(dt))
         cols = df.columns
-        if table == "events":
-            # keep the raw int64-ns ts shape the loader expects
-            reps = reps.withColumn("ts", F.expr("unix_micros(ts) * 1000"))
+        # events.ts is written as a plain timestamp (micros); the loader
+        # sniffs the footer and reads it natively (io/tables.py)
         reps.select(cols).write.mode("overwrite").parquet(out)
 
 

@@ -39,8 +39,19 @@ def _events_ts_is_nanos(path: str) -> bool:
             if not parts:
                 return False
             part = os.path.join(path, parts[0])
-        schema = pq.ParquetFile(part).schema_arrow
-        field = schema.field("ts")
+        pf = pq.ParquetFile(part)
+        phys = pf.schema
+        for i in range(len(phys)):
+            col = phys.column(i)
+            if col.name == "ts":
+                # INT96 (legacy Spark writer) surfaces as timestamp[ns]
+                # in the arrow view but IS natively Spark-readable --
+                # only an annotated INT64 nanos column needs the manual
+                # decode path
+                if col.physical_type != "INT64":
+                    return False
+                break
+        field = pf.schema_arrow.field("ts")
         return getattr(field.type, "unit", None) == "ns"
     except Exception:
         return False

@@ -55,6 +55,9 @@ def get_spark(
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         # nested-struct column pruning reaches the parquet scan
         "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+        # write modern annotated INT64 micros, never legacy INT96 (other
+        # readers see INT96 as ns and mis-handle it; deprecated upstream)
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         "spark.ui.enabled": "false",
         "spark.sql.shuffle.partitions": str(
             shuffle_partitions if shuffle_partitions is not None else _DEFAULT_CPUS
