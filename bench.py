@@ -93,6 +93,7 @@ HEADLINE = [
     "funnel_three_step",
     "token_entropy",
     "zipf_slope",
+    "ewma_daily",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

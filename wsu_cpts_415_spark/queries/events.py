@@ -509,3 +509,55 @@ def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("first_purchase") * F.lit(1.0) / F.count("first_click"), 6
         ).alias("click_to_purchase"),
     )
+
+
+EWMA_ALPHA = 0.3
+
+
+@register(
+    "ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               ROUND(SUM(value), 4) AS x
+        FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type, t.d AS day, t.x,
+           ROUND(SUM(POW(1 - {EWMA_ALPHA}, date_diff('day', s.d, t.d)) * s.x)
+                 / SUM(POW(1 - {EWMA_ALPHA}, date_diff('day', s.d, t.d))),
+                 6) AS ewma
+    FROM daily t
+    JOIN daily s ON s.event_type = t.event_type AND s.d <= t.d
+    GROUP BY t.event_type, t.d, t.x
+    ORDER BY t.event_type, day
+    """,
+)
+def ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exponentially-weighted moving average of daily value
+    totals per event type (alpha={EWMA_ALPHA}): the smoothing baseline
+    anomaly detectors compare against, weights (1-a)^age renormalized
+    over the observed history so early days aren't biased toward zero.
+
+    Scale: the raw stream collapses to |types| x |days| rows FIRST (one
+    map-side-combinable aggregate); the weighted self-join runs on that
+    bounded daily table, keyed by event_type -- at 100 TB the join input
+    is thousands of rows regardless of event volume, and the history
+    depth can be capped by adding a date_diff bound to the join (weights
+    below 1e-6 contribute nothing)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.round(F.sum("value"), 4).alias("x"))
+    t, s = daily.alias("t"), daily.alias("s")
+    age = F.datediff(F.col("t.d"), F.col("s.d"))
+    w = F.pow(F.lit(1 - EWMA_ALPHA), age)
+    return (
+        t.join(
+            s,
+            (F.col("s.event_type") == F.col("t.event_type"))
+            & (F.col("s.d") <= F.col("t.d")),
+        )
+        .groupBy(F.col("t.event_type").alias("event_type"), F.col("t.d").alias("day"), F.col("t.x").alias("x"))
+        .agg(F.round(F.sum(w * F.col("s.x")) / F.sum(w), 6).alias("ewma"))
+        .orderBy("event_type", "day")
+    )
