@@ -94,6 +94,7 @@ HEADLINE = [
     "token_entropy",
     "zipf_slope",
     "ewma_daily",
+    "sql_recursive_calendar_fill",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

@@ -60,3 +60,43 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, never a per-customer re-scan of orders."""
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS lo,
+               CAST(date_trunc('day', MAX(ts)) AS DATE) AS hi
+        FROM events
+    ),
+    days(d) AS (
+        SELECT lo FROM bounds
+        UNION ALL
+        SELECT d + 1 FROM days, bounds WHERE d < hi
+    ),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT days.d AS day, COALESCE(daily.n, 0) AS n_events
+    FROM days LEFT JOIN daily ON daily.d = days.d
+    ORDER BY day
+"""
+
+
+@register("sql_recursive_calendar_fill", oracle=_RECURSIVE_SQL)
+def sql_recursive_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE calendar fill: generate every day between the
+    stream's min and max timestamps and left-join the daily counts, so
+    zero-activity days appear as explicit rows -- the gap-exposing
+    densification every time-series report needs before trend math.
+    LITERALLY the same WITH RECURSIVE text runs on Spark (4.x recursive
+    CTE support) and DuckDB.
+
+    Scale: the recursion generates |days| rows (bounded by the calendar,
+    not the data); the daily aggregate is the usual map-side-combined
+    rollup; the join is broadcast-sized.  Recursion depth = days of
+    history, well inside default iteration limits for any retention
+    window."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
