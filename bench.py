@@ -95,6 +95,7 @@ HEADLINE = [
     "zipf_slope",
     "ewma_daily",
     "sql_recursive_calendar_fill",
+    "join_skew_salted",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

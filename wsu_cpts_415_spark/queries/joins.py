@@ -268,3 +268,46 @@ def join_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer->nation rollup executed through the explicit
+    skew-salting kernel (ops/skew.py): the fact side gets a
+    deterministic row-hash salt, the 25-row dimension is replicated
+    per salt, and the join runs on (key, salt) so no task ever owns a
+    hot nation's full row set.  The oracle is the PLAIN join -- the
+    whole point is that salting is invisible in the result.
+
+    Scale: nationkey is the textbook hot-key join (25 distinct values
+    over the whole customer table); with 8 salts each task owns at most
+    ~1/8th of one nation.  AQE's skew splitting covers the same hazard
+    reactively for sort-merge joins; salting is the planned form that
+    also works for hash joins and pre-partitioned layouts."""
+    from wsu_cpts_415_spark.ops.skew import salted_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    ).withColumnRenamed("n_nationkey", "c_nationkey")
+    joined = salted_join(cust, nat, "c_nationkey", n_salts=8)
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("nation")
+    )
