@@ -1,0 +1,334 @@
+"""Corpus-preparation operators for the training-data pipeline surface:
+deterministic train/val/test splitting, regex pattern scanning (the PII-scan
+shape), shard assignment for distributed writes, overlapping token
+chunking, and winsorized robust statistics.
+
+These extend the reference's curation surface (SURVEY.md §7.2) with the
+steps a 100 TB pretraining-data build runs between "filtered corpus" and
+"tokenized shards".  Scale posture:
+
+  * splitting / sharding / pattern scanning are *row-local* expressions --
+    they push to the parquet scan, shuffle nothing, and are reproducible
+    under any partitioning because the randomness is an md5 hash of the
+    row key, not a seeded RNG over partition iteration order;
+  * chunking is one explode per document -- output size is O(tokens),
+    partition-parallel, no shuffle;
+  * winsorized stats are two hash aggregates with a broadcast of the tiny
+    per-group quantile table between them -- the big table is scanned
+    twice but never shuffled (group count is small; at 100 TB the second
+    scan is the cost, and the quantile table stays broadcast-size).
+
+Cross-engine determinism: md5-derived integer hashes (identical in Spark
+and DuckDB), identical ROUND(6) on float outputs, total-order sort keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.registry import register
+
+# [0,100) bucket from the md5 hex prefix of the row key -- the same
+# engine-stable construction used across queries/text.py and mixing.py.
+_SPARK_BUCKET = (
+    "pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+    " as bigint), {m})"
+)
+_DUCK_BUCKET = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {m})"
+)
+
+TRAIN_PCT, VAL_PCT = 80, 10  # remainder = test
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM (
+        SELECT lang, n_chars,
+               CASE WHEN {_DUCK_BUCKET.format(m=100)} < {TRAIN_PCT}
+                    THEN 'train'
+                    WHEN {_DUCK_BUCKET.format(m=100)} < {TRAIN_PCT + VAL_PCT}
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by hashing the document
+    key into a stable [0,100) bucket, reported as per-(split, language)
+    counts and volume.
+
+    Why hash-bucket and not ``randomSplit``: Spark's randomSplit is a
+    seeded RNG over partition iteration order -- re-partition the input
+    and the assignment changes, and an incremental re-run re-assigns old
+    rows.  The md5 bucket is a pure function of the row key: stable under
+    repartitioning, cluster resizing, and incremental appends, and a
+    plain row-local filter at the scan (no shuffle, no sample pass).
+    Reference curation surface: SURVEY.md §7.2; split shape after the
+    standard held-out protocol (Brown et al. 2020 app. C).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_BUCKET.format(m=100))
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# The PII-scan operator shape: regexp_extract_all + size, rolled up per
+# source.  The fixture corpus is synthetic word soup (no emails/phones),
+# so the patterns target fixture vocabulary; a production deployment
+# swaps in email/phone/SSN character classes -- the plan is identical.
+_PAT_SPEED = "fast|slow"
+_PAT_ENTITY = "customer|supplier"
+_FLAG_MIN = 5  # docs with >= this many entity mentions get flagged
+
+
+@register(
+    "pattern_scan_rollup",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_speed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_speed,
+           CAST(SUM(n_speed) AS BIGINT) AS total_speed,
+           CAST(SUM(n_entity) AS BIGINT) AS total_entity,
+           CAST(SUM(CASE WHEN n_entity >= {_FLAG_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS flagged_docs,
+           ROUND(AVG(n_speed), 6) AS avg_speed_hits
+    FROM (
+        SELECT source,
+               len(regexp_extract_all(text, '{_PAT_SPEED}')) AS n_speed,
+               len(regexp_extract_all(text, '{_PAT_ENTITY}')) AS n_entity
+        FROM documents
+    )
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pattern_scan_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex pattern scan over document text (the PII-audit shape: emails,
+    phone numbers, secrets -- here fixture-vocabulary stand-ins), rolled
+    up per source with hit counts and a flagged-document tally.
+
+    100 TB posture: ``regexp_extract_all`` + ``size`` evaluates inside
+    whole-stage codegen on the scan -- one pass, no Python, and the only
+    shuffle carries one row per (source) group.  This is the audit step
+    that decides which sources need redaction before tokenization.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_speed = F.size(F.regexp_extract_all("text", F.lit(_PAT_SPEED), 0))
+    n_entity = F.size(F.regexp_extract_all("text", F.lit(_PAT_ENTITY), 0))
+    return (
+        docs.select(
+            "source",
+            n_speed.alias("n_speed"),
+            n_entity.alias("n_entity"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_speed") > 0).cast("int"))
+            .cast("bigint")
+            .alias("docs_with_speed"),
+            F.sum("n_speed").cast("bigint").alias("total_speed"),
+            F.sum("n_entity").cast("bigint").alias("total_entity"),
+            F.sum((F.col("n_entity") >= _FLAG_MIN).cast("int"))
+            .cast("bigint")
+            .alias("flagged_docs"),
+            F.round(F.avg("n_speed"), 6).alias("avg_speed_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+N_SHARDS = 16
+
+
+@register(
+    "shard_assignment_stats",
+    oracle=f"""
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM (
+        SELECT lang, n_chars, {_DUCK_BUCKET.format(m=N_SHARDS)} AS shard
+        FROM documents
+    )
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for the tokenized-corpus write path:
+    every document hashes to one of N_SHARDS shards; the query reports
+    per-shard document counts, byte volume, and language spread -- the
+    balance audit you run before committing a shard layout.
+
+    At 100 TB the same expression keys ``df.repartition(N, shard)`` so
+    each output shard is written by exactly one task, files are
+    reproducible run-over-run (hash of the key, not RNG), and training
+    dataloaders can address shards deterministically.  The audit itself
+    is one scan-local projection + a 16-row aggregate -- skew shows up
+    here (max/min total_chars ratio) before it costs a write.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.expr(_SPARK_BUCKET.format(m=N_SHARDS))
+    return (
+        docs.select("lang", "n_chars", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("shard")
+    )
+
+
+CHUNK, STRIDE = 64, 56  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(idx AS INT) AS chunk_idx,
+           CAST(len(list_slice(tokens, 1 + idx * {STRIDE},
+                               idx * {STRIDE} + {CHUNK})) AS INT)
+               AS n_chunk_tokens,
+           array_to_string(list_slice(tokens, 1 + idx * {STRIDE},
+                                      idx * {STRIDE} + {CHUNK}), ' ')
+               AS chunk_text
+    FROM (
+        SELECT doc_id, string_split(text, ' ') AS tokens
+        FROM documents
+    ),
+         unnest(generate_series(
+             0, CAST(floor((len(tokens) - 1) / {STRIDE}) AS INT))) AS t(idx)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunking ({CHUNK} tokens, stride
+    {STRIDE}): each document explodes into its training-window chunks,
+    preserving an 8-token overlap so no span is ever split across a
+    window boundary without context.
+
+    100 TB posture: chunk starts come from ``sequence()`` over the token
+    count -- a per-row array expression -- and one ``posexplode`` turns
+    them into chunk rows.  Output is O(total tokens), produced where the
+    document lives: no shuffle, no Python, and the chunker runs fused in
+    the same stage as upstream filters.  This is the step feeding
+    ``sequence_packing`` (queries/mixing.py), which bin-packs these
+    chunks into fixed-length training sequences.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    starts = F.expr(f"sequence(0, int(floor((size(tokens) - 1) / {STRIDE})))")
+    chunked = toks.select(
+        "doc_id",
+        "tokens",
+        F.posexplode(starts).alias("pos", "idx"),
+    ).select(
+        "doc_id",
+        F.col("idx").cast("int").alias("chunk_idx"),
+        F.expr(f"slice(tokens, 1 + idx * {STRIDE}, {CHUNK})").alias("chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").alias("n_chunk_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+P_LO, P_HI = 0.05, 0.95
+
+
+@register(
+    "winsorized_stats",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, {P_LO}) AS p_lo,
+               quantile_cont(value, {P_HI}) AS p_hi
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(q.p_lo, 6) AS p_lo,
+           ROUND(q.p_hi, 6) AS p_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(LEAST(GREATEST(e.value, q.p_lo), q.p_hi)), 6)
+               AS mean_winsorized,
+           ROUND(STDDEV_SAMP(LEAST(GREATEST(e.value, q.p_lo), q.p_hi)), 6)
+               AS stddev_winsorized
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type, q.p_lo, q.p_hi
+    ORDER BY e.event_type
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clipped) robust moments per event type: exact
+    interpolated percentiles bound each group's tail, values are clipped
+    to the bounds, and the clipped mean/stddev are reported -- the
+    outlier-robust normalization fit used before z-scoring heavy-tailed
+    metrics (complements ``zscore_anomalies``, queries/stats_ops.py).
+
+    Plan shape at 100 TB: first aggregate computes one (p_lo, p_hi) row
+    per event type (exact ``percentile`` -- interpolation identical to
+    DuckDB's quantile_cont); that tiny table broadcast-joins back onto
+    the event scan, so the big table is never shuffled -- two scans, two
+    map-side-combined aggregates, zero wide exchanges of event rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    q = events.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {P_LO})").alias("p_lo"),
+        F.expr(f"percentile(value, {P_HI})").alias("p_hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        events.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "p_lo", "p_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(clipped), 6).alias("mean_winsorized"),
+            F.round(F.stddev_samp(clipped), 6).alias("stddev_winsorized"),
+        )
+        .select(
+            "event_type",
+            F.round("p_lo", 6).alias("p_lo"),
+            F.round("p_hi", 6).alias("p_hi"),
+            "n_events",
+            "mean_winsorized",
+            "stddev_winsorized",
+        )
+        .orderBy("event_type")
+    )
