@@ -96,6 +96,11 @@ HEADLINE = [
     "ewma_daily",
     "sql_recursive_calendar_fill",
     "join_skew_salted",
+    "train_val_test_split",
+    "pattern_scan_rollup",
+    "shard_assignment_stats",
+    "doc_chunk_windows",
+    "winsorized_stats",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

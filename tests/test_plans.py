@@ -247,3 +247,40 @@ def test_fk_orphan_audit_broadcasts_parents(spark, qs):
     plan = fmt_plan(qs["fk_orphan_audit"].fn(spark, SF_ORACLE))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_split_and_sharding_are_scan_local(spark, qs):
+    """Hash-bucket split/shard assignment is a pure row-local expression:
+    no join anywhere, and the only hash exchange is the final tiny
+    per-group aggregate."""
+    for name in ("train_val_test_split", "shard_assignment_stats"):
+        plan = fmt_plan(qs[name].fn(spark, SF_ORACLE))
+        assert "Join" not in plan, name
+        assert plan.count("Exchange hashpartitioning") <= 1, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_pattern_scan_stays_in_codegen(spark, qs):
+    """The regex scan must evaluate JVM-side (no Python eval) and shuffle
+    only the per-source aggregate rows."""
+    plan = fmt_plan(qs["pattern_scan_rollup"].fn(spark, SF_ORACLE))
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "partial_count" in plan, "rollup must map-side combine"
+
+
+def test_doc_chunking_never_shuffles_documents(spark, qs):
+    """Chunk explosion happens where the document lives: no hash exchange,
+    no join -- the only exchange is the presentation range sort."""
+    plan = fmt_plan(qs["doc_chunk_windows"].fn(spark, SF_ORACLE))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "posexplode" in plan
+
+
+def test_winsorized_stats_broadcasts_quantiles(spark, qs):
+    """The per-group quantile table must broadcast back onto the event
+    scan -- the big table is never shuffled for the join."""
+    plan = fmt_plan(qs["winsorized_stats"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
