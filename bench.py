@@ -101,6 +101,10 @@ HEADLINE = [
     "shard_assignment_stats",
     "doc_chunk_windows",
     "winsorized_stats",
+    "label_propagation",
+    "interleave_sources",
+    "vocab_coverage_topk",
+    "zorder_layout_audit",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

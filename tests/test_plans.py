@@ -284,3 +284,55 @@ def test_winsorized_stats_broadcasts_quantiles(spark, qs):
     plan = fmt_plan(qs["winsorized_stats"].fn(spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_label_propagation_rounds_are_equi_joins(spark, qs):
+    """Each LPA round is an equi-join on the vertex id plus a partial
+    aggregated label count and a per-vertex window argmax -- never a
+    cross product.  Asserted on the round builder directly because the
+    registered query checkpoints each round (lineage truncation), which
+    hides the round shape from the final plan."""
+    from pyspark.sql import functions as F
+
+    from wsu_cpts_415_spark.queries.graph_ops import _und_edges, lpa_round
+
+    und = _und_edges(spark, SF_ORACLE)
+    bidir = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    verts = bidir.select(F.col("src").alias("node")).distinct()
+    labels = verts.select("node", F.col("node").alias("label"))
+    plan = fmt_plan(lpa_round(verts, bidir, labels))
+    assert "CartesianProduct" not in plan
+    # the only permitted nested loop is the 1-row scalar count cross-join
+    # inside the staged videos derivation (same allowance as triangles)
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line and "+-" in line:
+            assert "Cross BuildRight" in line
+    assert "partial_count" in plan
+    assert "row_number" in plan
+
+
+def test_interleave_broadcasts_source_dim(spark, qs):
+    """The 20-row source dimension must broadcast onto the ranked scan;
+    the corpus-side window is partitioned by source (never global)."""
+    plan = fmt_plan(qs["interleave_sources"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_coverage_limits_before_window(spark, qs):
+    """The top-k slice must come from TakeOrdered; the cumulative window
+    runs on the k-row result, never the token stream."""
+    plan = fmt_plan(qs["vocab_coverage_topk"].fn(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_zorder_audit_is_scan_local_arithmetic(spark, qs):
+    """Morton interleaving is pure integer arithmetic at the scan: no
+    join, no Python, one aggregate exchange."""
+    plan = fmt_plan(qs["zorder_layout_audit"].fn(spark, SF_ORACLE))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1

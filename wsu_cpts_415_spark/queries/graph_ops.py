@@ -35,7 +35,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wsu_cpts_415_spark.io.tables import load_table
@@ -495,4 +495,113 @@ def common_neighbor_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("jaccard").desc(), "u", "w")
         .limit(COMMON_NEIGHBOR_TOP_K)
+    )
+
+
+LPA_ITERS = 3
+
+
+def _lpa_duck_iters() -> str:
+    """Chained synchronous label-propagation CTEs (lp0..lpN): each round,
+    every vertex adopts its neighbors' most frequent label, ties broken
+    by smallest label; isolated vertices keep their own id."""
+    parts = ["lp0 AS (SELECT id AS node, id AS label FROM verts)"]
+    for i in range(1, LPA_ITERS + 1):
+        parts.append(
+            f"""cnt{i} AS (
+        SELECT e.src AS node, l.label, COUNT(*) AS c
+        FROM bidir e JOIN lp{i - 1} l ON l.node = e.dst
+        GROUP BY e.src, l.label
+    ),
+    best{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label) AS rn
+            FROM cnt{i}
+        ) WHERE rn = 1
+    ),
+    lp{i} AS (
+        SELECT v.id AS node, COALESCE(b.label, v.id) AS label
+        FROM verts v LEFT JOIN best{i} b ON b.node = v.id
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "label_propagation",
+    oracle=f"""
+    WITH {_UND_EDGES_DUCK},
+    bidir AS (
+        SELECT a AS src, b AS dst FROM und
+        UNION ALL
+        SELECT b AS src, a AS dst FROM und
+    ),
+    {_lpa_duck_iters()}
+    SELECT node, label AS community FROM lp{LPA_ITERS} ORDER BY node
+    """,
+)
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the undirected videos graph: every vertex starts as
+    its own label and repeatedly adopts the most frequent label among
+    its neighbors (ties -> smallest label), {LPA_ITERS} fixed rounds.
+    Deterministic by construction -- synchronous updates plus a total
+    tie-break order -- so the same SQL-expressible fixpoint prefix is
+    checkable in DuckDB via chained CTEs.
+
+    Scale design (the same posture as ``pagerank_videos``): the
+    bidirectional edge list is staged once and checkpointed; each round
+    is one equi-join (edges x labels, shuffle keyed on the vertex id)
+    plus a partial-aggregated (node, label) count and a per-node window
+    argmax -- nothing is ever quadratic in vertices, state per round is
+    one label per vertex, and lineage is truncated every round so the
+    plan does not grow with iteration count.  At 100 TB you'd bucket
+    both sides on the vertex id so every round's join is co-located.
+    """
+    und = _und_edges(spark, sf_dir)
+    bidir = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        videos_flat(spark, sf_dir)
+        .select(F.col("id").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    labels = verts.select("node", F.col("node").alias("label"))
+    for _ in range(LPA_ITERS):
+        labels = lpa_round(verts, bidir, labels).localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("community")).orderBy("node")
+
+
+def lpa_round(verts: DataFrame, bidir: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round: equi-join edges x labels on the vertex
+    id, partial-aggregated (node, label) counts, per-node window argmax
+    with (count desc, label asc) tie-break, isolated vertices keeping
+    their previous (= initial) label.  Exposed separately so the plan
+    gate can assert the round shape that ``localCheckpoint`` hides from
+    the registered query's final plan."""
+    w = Window.partitionBy("nbr").orderBy(F.col("c").desc(), F.col("label"))
+    # explicit relation aliases: labels may share lineage with bidir (e.g.
+    # before the first checkpoint), and without aliases the analyzer
+    # deduplicates the shared subplan's attributes, collapsing the equi
+    # condition into a trivial one and falling back to a nested loop
+    cnt = (
+        bidir.alias("e")
+        .join(labels.alias("l"), F.col("e.dst") == F.col("l.node"))
+        .select(F.col("e.src").alias("nbr"), F.col("l.label").alias("label"))
+        .groupBy("nbr", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    best = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("nbr").alias("node"), F.col("label").alias("new_label"))
+    )
+    return verts.join(best, "node", "left").select(
+        "node",
+        F.coalesce("new_label", F.col("node")).alias("label"),
     )
