@@ -108,3 +108,120 @@ def test_approx_distinct_error_bound(spark):
         F.approx_count_distinct("l_orderkey").alias("a")
     ).collect()[0]["a"]
     assert abs(approx - exact) / exact < 0.15
+
+
+# ---------------------------------------------------------------------------
+# Corpus-op invariants (pure-Python mirrors of the registered queries'
+# expression logic, checked against the Spark results at sf0.01)
+# ---------------------------------------------------------------------------
+
+
+def test_chunking_reconstructs_documents(spark):
+    """Every document's token stream must be exactly recoverable from its
+    chunks: chunk 0 plus the post-overlap tail (tokens after position
+    CHUNK-STRIDE) of each subsequent chunk, in chunk order."""
+    from wsu_cpts_415_spark.queries.corpus_ops import CHUNK, STRIDE, doc_chunk_windows
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    chunks: dict[int, list[tuple[int, list[str]]]] = {}
+    for r in doc_chunk_windows(spark, SF_ORACLE).collect():
+        chunks.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"].split(" "))
+        )
+    assert set(chunks) == set(docs)
+    overlap = CHUNK - STRIDE
+    for doc_id, parts in chunks.items():
+        parts.sort()
+        rebuilt = list(parts[0][1])
+        for idx, toks in parts[1:]:
+            # consecutive chunks overlap by CHUNK-STRIDE tokens (except a
+            # final short chunk, which may carry fewer than overlap tokens)
+            assert toks[:overlap] == rebuilt[idx * STRIDE : idx * STRIDE + overlap]
+            rebuilt.extend(toks[overlap:])
+        assert rebuilt == docs[doc_id], f"doc {doc_id} not reconstructible"
+
+
+@given(
+    x=st.integers(min_value=0, max_value=255),
+    y=st.integers(min_value=0, max_value=255),
+)
+@settings(deadline=None, max_examples=200)
+def test_morton_interleave_is_invertible(x, y):
+    """The z-value must encode (x, y) losslessly: deinterleaving the
+    Python-evaluated expression recovers both coordinates, and the
+    z-order curve preserves the prefix property (equal high bits =>
+    nearby cells)."""
+    z = 0
+    for i in range(8):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    rx = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+    ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+    assert (rx, ry) == (x, y)
+
+
+def test_split_partitions_the_corpus(spark):
+    """train/val/test must be a partition: every document in exactly one
+    split, and the split totals must sum to the corpus size."""
+    from wsu_cpts_415_spark.queries.corpus_ops import train_val_test_split
+
+    rows = train_val_test_split(spark, SF_ORACLE).collect()
+    n_total = load_table(spark, SF_ORACLE, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+
+
+def test_interleave_positions_are_a_bijection(spark):
+    """Interleaved positions must be exactly 1..N with no gaps or dupes,
+    and within one source the round numbers must increase with position
+    (no source ever goes backwards)."""
+    from wsu_cpts_415_spark.queries.corpus_ops import interleave_sources
+
+    rows = interleave_sources(spark, SF_ORACLE).collect()
+    positions = [r["pos"] for r in rows]
+    assert sorted(positions) == list(range(1, len(rows) + 1))
+    by_source: dict[str, list[int]] = {}
+    for r in sorted(rows, key=lambda r: r["pos"]):
+        by_source.setdefault(r["source"], []).append(r["round"])
+    for src, rounds in by_source.items():
+        assert rounds == sorted(rounds), f"{src} interleaves out of order"
+
+
+def test_label_propagation_is_partitioning_invariant(spark):
+    """LPA labels are a pure function of the graph: rerunning under a
+    different shuffle-partition setting yields the identical labeling
+    (the determinism randomSplit-style operators cannot give)."""
+    from wsu_cpts_415_spark.queries.graph_ops import label_propagation
+
+    base = {
+        (r["node"], r["community"])
+        for r in label_propagation(spark, SF_ORACLE).collect()
+    }
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = {
+            (r["node"], r["community"])
+            for r in label_propagation(spark, SF_ORACLE).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == again
+
+
+def test_label_propagation_respects_graph_blocks(spark):
+    """The fixture graph is built as ring-connected blocks of 50 vertices
+    (pipelines/videos.py): propagated labels must never cross a block
+    boundary, and isolated vertices must keep their own id."""
+    from wsu_cpts_415_spark.pipelines.videos import BLOCK
+    from wsu_cpts_415_spark.queries.graph_ops import label_propagation
+
+    for r in label_propagation(spark, SF_ORACLE).collect():
+        node_n = int(r["node"][1:])
+        comm_n = int(r["community"][1:])
+        assert node_n // BLOCK == comm_n // BLOCK or node_n == comm_n

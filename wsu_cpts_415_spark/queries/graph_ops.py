@@ -551,57 +551,73 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break order -- so the same SQL-expressible fixpoint prefix is
     checkable in DuckDB via chained CTEs.
 
-    Scale design (the same posture as ``pagerank_videos``): the
-    bidirectional edge list is staged once and checkpointed; each round
-    is one equi-join (edges x labels, shuffle keyed on the vertex id)
-    plus a partial-aggregated (node, label) count and a per-node window
-    argmax -- nothing is ever quadratic in vertices, state per round is
-    one label per vertex, and lineage is truncated every round so the
-    plan does not grow with iteration count.  At 100 TB you'd bucket
-    both sides on the vertex id so every round's join is co-located.
+    Scale design (the same posture as ``pagerank_videos``): iteration
+    parallelism is sized by the graph, not the session default; while
+    the label table is bounded it broadcasts into the edge join (no
+    per-round edge shuffle at all), falling back to hash joins past the
+    bound; the argmax is two hash aggregates -- (node, label) counts,
+    then min(struct(-count, label)) per node, the exact (count desc,
+    label asc) tie-break with no window sort -- so nothing is ever
+    quadratic in vertices, state per round is one label per vertex, and
+    lineage is truncated every round.  At 100 TB you'd bucket edges and
+    labels on the vertex id so every non-broadcast round co-locates.
     """
     und = _und_edges(spark, sf_dir)
+    verts = videos_flat(spark, sf_dir).select(F.col("id").alias("node"))
+    n = verts.count()
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n // 100_000))
     bidir = (
         und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .coalesce(parts)
         .localCheckpoint(eager=True)
     )
-    verts = (
-        videos_flat(spark, sf_dir)
-        .select(F.col("id").alias("node"))
-        .localCheckpoint(eager=True)
-    )
-    labels = verts.select("node", F.col("node").alias("label"))
+    verts_c = verts.coalesce(parts).localCheckpoint(eager=True)
+    hint = F.broadcast if n <= 5_000_000 else (lambda df: df)
+    labels = verts_c.select("node", F.col("node").alias("label"))
     for _ in range(LPA_ITERS):
-        labels = lpa_round(verts, bidir, labels).localCheckpoint(eager=True)
+        labels = lpa_round(verts_c, bidir, labels, hint).localCheckpoint(
+            eager=False
+        )
     return labels.select("node", F.col("label").alias("community")).orderBy("node")
 
 
-def lpa_round(verts: DataFrame, bidir: DataFrame, labels: DataFrame) -> DataFrame:
+def lpa_round(
+    verts: DataFrame,
+    bidir: DataFrame,
+    labels: DataFrame,
+    hint=None,
+) -> DataFrame:
     """One synchronous LPA round: equi-join edges x labels on the vertex
-    id, partial-aggregated (node, label) counts, per-node window argmax
-    with (count desc, label asc) tie-break, isolated vertices keeping
-    their previous (= initial) label.  Exposed separately so the plan
-    gate can assert the round shape that ``localCheckpoint`` hides from
-    the registered query's final plan."""
-    w = Window.partitionBy("nbr").orderBy(F.col("c").desc(), F.col("label"))
+    id, partial-aggregated (node, label) counts, then a per-node
+    min(struct(-count, label)) argmax -- the exact (count desc, label
+    asc) tie-break as a hash aggregate instead of a window sort.
+    Isolated vertices keep their previous (= initial) label.  Exposed
+    separately so the plan gate can assert the round shape that
+    ``localCheckpoint`` hides from the registered query's final plan."""
+    if hint is None:
+        hint = lambda df: df  # noqa: E731
     # explicit relation aliases: labels may share lineage with bidir (e.g.
     # before the first checkpoint), and without aliases the analyzer
     # deduplicates the shared subplan's attributes, collapsing the equi
     # condition into a trivial one and falling back to a nested loop
     cnt = (
         bidir.alias("e")
-        .join(labels.alias("l"), F.col("e.dst") == F.col("l.node"))
+        .join(hint(labels.alias("l")), F.col("e.dst") == F.col("l.node"))
         .select(F.col("e.src").alias("nbr"), F.col("l.label").alias("label"))
         .groupBy("nbr", "label")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     best = (
-        cnt.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("nbr").alias("node"), F.col("label").alias("new_label"))
+        cnt.groupBy("nbr")
+        .agg(
+            F.min(
+                F.struct((-F.col("c")).alias("negc"), F.col("label").alias("lab"))
+            ).alias("b")
+        )
+        .select(F.col("nbr").alias("node"), F.col("b.lab").alias("new_label"))
     )
-    return verts.join(best, "node", "left").select(
+    return verts.join(hint(best), "node", "left").select(
         "node",
         F.coalesce("new_label", F.col("node")).alias("label"),
     )
