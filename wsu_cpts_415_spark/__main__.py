@@ -45,6 +45,17 @@ def main(argv: list[str] | None = None) -> int:
     chp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     chp.add_argument("--out-dir", default=".")
 
+    pap = sub.add_parser(
+        "plan-audit", help="write a physical-plan audit table (PLANS.md)"
+    )
+    pap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pap.add_argument("--out", default="PLANS.md")
+    pap.add_argument(
+        "--queries",
+        nargs="*",
+        help="query names (default: the bench headline set)",
+    )
+
     ingp = sub.add_parser("ingest", help="load a raw TSV crawl tree")
     ingp.add_argument("crawl_root")
     ingp.add_argument("store_dir")
@@ -111,6 +122,23 @@ def main(argv: list[str] | None = None) -> int:
         ):
             out = fn(qs[query].fn(spark, args.sf_dir), os.path.join(args.out_dir, fname))
             print(f"wrote {out}")
+        return 0
+
+    if args.cmd == "plan-audit":
+        from wsu_cpts_415_spark.ops.plan_audit import audit, render_markdown
+
+        qs = all_queries()
+        if args.queries:
+            names = args.queries
+        else:
+            import bench  # repo-root harness owns the headline list
+
+            names = bench.HEADLINE
+        audits = [audit(n, qs[n].fn(spark, args.sf_dir)) for n in names]
+        md = render_markdown(audits, args.sf_dir)
+        with open(args.out, "w") as f:
+            f.write(md)
+        print(f"wrote {args.out} ({len(audits)} queries)")
         return 0
 
     if args.cmd == "ingest":
