@@ -1,0 +1,319 @@
+"""Corpus audit & sampling operators: key-skew heavy hitters, temperature
+mixture weights, train/eval near-dup leakage, unigram LM surprisal
+scoring, and deterministic per-group sampling.
+
+These are the inspection passes a training-data build runs before
+committing a mixture: which keys would skew the shuffle, what a
+temperature-adjusted source mixture actually weighs, whether the held-out
+split leaks near-duplicates of training documents, which documents an
+n-gram language model finds anomalous, and a reproducible per-group
+sample for eyeballing.
+
+Scale posture: every operator here is aggregates over bounded key spaces
+(users, sources, splits, vocabulary) or reuses the already-bucketed LSH
+pair table -- nothing is quadratic in the corpus and the only windows run
+per-group after a group-limit pushdown or over group-count-bounded rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.queries.corpus_ops import (
+    _DUCK_BUCKET,
+    _SPARK_BUCKET,
+    TRAIN_PCT,
+    VAL_PCT,
+)
+from wsu_cpts_415_spark.queries.graph_ops import NEARDUP_THRESHOLD
+from wsu_cpts_415_spark.queries.similarity import (
+    LSH_PAIRS_DUCK_CTES,
+    lsh_verified_pairs,
+)
+from wsu_cpts_415_spark.registry import register
+
+TOP_HITTERS = 20
+MIX_ALPHA = 0.7  # temperature exponent (Conneau & Lample 2019 use 0.7)
+MIX_BUDGET = 1000  # documents drawn from the adjusted mixture
+SAMPLE_K = 5  # docs kept per language by the hash sampler
+
+
+@register(
+    "heavy_hitters_skew",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS DOUBLE) AS total,
+               CAST(AVG(n) AS DOUBLE) AS mean_n
+        FROM per_user
+    )
+    SELECT user_id, n,
+           ROUND(n / total * 100, 6) AS share_pct,
+           ROUND(n / mean_n, 6) AS skew_ratio
+    FROM per_user CROSS JOIN tot
+    ORDER BY n DESC, user_id
+    LIMIT {TOP_HITTERS}
+    """,
+)
+def heavy_hitters_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_HITTERS} heaviest event keys with their share of all rows
+    and their ratio to the mean per-key population -- the pre-shuffle
+    audit that decides whether a join/groupBy on this key needs salting
+    (ops/skew.py) or AQE skew handling.
+
+    One partial-combining aggregate over the key space, a one-row global
+    broadcast back onto it, TakeOrderedAndProject for the top-k: no
+    full sort, nothing driver-side but the report."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = per_user.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.avg("n").alias("mean_n"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("total") * 100, 6).alias("share_pct"),
+            F.round(F.col("n") / F.col("mean_n"), 6).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(TOP_HITTERS)
+    )
+
+
+@register(
+    "temperature_mix_weights",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs,
+               POWER(n_docs, {MIX_ALPHA}) AS raw_w
+        FROM per_src
+    ),
+    tot AS (
+        SELECT SUM(raw_w) AS z, CAST(SUM(n_docs) AS DOUBLE) AS n_total FROM w
+    )
+    SELECT source, n_docs,
+           ROUND(raw_w / z, 6) AS mix_weight,
+           ROUND(raw_w / z * {MIX_BUDGET}, 4) AS expected_docs,
+           ROUND((raw_w / z) / (n_docs / n_total), 6) AS vs_natural
+    FROM w CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-adjusted source mixture: weight each source by
+    n^{MIX_ALPHA} (alpha < 1 flattens the head, upweights the tail --
+    the multilingual-sampling scheme of Conneau & Lample 2019), report
+    the normalized weight, the expected draw at a {MIX_BUDGET}-doc
+    budget, and the up/down-weighting vs the natural frequency.
+
+    Complements ``lang_mix_rebalance`` (queries/mixing.py), which hits
+    externally-specified targets; temperature weighting *derives* the
+    targets from the observed counts.  Cost: one aggregate over the
+    source key space and arithmetic on the resulting handful of rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = per_src.select(
+        "source", "n_docs", F.pow("n_docs", F.lit(MIX_ALPHA)).alias("raw_w")
+    )
+    tot = w.agg(
+        F.sum("raw_w").alias("z"),
+        F.sum("n_docs").cast("double").alias("n_total"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("raw_w") / F.col("z"), 6).alias("mix_weight"),
+            F.round(F.col("raw_w") / F.col("z") * MIX_BUDGET, 4).alias(
+                "expected_docs"
+            ),
+            F.round(
+                (F.col("raw_w") / F.col("z"))
+                / (F.col("n_docs") / F.col("n_total")),
+                6,
+            ).alias("vs_natural"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH {LSH_PAIRS_DUCK_CTES},
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN {_DUCK_BUCKET.format(m=100)} < {TRAIN_PCT}
+                    THEN 'train'
+                    WHEN {_DUCK_BUCKET.format(m=100)} < {TRAIN_PCT + VAL_PCT}
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    leaks AS (
+        SELECT LEAST(sa.split, sb.split) AS split_lo,
+               GREATEST(sa.split, sb.split) AS split_hi,
+               p.jaccard
+        FROM lsh_pairs p
+        JOIN sp sa ON sa.doc_id = p.doc_a
+        JOIN sp sb ON sb.doc_id = p.doc_b
+        WHERE sa.split <> sb.split AND p.jaccard >= {NEARDUP_THRESHOLD}
+    )
+    SELECT split_lo, split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(MAX(jaccard), 6) AS max_jaccard,
+           ROUND(AVG(jaccard), 6) AS avg_jaccard
+    FROM leaks
+    GROUP BY split_lo, split_hi
+    ORDER BY split_lo, split_hi
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination through NEAR-duplicates: near-dup pairs
+    (exact Jaccard >= {NEARDUP_THRESHOLD} on LSH candidates) whose two
+    documents land in different hash-bucket splits, rolled up per split
+    pair.  Exact-dup leakage is the easy case; this catches the pairs an
+    exact fingerprint join misses, which is how benchmark contamination
+    actually survives dedup (composition of ``train_val_test_split`` +
+    ``minhash_lsh_pairs``).
+
+    Reuses the session-staged verified pair table (computed once per
+    run); split assignment is row-local hash math joined onto pair
+    endpoints -- at 100 TB the pair table is the sliver, so both joins
+    broadcast the split map against it."""
+    pairs = lsh_verified_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= NEARDUP_THRESHOLD
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_BUCKET.format(m=100))
+    sp = docs.select(
+        "doc_id",
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    leaks = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+            "jaccard",
+        )
+    )
+    return (
+        leaks.groupBy("split_lo", "split_hi")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+@register(
+    "unigram_logprob_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM vocab)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-ln(v.n / total)), 4) AS avg_surprisal,
+           ROUND(MAX(-ln(v.n / total)), 4) AS max_surprisal
+    FROM tok t JOIN vocab v USING (tok) CROSS JOIN tot
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: corpus-wide token probabilities,
+    then each document's mean and max surprisal (-ln p).  The cheapest
+    member of the model-based quality-filter family (a perplexity filter
+    with a unigram LM) -- documents full of rare tokens score high, rote
+    repetition scores low; pairs with the heuristic ``quality_score``.
+
+    Two passes over the token stream: one to build the vocabulary (a
+    bounded aggregate), one to score, with the vocabulary broadcast back
+    onto the token explode -- the corpus itself never shuffles.  Mean
+    surprisal is rounded after aggregation; summation-order jitter sits
+    ~1e-12 below the 1e-4 grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = vocab.agg(F.sum("n").cast("double").alias("total"))
+    surprisal = -F.log(F.col("n") / F.col("total"))
+    return (
+        tok.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(surprisal), 4).alias("avg_surprisal"),
+            F.round(F.max(surprisal), 4).alias("max_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "hash_sample_per_group",
+    oracle=f"""
+    SELECT lang, doc_id, CAST(rn AS INT) AS rn
+    FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= {SAMPLE_K}
+    ORDER BY lang, rn
+    """,
+)
+def hash_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly {SAMPLE_K} documents per language, chosen by md5-of-key
+    order: the deterministic, repartition-stable analogue of per-group
+    reservoir sampling (the hash is the uniform random draw; re-runs and
+    cluster resizes reproduce it bit-for-bit, unlike ``sampleBy``'s
+    partition-order RNG).  Guarantees the exact per-group count that the
+    bucket-filter sampler (``stratified_sample_lang``) only hits in
+    expectation.
+
+    The rank is per-group with a rank predicate on top, which Spark
+    executes as WindowGroupLimit: each partition keeps {SAMPLE_K} rows
+    per group before the shuffle, so the sort is over group-count x
+    {SAMPLE_K} rows, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= SAMPLE_K)
+        .select("lang", "doc_id", F.col("rn").cast("int").alias("rn"))
+        .orderBy("lang", "rn")
+    )

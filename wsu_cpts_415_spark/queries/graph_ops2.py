@@ -1,0 +1,162 @@
+"""K-core decomposition and degree profiling over the near-duplicate pair
+graph (the LSH-verified pairs of queries/similarity.py).
+
+Near-dup pair graphs are exactly where k-core matters in a corpus
+pipeline: a template farm (one boilerplate page stamped out thousands of
+times) shows up as a dense core, while benign chance collisions form
+trees and chains that a degree-{K_CORE} peel strips away.  Connected
+components (queries/graph_ops.py) answer "what collapses together";
+the core answers "which collapsed groups are *dense enough* to be
+systematic duplication rather than noise".
+
+Scale posture: the peel loop runs only on the pair graph -- the corpus
+sliver contract shared with ``min_label_components`` -- and each round is
+two semi-joins plus one hash aggregate over edges, with per-round lineage
+truncation.  Rounds are BOUNDED: {PEEL_ROUNDS} synchronous rounds, the
+same fixpoint-prefix contract as ``label_propagation`` (the oracle runs
+the identical rounds as chained CTEs, so unconverged prefixes still
+agree engine-to-engine; the fixture converges in <= 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.queries.graph_ops import NEARDUP_THRESHOLD
+from wsu_cpts_415_spark.queries.similarity import (
+    LSH_PAIRS_DUCK_CTES,
+    lsh_verified_pairs,
+)
+from wsu_cpts_415_spark.registry import register
+
+K_CORE = 3  # minimum within-core degree
+PEEL_ROUNDS = 6  # synchronous peel rounds (fixture fixpoint <= 4)
+
+# Undirected near-dup edge list (both orientations, set semantics), shared
+# by both oracles.  NOTE: built from ALL verified pairs (no jaccard cut) --
+# the graph-shape audits care about collision structure, the clustering in
+# graph_ops.py cares about confirmed duplicates.
+_UND_CTES = f"""{LSH_PAIRS_DUCK_CTES},
+    und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs
+    )"""
+
+
+def _kcore_duck_rounds() -> str:
+    """l0/d1/l1/../l{PEEL_ROUNDS} chained CTEs: one induced-degree +
+    threshold-filter pair per round, mirroring the Spark loop."""
+    parts = ["l0 AS (SELECT DISTINCT src AS id FROM und)"]
+    for i in range(1, PEEL_ROUNDS + 1):
+        parts.append(
+            f"""d{i} AS (
+        SELECT e.src AS id, CAST(COUNT(*) AS BIGINT) AS d
+        FROM und e
+        JOIN l{i - 1} a ON a.id = e.src
+        JOIN l{i - 1} b ON b.id = e.dst
+        GROUP BY e.src
+    )"""
+        )
+        parts.append(
+            f"l{i} AS (SELECT id, d FROM d{i} WHERE d >= {K_CORE})"
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "kcore_neardup_graph",
+    oracle=f"""
+    WITH {_UND_CTES},
+    {_kcore_duck_rounds()}
+    SELECT id AS doc_id, d AS core_degree
+    FROM l{PEEL_ROUNDS}
+    ORDER BY doc_id
+    """,
+)
+def kcore_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {K_CORE}-core of the near-dup collision graph after
+    {PEEL_ROUNDS} synchronous peel rounds: every document still holding
+    >= {K_CORE} collision partners once all weakly-connected hangers-on
+    are stripped, with its within-core degree.  Dense cores = systematic
+    template duplication worth a targeted rule; peeled fringe = chance
+    collisions.
+
+    Each round joins the (staged, tiny) edge list against the live set
+    on both endpoints and re-aggregates degrees -- cost tracks the pair
+    graph, never the corpus.  Early exit when a round removes nothing
+    (sound: the peel is monotone, so the fixpoint equals every later
+    round, including the oracle's round {PEEL_ROUNDS})."""
+    pairs = lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .coalesce(4)
+        .localCheckpoint(eager=True)
+    )
+    live = edges.select(F.col("src").alias("id")).distinct()
+    degrees = None
+    prev_n = live.count()
+    for _ in range(PEEL_ROUNDS):
+        alive_a = live.select(F.col("id").alias("src"))
+        alive_b = live.select(F.col("id").alias("dst"))
+        degrees = (
+            edges.join(alive_a, "src", "left_semi")
+            .join(alive_b, "dst", "left_semi")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= K_CORE)
+            .coalesce(4)
+            .localCheckpoint(eager=True)
+        )
+        live = degrees.select("id")
+        n = degrees.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    return degrees.select(
+        F.col("id").alias("doc_id"), F.col("d").alias("core_degree")
+    ).orderBy("doc_id")
+
+
+@register(
+    "neardup_degree_histogram",
+    oracle=f"""
+    WITH {_UND_CTES},
+    deg AS (
+        SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS d
+        FROM und GROUP BY src
+    )
+    SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM deg
+    GROUP BY d
+    ORDER BY degree
+    """,
+)
+def neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup collision graph: how many
+    documents collide with how many partners.  The one-glance shape
+    audit run before any dedup action -- a heavy tail here is the
+    signature of template spam (and of LSH band settings gone too
+    loose), and it prices the k-core / clustering passes that follow.
+
+    Two hash aggregates over the (tiny, staged) edge list; the second
+    runs over the bounded degree key space."""
+    pairs = lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).distinct()
+    deg = edges.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count("*").alias("d")
+    )
+    return (
+        deg.groupBy(F.col("d").alias("degree"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("degree")
+    )
