@@ -105,6 +105,15 @@ HEADLINE = [
     "interleave_sources",
     "vocab_coverage_topk",
     "zorder_layout_audit",
+    "semdedup_prune",
+    "levenshtein_blocked_pairs",
+    "heavy_hitters_skew",
+    "temperature_mix_weights",
+    "split_leakage_audit",
+    "unigram_logprob_score",
+    "hash_sample_per_group",
+    "kcore_neardup_graph",
+    "neardup_degree_histogram",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

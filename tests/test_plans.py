@@ -351,3 +351,45 @@ def test_plan_audit_reads_formatted_plans(spark, qs):
     b = audit("split", qs["train_val_test_split"].fn(spark, SF_ORACLE))
     assert b.bhj == b.smj == b.nlj == 0
     assert b.python_nodes == ""
+
+
+def test_semdedup_pair_join_is_equi_on_cluster(spark, qs):
+    """SemDeDup's quadratic stage must be keyed on the cluster id (hash
+    partition per cluster), never an all-pairs product; assignment math
+    stays out of Python."""
+    plan = fmt_plan(qs["semdedup_prune"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_levenshtein_pairs_are_block_equi_join(spark, qs):
+    """Edit-distance candidates must come from the (lang, blk) blocking
+    equi-join; the id inequality and distance cut ride as residual
+    predicates, not as a cross-join filter."""
+    plan = fmt_plan(qs["levenshtein_blocked_pairs"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_topk_no_global_sort(spark, qs):
+    """The skew audit is partial-combined aggregation + top-k: no
+    range-partitioned total sort of the key space."""
+    plan = fmt_plan(qs["heavy_hitters_skew"].fn(spark, SF_ORACLE))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hash_sample_pushes_group_limit(spark, qs):
+    """The per-group hash sampler must keep only k rows per group
+    pre-shuffle (WindowGroupLimit), not rank the whole corpus."""
+    plan = fmt_plan(qs["hash_sample_per_group"].fn(spark, SF_ORACLE))
+    assert "WindowGroupLimit" in plan
+
+
+def test_unigram_scoring_broadcasts_vocab(spark, qs):
+    """The vocabulary (bounded) broadcasts back onto the token stream;
+    the corpus-side explode must never shuffle for the join."""
+    plan = fmt_plan(qs["unigram_logprob_score"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
