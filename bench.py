@@ -114,6 +114,8 @@ HEADLINE = [
     "hash_sample_per_group",
     "kcore_neardup_graph",
     "neardup_degree_histogram",
+    "cms_frequency_check",
+    "bloom_membership_audit",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

@@ -93,3 +93,57 @@ def test_store_summary_counts_nulls(spark, tmp_path):
     assert row["n_rows"] == 25
     assert row["nulls_n_name"] == 5
     assert row["nulls_n_nationkey"] == 0
+
+
+def test_scd2_merge_tracks_history(spark, tmp_path):
+    from wsu_cpts_415_spark.io.maintenance import merge_scd2, scd2_init
+
+    store = str(tmp_path / "scd2")
+    cust = load_table(spark, SF_ORACLE, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    n0 = cust.count()
+    scd2_init(spark, store, cust, version=1)
+
+    # batch 2: change 3 balances, add 2 new keys, leave the rest alone
+    updates = (
+        cust.filter(F.col("c_custkey") < 3)
+        .withColumn("c_acctbal", F.lit(-1.0))
+        .unionByName(
+            cust.filter(F.col("c_custkey") < 2).withColumn(
+                "c_custkey", F.col("c_custkey") + 10_000_000
+            )
+        )
+    )
+    stats = merge_scd2(
+        spark, store, updates,
+        keys=["c_custkey"], tracked=["c_nationkey", "c_acctbal"], version=2,
+    )
+    assert stats["closed"] == 3
+    assert stats["opened"] == 5
+    assert stats["inserted_new_keys"] == 2
+    assert stats["after"] == n0 + 3 + 2  # history kept, new keys added
+
+    t = spark.read.parquet(store)
+    # changed keys: one closed row (valid 1->2) and one open row at v2
+    changed = t.filter(F.col("c_custkey") < 3)
+    assert changed.filter(~F.col("is_current")).count() == 3
+    closed = changed.filter(~F.col("is_current")).select("valid_from", "valid_to").distinct().collect()
+    assert [(r["valid_from"], r["valid_to"]) for r in closed] == [(1, 2)]
+    assert (
+        changed.filter(F.col("is_current"))
+        .agg(F.sum(F.abs(F.col("c_acctbal") + 1.0)))
+        .first()[0]
+        == 0.0
+    )
+    # current slice is exactly one row per live key
+    cur = t.filter(F.col("is_current"))
+    assert cur.count() == cur.select("c_custkey").distinct().count() == n0 + 2
+
+    # idempotency: re-applying the same batch changes nothing
+    stats2 = merge_scd2(
+        spark, store, updates,
+        keys=["c_custkey"], tracked=["c_nationkey", "c_acctbal"], version=3,
+    )
+    assert stats2["closed"] == 0 and stats2["opened"] == 0
+    assert stats2["after"] == stats["after"]

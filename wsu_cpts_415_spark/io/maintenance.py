@@ -87,6 +87,98 @@ def merge_upsert(
     }
 
 
+def scd2_init(
+    spark: SparkSession,
+    store_dir: str,
+    snapshot: DataFrame,
+    version: int,
+) -> None:
+    """Bootstrap an SCD-2 store from a first snapshot: every row current
+    from ``version`` (valid_to NULL, is_current true)."""
+    first = snapshot.select(
+        "*",
+        F.lit(version).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    tmp = store_dir.rstrip("/") + f".tmp-{uuid.uuid4().hex[:8]}"
+    first.write.mode("overwrite").parquet(tmp)
+    _swap_into(tmp, store_dir)
+
+
+def merge_scd2(
+    spark: SparkSession,
+    store_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    version: int,
+) -> dict[str, int]:
+    """SCD-2 MERGE (history-preserving upsert): rows whose tracked
+    columns changed get their current row CLOSED (valid_to = version,
+    is_current = false) and a new current row opened at ``version``; new
+    keys are inserted as current; unchanged keys are untouched -- so
+    re-applying the same batch is a no-op (idempotent), and the full
+    change history of every key stays queryable (the "type 2" dimension
+    of Kimball's taxonomy, vs ``merge_upsert``'s overwrite-in-place
+    type 1).
+
+    Plan: one full-outer join of the CURRENT slice against the batch on
+    the key; history rows pass through untouched.  Change detection is
+    null-safe equality over the tracked columns.  At scale the current
+    slice is the only side shuffled (partition the store by is_current
+    so the history files are never read), and the batch side broadcasts
+    when small."""
+    target = spark.read.parquet(store_dir)
+    cols = [c for c in target.columns if c not in ("valid_from", "valid_to", "is_current")]
+    current = target.filter(F.col("is_current"))
+    history = target.filter(~F.col("is_current"))
+
+    u = updates.select(*cols).alias("u")
+    t = current.alias("t")
+    joined = t.join(u, on=[F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}")) for k in keys], how="full_outer")
+
+    t_present = F.col("t.is_current").isNotNull()
+    u_present = F.col(f"u.{keys[0]}").isNotNull() if keys else F.lit(False)
+    changed = None
+    for c in tracked:
+        neq = ~F.col(f"t.{c}").eqNullSafe(F.col(f"u.{c}"))
+        changed = neq if changed is None else (changed | neq)
+
+    # untouched current rows: key absent from batch, or present but equal
+    keep_current = joined.filter(
+        t_present & (~u_present | ~changed)
+    ).select(*[F.col(f"t.{c}") for c in cols], "t.valid_from", "t.valid_to", "t.is_current")
+    # closed-out versions of changed rows
+    closed = joined.filter(t_present & u_present & changed).select(
+        *[F.col(f"t.{c}") for c in cols],
+        F.col("t.valid_from"),
+        F.lit(version).cast("long").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    # new current rows: changed keys (from the batch side) + brand-new keys
+    opened = joined.filter(u_present & (~t_present | changed)).select(
+        *[F.col(f"u.{c}") for c in cols],
+        F.lit(version).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+    n_closed = closed.count()
+    n_opened = opened.count()
+    merged = history.unionByName(keep_current).unionByName(closed).unionByName(opened)
+
+    tmp = store_dir.rstrip("/") + f".tmp-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    _swap_into(tmp, store_dir)
+    return {
+        "closed": n_closed,
+        "opened": n_opened,
+        "inserted_new_keys": n_opened - n_closed,
+        "after": spark.read.parquet(store_dir).count(),
+    }
+
+
 def table_file_stats(store_dir: str) -> dict[str, int]:
     """(n_files, total_bytes) of the parquet data files under a store."""
     n, total = 0, 0

@@ -278,6 +278,153 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_EPS = 0.001  # over-estimate bound: est <= exact + eps * N
+CMS_CONF = 0.99
+CMS_PROBES = 10  # user ids 0..9
+
+
+@register(
+    "cms_frequency_check",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS exact_n,
+           TRUE AS within_bound
+    FROM events
+    WHERE user_id < {CMS_PROBES}
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def cms_frequency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch point-frequency estimates, audited against exact
+    counts for {CMS_PROBES} probe keys.  The CMS guarantee is one-sided
+    (est >= exact, and est <= exact + eps*N w.p. {CMS_CONF}), so like
+    the HLL/quantile sketches the oracle is self-validating: the output
+    is the exact count plus the boolean bound check, deterministic and
+    engine-agnostic (DuckDB has no CMS; its side proves the exact
+    counts and expects every bound to hold).
+
+    The sketch is the 100 TB answer to "how often does key X occur"
+    without a groupBy over the full key space: constant memory
+    (ceil(e/eps) x ceil(ln(1/delta)) counters), merged associatively
+    across partitions (treeAggregate under ``df.stat.countMinSketch``);
+    only the probe loop is driver-side, and it touches the sketch, not
+    data."""
+    ev = load_table(spark, sf_dir, "events")
+    # one scan: total rows, the sketch (partial-merged across partitions
+    # by the SQL aggregate), and it stays JVM-side until the single
+    # serialized-sketch row comes back
+    agg = ev.agg(
+        F.count("*").alias("n_total"),
+        F.expr(
+            f"count_min_sketch(user_id, cast({CMS_EPS} as double),"
+            f" cast({CMS_CONF} as double), 42)"
+        ).alias("sketch"),
+    ).head()
+    n_total, raw = agg["n_total"], bytes(agg["sketch"])
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(raw)
+    )
+    exact = (
+        ev.filter(F.col("user_id") < CMS_PROBES)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy("user_id")
+        .collect()
+    )
+    bound = CMS_EPS * n_total
+    rows = []
+    for r in exact:
+        est = cms.estimateCount(jvm.java.lang.Long.valueOf(int(r["user_id"])))
+        rows.append(
+            (
+                r["user_id"],
+                r["exact_n"],
+                bool(r["exact_n"] <= est <= r["exact_n"] + bound),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "user_id bigint, exact_n bigint, within_bound boolean"
+    ).orderBy("user_id")
+
+
+BLOOM_ITEMS = 200_000  # expected distinct insertions sized for sf1
+BLOOM_FPP = 0.01  # design false-positive probability
+BLOOM_FPP_BOUND = 0.05  # audit cut, generous over the design point
+BLOOM_MEMBER_PROBES = 50  # lowest member keys, re-probed for misses
+BLOOM_ABSENT_PROBES = 500  # synthetic keys guaranteed outside the domain
+_BLOOM_ABSENT_BASE = 10_000_000  # far above any fixture custkey
+
+
+@register(
+    "bloom_membership_audit",
+    oracle=f"""
+    WITH m AS (
+        SELECT DISTINCT o_custkey FROM orders
+        ORDER BY o_custkey LIMIT {BLOOM_MEMBER_PROBES}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_member_probes,
+           TRUE AS no_false_negatives,
+           CAST({BLOOM_ABSENT_PROBES} AS BIGINT) AS n_absent_probes,
+           TRUE AS fp_rate_within_bound
+    """,
+)
+def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit: build a filter over every customer
+    key that placed an order (the sketch Spark's runtime row-level
+    filtering ships to the probe side of large joins; built here with
+    the distributed ``DataFrameStatFunctions.bloomFilter`` treeAggregate
+    over the order scan), then check the two Bloom guarantees: the
+    lowest {BLOOM_MEMBER_PROBES} member keys all hit (false negatives
+    are structurally impossible), and {BLOOM_ABSENT_PROBES} keys chosen
+    outside the key domain false-positive at under {BLOOM_FPP_BOUND}
+    (design point {BLOOM_FPP}).  Self-validating oracle like the
+    HLL/CMS/quantile sketches: DuckDB proves the probe-set cardinalities
+    and expects both booleans true.
+
+    The build pass is the scalable part and stays fully distributed;
+    probing touches only the serialized sketch (KBs) on the driver --
+    production probes happen inside the join itself, where the engine
+    injects this exact filter into the scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    bf = orders.select("o_custkey")._jdf.stat().bloomFilter(
+        "o_custkey", BLOOM_ITEMS, BLOOM_FPP
+    )
+    members = [
+        r["o_custkey"]
+        for r in orders.select("o_custkey")
+        .distinct()
+        .orderBy("o_custkey")
+        .limit(BLOOM_MEMBER_PROBES)
+        .collect()
+    ]
+    jvm = spark.sparkContext._jvm
+    misses = sum(
+        0 if bf.mightContain(jvm.java.lang.Long.valueOf(int(k))) else 1
+        for k in members
+    )
+    fps = sum(
+        1
+        if bf.mightContain(
+            jvm.java.lang.Long.valueOf(_BLOOM_ABSENT_BASE + i)
+        )
+        else 0
+        for i in range(BLOOM_ABSENT_PROBES)
+    )
+    row = (
+        len(members),
+        misses == 0,
+        BLOOM_ABSENT_PROBES,
+        fps <= BLOOM_ABSENT_PROBES * BLOOM_FPP_BOUND,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_member_probes bigint, no_false_negatives boolean,"
+        " n_absent_probes bigint, fp_rate_within_bound boolean",
+    )
+
+
 @register(
     "hash_sample_per_group",
     oracle=f"""
