@@ -116,6 +116,8 @@ HEADLINE = [
     "neardup_degree_histogram",
     "cms_frequency_check",
     "bloom_membership_audit",
+    "expectations_report",
+    "join_shuffle_hash_hint",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

@@ -393,3 +393,19 @@ def test_unigram_scoring_broadcasts_vocab(spark, qs):
     plan = fmt_plan(qs["unigram_logprob_score"].fn(spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_hash_hint_is_honored(spark, qs):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin -- not the
+    broadcast the optimizer would pick, not a sort-merge."""
+    plan = fmt_plan(qs["join_shuffle_hash_hint"].fn(spark, SF_ORACLE))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_expectations_single_scan(spark, qs):
+    """However many expectations are registered, the table is scanned
+    once: one Location in the plan, no join, no union of re-scans."""
+    plan = fmt_plan(qs["expectations_report"].fn(spark, SF_ORACLE))
+    assert plan.count("Location:") == 1
+    assert "Union" not in plan

@@ -311,3 +311,37 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy control: the same orders-customer rollup
+    the optimizer would broadcast, forced to a SHUFFLED-HASH join via
+    hint.  At 100 TB this is the knob for the middle regime -- the build
+    side too big to broadcast but small enough to hash per partition --
+    where the default sort-merge pays two full sorts the hash join
+    skips.  Strategy hints change the physical plan ONLY: the oracle
+    (and the plan gate in tests/test_plans.py asserting
+    ShuffledHashJoin) pins that the answer is strategy-invariant."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").hint("SHUFFLE_HASH")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("segment")
+    )

@@ -225,3 +225,45 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         "user_id", "signup_ts", "purchase_ts", "signup_event", "purchase_event"
     )
+
+
+@register(
+    "streaming_sliding_counts",
+    oracle="""
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                   - CAST(t.k AS INTEGER) AS window_start,
+               event_type
+        FROM events, UNNEST(generate_series(0, 2)) AS t(k)
+    )
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-day windows sliding daily, per event type, executed as a real
+    streaming query: each event lands in exactly three overlapping
+    windows, so streaming state holds three live windows per type until
+    the watermark closes them.  The oracle materializes the same
+    window membership relationally (each event replicated to offsets
+    0..2 from its day).  Epoch-aligned daily slides mean both engines
+    agree on window boundaries exactly."""
+    from pyspark.sql import functions as F
+
+    from wsu_cpts_415_spark.streaming.jobs import WATERMARK
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "3 days", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.to_date("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    out = run_available_now(agg, "q_streaming_sliding")
+    return out.orderBy("window_start", "event_type")
