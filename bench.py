@@ -118,6 +118,8 @@ HEADLINE = [
     "bloom_membership_audit",
     "expectations_report",
     "join_shuffle_hash_hint",
+    "lsh_recall_audit",
+    "langid_confusion_matrix",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

@@ -426,6 +426,151 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_recall_audit",
+    oracle=f"""
+    WITH {LSH_PAIRS_DUCK_CTES},
+    exact_sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1]
+               ))) AS shingle
+        FROM documents
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+        FROM exact_sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM exact_sh a
+        JOIN exact_sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    exact AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.doc_a
+        JOIN sizes sb ON sb.doc_id = inter.doc_b
+        WHERE ROUND(CAST(n_common AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - n_common), 6)
+              >= {NEARDUP_THRESHOLD}
+    ),
+    lshp AS (
+        SELECT doc_a, doc_b FROM lsh_pairs
+        WHERE jaccard >= {NEARDUP_THRESHOLD}
+    ),
+    matched AS (
+        SELECT e.doc_a AS e_a, l.doc_a AS l_a
+        FROM exact e
+        FULL JOIN lshp l
+          ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE e_a IS NOT NULL) AS BIGINT) AS n_exact,
+           CAST(COUNT(*) FILTER (WHERE l_a IS NOT NULL) AS BIGINT) AS n_lsh,
+           CAST(COUNT(*) FILTER (WHERE e_a IS NOT NULL AND l_a IS NOT NULL)
+                AS BIGINT) AS n_common,
+           ROUND(COUNT(*) FILTER (WHERE e_a IS NOT NULL AND l_a IS NOT NULL)
+                 * 1.0 / COUNT(*) FILTER (WHERE e_a IS NOT NULL), 6)
+               AS recall,
+           ROUND(COUNT(*) FILTER (WHERE e_a IS NOT NULL AND l_a IS NOT NULL)
+                 * 1.0 / COUNT(*) FILTER (WHERE l_a IS NOT NULL), 6)
+               AS precision
+    FROM matched
+    """,
+)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: the MinHash-LSH candidate generator scored
+    against exact all-pairs ground truth at the {NEARDUP_THRESHOLD}
+    Jaccard operating point.  Recall is the fraction of true near-dup
+    pairs the banding surfaces (the S-curve's miss rate made empirical);
+    precision is 1.0 by construction (candidates are verified with the
+    exact Jaccard before thresholding) -- the audit proves both, which
+    is exactly the calibration run before committing band/row settings
+    for a 100 TB dedup pass.
+
+    Both pair tables are session-staged slivers; the audit itself is one
+    full-outer join on the pair key plus one aggregate."""
+    from wsu_cpts_415_spark.queries.text import exact_jaccard_pairs
+
+    exact = (
+        exact_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= NEARDUP_THRESHOLD)
+        .select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
+    )
+    lshp = (
+        lsh_verified_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= NEARDUP_THRESHOLD)
+        .select("doc_a", "doc_b", F.lit(1).alias("in_lsh"))
+    )
+    matched = exact.join(lshp, ["doc_a", "doc_b"], "full_outer")
+    both = (F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull()).cast(
+        "long"
+    )
+    return matched.agg(
+        F.sum(F.col("in_exact").isNotNull().cast("long")).alias("n_exact"),
+        F.sum(F.col("in_lsh").isNotNull().cast("long")).alias("n_lsh"),
+        F.sum(both).alias("n_common"),
+        F.round(
+            F.sum(both) / F.sum(F.col("in_exact").isNotNull().cast("long")),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.sum(both) / F.sum(F.col("in_lsh").isNotNull().cast("long")),
+            6,
+        ).alias("precision"),
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    """Wrap the registered lang_id_heuristic oracle as a CTE: the eval
+    consumes the classifier's own cross-checked definition, so the two
+    can never drift apart."""
+    from wsu_cpts_415_spark.queries import text  # noqa: F401  (registers)
+    from wsu_cpts_415_spark.registry import REGISTRY
+
+    return f"""
+    WITH pred AS ({REGISTRY["lang_id_heuristic"].oracle})
+    SELECT labeled_lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0
+                 / SUM(COUNT(*)) OVER (PARTITION BY labeled_lang), 6)
+               AS row_share
+    FROM pred
+    GROUP BY labeled_lang, pred_lang
+    ORDER BY labeled_lang, pred_lang
+    """
+
+
+@register("langid_confusion_matrix", oracle=_langid_confusion_oracle())
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the language-ID heuristic's
+    confusion matrix against the labeled ``lang`` column, with per-cell
+    counts and the cell's share of its true-label row -- the standard
+    eval artifact for any model-based filter before it gates a corpus.
+    Composes the registered ``lang_id_heuristic`` (text.py) with one
+    bounded aggregate over (label x prediction)."""
+    from wsu_cpts_415_spark.queries.text import lang_id_heuristic
+
+    pred = lang_id_heuristic(spark, sf_dir)
+    counts = pred.groupBy("labeled_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return (
+        counts.select(
+            "labeled_lang",
+            "pred_lang",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(w), 6).alias("row_share"),
+        )
+        .orderBy("labeled_lang", "pred_lang")
+    )
+
+
+@register(
     "hash_sample_per_group",
     oracle=f"""
     SELECT lang, doc_id, CAST(rn AS INT) AS rn

@@ -379,6 +379,71 @@ def _shingle_rows_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full exact pair table (doc_a, doc_b, jaccard) for every pair
+    sharing at least one shingle -- the inverted-index pipeline of
+    ``ngram_jaccard_pairs`` without the top-k, session-staged because
+    both the registered query and the LSH recall audit
+    (corpus_audit.py) consume it."""
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    def build() -> DataFrame:
+        shingles = _shingle_rows_staged(spark, sf_dir)
+        sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        # Inverted index: per shingle, the sorted list of containing
+        # docs.  The repartition after this low-cardinality agg matters:
+        # the agg leaves ~#distinct-shingle rows in few partitions, and
+        # the pair explosion would run near-serially without it
+        # (measured 36 s -> 19 s at sf0.1).
+        lists = (
+            shingles.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+            .repartition(64)
+        )
+        # All ordered pairs per shingle, packed into ONE long
+        # (a*2^32 + b, a < b): a single 8-byte group key shuffles and
+        # hash-aggregates far faster than a two-column row.
+        pairs = lists.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    " y -> x * 4294967296L + y)))"
+                )
+            ).alias("pk")
+        )
+        inter = (
+            pairs.groupBy("pk")
+            .agg(F.count("*").alias("n_common"))
+            .select(
+                F.shiftright("pk", 32).alias("doc_a"),
+                F.col("pk").bitwiseAND(F.lit(4294967295)).alias("doc_b"),
+                "n_common",
+            )
+        )
+        sa = sizes.alias("sa")
+        sb = sizes.alias("sb")
+        return (
+            inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("n_common").cast("double")
+                    / (
+                        F.col("sa.n_sh")
+                        + F.col("sb.n_sh")
+                        - F.col("n_common")
+                    ),
+                    6,
+                ).alias("jaccard"),
+            )
+        )
+
+    return staged(spark, "exact_jaccard_pairs", sf_dir, build)
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
@@ -415,53 +480,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherently Σ df(shingle)^2; at 100 TB you cap df (a stop-shingle cut)
     or prefilter with the MinHash-LSH bucketer (minhash_lsh_pairs) --
     both bound the posting-list blowup before it exists."""
-    shingles = _shingle_rows_staged(spark, sf_dir)
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # Inverted index: per shingle, the sorted list of containing docs.
-    # The repartition after this low-cardinality agg matters: the agg
-    # leaves ~#distinct-shingle rows in few partitions, and the expensive
-    # pair explosion below would run near-serially without it (measured
-    # 36 s -> 19 s at sf0.1).
-    lists = (
-        shingles.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .repartition(64)
-    )
-    # All ordered pairs per shingle, packed into ONE long (a*2^32 + b,
-    # a < b): a single 8-byte group key shuffles and hash-aggregates far
-    # faster than a two-column row.
-    pairs = lists.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (x, i) ->"
-                " transform(slice(ds, i + 2, size(ds)),"
-                " y -> x * 4294967296L + y)))"
-            )
-        ).alias("pk")
-    )
-    inter = (
-        pairs.groupBy("pk")
-        .agg(F.count("*").alias("n_common"))
-        .select(
-            F.shiftright("pk", 32).alias("doc_a"),
-            F.col("pk").bitwiseAND(F.lit(4294967295)).alias("doc_b"),
-            "n_common",
-        )
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-        )
+        exact_jaccard_pairs(spark, sf_dir)
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
         .limit(20)
     )
