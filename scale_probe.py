@@ -87,6 +87,18 @@ PROBE = [
     "embedding_quantize_int8",
     "fk_orphan_audit",
     "funnel_three_step",
+    # round-4 additions; expected sub-linear (bounded key spaces / one
+    # scan / sketches).  The dedup-family ops (semdedup, levenshtein,
+    # kcore) are EXCLUDED for the same reason documented above: verbatim
+    # replication manufactures quadratic duplicate growth.
+    "heavy_hitters_skew",
+    "temperature_mix_weights",
+    "hash_sample_per_group",
+    "unigram_logprob_score",
+    "expectations_report",
+    "join_shuffle_hash_hint",
+    "cms_frequency_check",
+    "bloom_membership_audit",
 ]
 
 

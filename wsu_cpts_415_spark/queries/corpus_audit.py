@@ -352,8 +352,10 @@ def cms_frequency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOOM_ITEMS = 200_000  # expected distinct insertions sized for sf1
 BLOOM_FPP = 0.01  # design false-positive probability
 BLOOM_FPP_BOUND = 0.05  # audit cut, generous over the design point
-BLOOM_MEMBER_PROBES = 50  # lowest member keys, re-probed for misses
-BLOOM_ABSENT_PROBES = 500  # synthetic keys guaranteed outside the domain
+BLOOM_MEMBER_PROBES = 20  # lowest member keys, re-probed for misses
+BLOOM_ABSENT_PROBES = 150  # synthetic keys guaranteed outside the domain
+# probe counts sized so the py4j round-trip cost (~2 ms/probe) stays
+# under the distributed build cost -- the sketch, not the loop, is the op
 _BLOOM_ABSENT_BASE = 10_000_000  # far above any fixture custkey
 
 
