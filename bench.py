@@ -120,6 +120,9 @@ HEADLINE = [
     "join_shuffle_hash_hint",
     "lsh_recall_audit",
     "langid_confusion_matrix",
+    "multimodal_audio_windows",
+    "dedup_survivorship_quality",
+    "incremental_neardup_check",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

@@ -25,7 +25,13 @@ windowed events ~flat), which is the AQE + partial-agg + broadcast
 behavior the engine is designed around.  The round-4 operators measured
 at x10 (vs their sf0.1 base): sequence_packing 1.4x, range_join_events
 1.9x, token_entropy ~2x, embedding_quantize_int8 ~1.5x, fk_orphan_audit
-~2x, funnel_three_step ~2x -- all sub-linear.
+~2x, funnel_three_step ~2x -- all sub-linear.  The round-4 audit/sketch
+operators at x10 (vs solo sf0.1 base): heavy_hitters_skew 1.5x,
+temperature_mix_weights ~1x, hash_sample_per_group 1.3x,
+unigram_logprob_score 2.5x, expectations_report ~1.1x,
+join_shuffle_hash_hint ~1.5x, cms_frequency_check ~1.6x,
+bloom_membership_audit 1.3x -- bounded key spaces, single scans, and
+sketch mergers all behave exactly as designed at 10x data.
 """
 
 from __future__ import annotations

@@ -149,3 +149,60 @@ def sample_frames(decoded: DataFrame, every_n: int = 24) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+AUDIO_WIN_MS = 250  # analysis window length
+AUDIO_HOP_MS = 125  # 50% overlap
+AUDIO_RATES = (8000, 12000, 16000)  # deterministic stand-in header rates
+
+
+def audio_window_plan(with_payloads: DataFrame) -> DataFrame:
+    """Overlapping analysis-window plan for audio payloads: one row per
+    {AUDIO_WIN_MS} ms window at {AUDIO_HOP_MS} ms hop, with the window's
+    start offset and per-window sample count.
+
+    The sample rate and duration stand in for a real header parse the
+    same way decode_fake stands in for a codec: deterministic md5
+    arithmetic over the payload bytes, so the SCHEDULING artifact -- how
+    many windows, which offsets, what batch shape the feature kernel
+    will see -- is real and oracle-checkable while the PCM decode stays
+    a stub.  Pure column math + one explode; no UDF."""
+    h = F.expr(
+        "cast(conv(substr(md5(payload), 1, 8), 16, 10) as bigint)"
+    )
+    audio = with_payloads.filter(F.col("media_type") == "audio").select(
+        "doc_id",
+        h.alias("h"),
+    )
+    rate = F.element_at(
+        F.array(*[F.lit(r) for r in AUDIO_RATES]),
+        (F.col("h") % 3 + 1).cast("int"),
+    )
+    dur = 500 + (F.col("h") / 16).cast("bigint") % 10000
+    meta = audio.select(
+        "doc_id",
+        rate.cast("bigint").alias("sample_rate"),
+        dur.alias("duration_ms"),
+    ).withColumn(
+        "n_windows",
+        (
+            F.floor((F.col("duration_ms") - AUDIO_WIN_MS) / AUDIO_HOP_MS) + 1
+        ).cast("bigint"),
+    )
+    return meta.select(
+        "doc_id",
+        "sample_rate",
+        "duration_ms",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_windows") - 1)
+        ).alias("win_idx"),
+    ).select(
+        "doc_id",
+        "sample_rate",
+        "duration_ms",
+        "win_idx",
+        (F.col("win_idx") * AUDIO_HOP_MS).alias("start_ms"),
+        (F.col("sample_rate") * AUDIO_WIN_MS / 1000).cast("bigint").alias(
+            "n_samples"
+        ),
+    )

@@ -1,0 +1,195 @@
+"""Production dedup policies on top of the pair/cluster machinery:
+quality-aware survivor selection and incremental new-batch-vs-corpus
+near-dup checking.
+
+The clustering operators (queries/graph_ops.py) pick survivors by
+min-doc_id -- deterministic, but blind.  A real curation run keeps the
+BEST copy (highest quality score) of each duplicate group, and a real
+ingest pipeline doesn't re-pair the whole corpus per batch: it checks
+the arriving sliver against the standing corpus.  Both shapes are here,
+composed from the already-oracle-checked quality and LSH layers.
+
+Scale posture:
+  * survivorship adds one broadcast-size join (cluster labels are the
+    near-dup sliver) and a per-cluster window over cluster-sized groups;
+  * the incremental check is the asymmetric LSH join: the new batch's
+    band table (10% here; per-batch slivers in production) BROADCASTS
+    against the corpus band table, so the corpus is scanned but never
+    shuffled, and only colliding candidates get exact verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.queries.corpus_ops import _DUCK_BUCKET, _SPARK_BUCKET
+from wsu_cpts_415_spark.queries.graph_ops import (
+    _NEARDUP_DUCK_CTES,
+    _neardup_labels,
+)
+from wsu_cpts_415_spark.queries.similarity import (
+    LSH_PAIRS_DUCK_CTES,
+    N_BANDS,
+    _hashed_staged,
+    _spark_minhash_sig,
+)
+from wsu_cpts_415_spark.queries.text import QUALITY_DUCK_CTES
+from wsu_cpts_415_spark.registry import register
+
+NEW_BATCH_BUCKET = 90  # md5 bucket >= this = "the batch arriving now"
+
+
+@register(
+    "dedup_survivorship_quality",
+    oracle=f"""
+    WITH RECURSIVE {_NEARDUP_DUCK_CTES},
+    {QUALITY_DUCK_CTES},
+    ranked AS (
+        SELECT c.doc_id, c.cluster_id, q.quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY q.quality DESC, c.doc_id
+               ) AS rn
+        FROM clusters c JOIN qual q ON q.doc_id = c.doc_id
+    )
+    SELECT doc_id, cluster_id, quality, rn = 1 AS is_survivor
+    FROM ranked
+    ORDER BY doc_id
+    """,
+)
+def dedup_survivorship_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-the-best dedup: each near-dup cluster's survivor is its
+    HIGHEST-quality member (doc_id tie-break), not its lowest id -- the
+    policy real curation runs use (C4 and friends keep the longest/
+    cleanest copy, not the first seen).  Output: every document with its
+    cluster, quality, and survivor verdict.
+
+    Composes the connected-components labels (corpus-sliver loop) with
+    the row-local quality score; the only new work is one join and a
+    per-cluster window whose partitions are cluster-sized."""
+    from wsu_cpts_415_spark.queries.text import quality_score
+
+    labels = _neardup_labels(spark, sf_dir)
+    qual = quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    return (
+        labels.join(qual, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            (F.col("rn") == 1).alias("is_survivor"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "incremental_neardup_check",
+    oracle=f"""
+    WITH {LSH_PAIRS_DUCK_CTES},
+    bucketed AS (
+        SELECT doc_id, {_DUCK_BUCKET.format(m=100)} AS bucket
+        FROM documents
+    ),
+    newb AS (
+        SELECT b.* FROM bands b JOIN bucketed k ON k.doc_id = b.doc_id
+        WHERE k.bucket >= {NEW_BATCH_BUCKET}
+    ),
+    oldb AS (
+        SELECT b.* FROM bands b JOIN bucketed k ON k.doc_id = b.doc_id
+        WHERE k.bucket < {NEW_BATCH_BUCKET}
+    ),
+    cand2 AS (
+        SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS old_doc
+        FROM newb n
+        JOIN oldb o ON n.b = o.b AND n.h1 = o.h1 AND n.h2 = o.h2
+    ),
+    verified AS (
+        SELECT c.new_doc, c.old_doc,
+               ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles))
+                          AS DOUBLE)
+                     / (len(sa.shingles) + len(sb.shingles)
+                        - len(list_intersect(sa.shingles, sb.shingles))), 6)
+                   AS jaccard
+        FROM cand2 c
+        JOIN sh sa ON sa.doc_id = c.new_doc
+        JOIN sh sb ON sb.doc_id = c.old_doc
+    )
+    SELECT new_doc, old_doc, jaccard
+    FROM verified
+    ORDER BY new_doc, old_doc
+    """,
+)
+def incremental_neardup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: the arriving batch (md5 bucket >=
+    {NEW_BATCH_BUCKET}, ~10% of the corpus standing in for a day's
+    crawl) is LSH-checked against the STANDING corpus only -- no
+    old-old pairs, no corpus self-join.  Output: every (new, old)
+    candidate collision with its exact verified Jaccard.
+
+    The asymmetric plan is the point: the batch's band table broadcasts
+    (a per-batch sliver at production scale), the corpus band table
+    streams map-side against it, and only colliding candidates fetch
+    shingle sets for verification.  Per-batch cost is O(corpus scan) +
+    O(collisions) -- independent of corpus pair count, which is what
+    makes daily ingest dedup affordable at 100 TB."""
+    hashed = _hashed_staged(spark, sf_dir)
+    bucket = F.expr(_SPARK_BUCKET.format(m=100))
+    bands = (
+        hashed.select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.expr(_spark_minhash_sig()).alias("sig"),
+        )
+        .select(
+            "doc_id",
+            "bucket",
+            F.explode(F.expr(f"sequence(0, {N_BANDS - 1})")).alias("b"),
+            "sig",
+        )
+        .select(
+            "doc_id",
+            "bucket",
+            "b",
+            F.expr("element_at(sig, 2 * b + 1)").alias("h1"),
+            F.expr("element_at(sig, 2 * b + 2)").alias("h2"),
+        )
+    )
+    newb = bands.filter(F.col("bucket") >= NEW_BATCH_BUCKET).select(
+        F.col("doc_id").alias("new_doc"), "b", "h1", "h2"
+    )
+    oldb = bands.filter(F.col("bucket") < NEW_BATCH_BUCKET).select(
+        F.col("doc_id").alias("old_doc"), "b", "h1", "h2"
+    )
+    cand = (
+        oldb.join(F.broadcast(newb), ["b", "h1", "h2"])
+        .select("new_doc", "old_doc")
+        .dropDuplicates(["new_doc", "old_doc"])
+    )
+    sh = hashed.select("doc_id", "shingles")
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = F.size(F.array_intersect("sa.shingles", "sb.shingles"))
+    return (
+        cand.join(sa, F.col("new_doc") == F.col("sa.doc_id"))
+        .join(sb, F.col("old_doc") == F.col("sb.doc_id"))
+        .select(
+            "new_doc",
+            "old_doc",
+            F.round(
+                inter.cast("double")
+                / (
+                    F.size("sa.shingles")
+                    + F.size("sb.shingles")
+                    - inter
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("new_doc", "old_doc")
+    )

@@ -108,3 +108,42 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(decode_and_featurize(attach_payloads(docs))).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH audio AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(text), 1, 8))::BIGINT) AS h
+        FROM documents
+        WHERE doc_id % 3 = 1
+    ),
+    meta AS (
+        SELECT doc_id,
+               CAST([8000, 12000, 16000][CAST(h % 3 AS INT) + 1] AS BIGINT)
+                   AS sample_rate,
+               500 + (h // 16) % 10000 AS duration_ms
+        FROM audio
+    )
+    SELECT doc_id, sample_rate, duration_ms,
+           unnest(generate_series(0,
+               CAST((duration_ms - 250) // 125 AS BIGINT))) AS win_idx,
+           unnest(generate_series(0,
+               CAST((duration_ms - 250) // 125 AS BIGINT))) * 125 AS start_ms,
+           sample_rate * 250 // 1000 AS n_samples
+    FROM meta
+    ORDER BY doc_id, win_idx
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """250 ms / 50%-overlap audio analysis-window plan (deterministic
+    header stand-in; see pipelines.multimodal.audio_window_plan).  The
+    third modality's scheduling artifact alongside the image resize plan
+    and the video frame sampler."""
+    from wsu_cpts_415_spark.pipelines.multimodal import audio_window_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_window_plan(attach_payloads(docs)).orderBy(
+        "doc_id", "win_idx"
+    )
