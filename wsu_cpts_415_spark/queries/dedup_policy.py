@@ -30,9 +30,8 @@ from wsu_cpts_415_spark.queries.graph_ops import (
 )
 from wsu_cpts_415_spark.queries.similarity import (
     LSH_PAIRS_DUCK_CTES,
-    N_BANDS,
+    _bands_staged,
     _hashed_staged,
-    _spark_minhash_sig,
 )
 from wsu_cpts_415_spark.queries.text import QUALITY_DUCK_CTES
 from wsu_cpts_415_spark.registry import register
@@ -140,26 +139,7 @@ def incremental_neardup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes daily ingest dedup affordable at 100 TB."""
     hashed = _hashed_staged(spark, sf_dir)
     bucket = F.expr(_SPARK_BUCKET.format(m=100))
-    bands = (
-        hashed.select(
-            "doc_id",
-            bucket.alias("bucket"),
-            F.expr(_spark_minhash_sig()).alias("sig"),
-        )
-        .select(
-            "doc_id",
-            "bucket",
-            F.explode(F.expr(f"sequence(0, {N_BANDS - 1})")).alias("b"),
-            "sig",
-        )
-        .select(
-            "doc_id",
-            "bucket",
-            "b",
-            F.expr("element_at(sig, 2 * b + 1)").alias("h1"),
-            F.expr("element_at(sig, 2 * b + 2)").alias("h2"),
-        )
-    )
+    bands = _bands_staged(spark, sf_dir).withColumn("bucket", bucket)
     newb = bands.filter(F.col("bucket") >= NEW_BATCH_BUCKET).select(
         F.col("doc_id").alias("new_doc"), "b", "h1", "h2"
     )

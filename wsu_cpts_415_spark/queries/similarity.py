@@ -196,24 +196,40 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bands_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-staged slim band table (doc_id, b, h1, h2): the LSH bucket
+    keys for every document.  Shared by the corpus self-join
+    (minhash_lsh_pairs) and the asymmetric incremental check
+    (queries/dedup_policy.py) -- the signature math runs once per
+    session, like the shingle/hash projection underneath it."""
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    def build() -> DataFrame:
+        return (
+            _hashed_staged(spark, sf_dir)
+            .select("doc_id", F.expr(_spark_minhash_sig()).alias("sig"))
+            .select(
+                "doc_id",
+                F.explode(F.expr(f"sequence(0, {N_BANDS - 1})")).alias("b"),
+                "sig",
+            )
+            .select(
+                "doc_id",
+                "b",
+                F.expr("element_at(sig, 2 * b + 1)").alias("h1"),
+                F.expr("element_at(sig, 2 * b + 2)").alias("h2"),
+            )
+        )
+
+    return staged(spark, "minhash_bands", sf_dir, build)
+
+
 def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage 1: slim band table (doc_id, band, two signature slots) -- the
     # self-join shuffles ONLY ids + hashes, never text or shingle arrays.
     # The staged projection is computed once and read by the band build
     # AND both candidate-verification sides below.
-    bands = (
-        _hashed_staged(spark, sf_dir)
-        .select("doc_id", F.expr(_spark_minhash_sig()).alias("sig"))
-        .select(
-            "doc_id", F.explode(F.expr(f"sequence(0, {N_BANDS - 1})")).alias("b"), "sig"
-        )
-        .select(
-            "doc_id",
-            "b",
-            F.expr("element_at(sig, 2 * b + 1)").alias("h1"),
-            F.expr("element_at(sig, 2 * b + 2)").alias("h2"),
-        )
-    )
+    bands = _bands_staged(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
