@@ -225,3 +225,49 @@ def test_label_propagation_respects_graph_blocks(spark):
         node_n = int(r["node"][1:])
         comm_n = int(r["community"][1:])
         assert node_n // BLOCK == comm_n // BLOCK or node_n == comm_n
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+@settings(
+    deadline=None,
+    max_examples=12,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_kcore_peel_matches_python_fixpoint(spark, edges, k):
+    """The distributed bounded-round peel (with early exit) lands on the
+    true k-core fixpoint of arbitrary small graphs."""
+    from wsu_cpts_415_spark.queries.graph_ops2 import kcore_peel
+
+    pairs = [(a, b) for a, b in edges if a != b]
+    if not pairs:
+        return
+    # pure-python fixpoint peel
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    live = set(adj)
+    while True:
+        drop = {v for v in live if len(adj[v] & live) < k}
+        if not drop:
+            break
+        live -= drop
+    want = sorted((v, len(adj[v] & live)) for v in live)
+
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = sorted(
+        (r["id"], r["d"]) for r in kcore_peel(df, k, rounds=20).collect()
+    )
+    assert got == want

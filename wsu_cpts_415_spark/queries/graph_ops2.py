@@ -89,6 +89,17 @@ def kcore_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sound: the peel is monotone, so the fixpoint equals every later
     round, including the oracle's round {PEEL_ROUNDS})."""
     pairs = lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return kcore_peel(pairs, K_CORE, PEEL_ROUNDS).select(
+        F.col("id").alias("doc_id"), F.col("d").alias("core_degree")
+    ).orderBy("doc_id")
+
+
+def kcore_peel(pairs: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Generic bounded-round k-core kernel: undirected pair graph
+    (doc_a, doc_b) in, surviving (id, d) out after <= ``rounds``
+    synchronous peels (early exit at the fixpoint, which equals every
+    later round by monotonicity).  Property-tested against a pure-Python
+    peel on random graphs in tests/test_properties.py."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -99,9 +110,9 @@ def kcore_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     live = edges.select(F.col("src").alias("id")).distinct()
-    degrees = None
+    degrees = live.select("id", F.lit(0).cast("long").alias("d"))
     prev_n = live.count()
-    for _ in range(PEEL_ROUNDS):
+    for _ in range(rounds):
         alive_a = live.select(F.col("id").alias("src"))
         alive_b = live.select(F.col("id").alias("dst"))
         degrees = (
@@ -109,7 +120,7 @@ def kcore_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(alive_b, "dst", "left_semi")
             .groupBy(F.col("src").alias("id"))
             .agg(F.count("*").alias("d"))
-            .filter(F.col("d") >= K_CORE)
+            .filter(F.col("d") >= k)
             .coalesce(4)
             .localCheckpoint(eager=True)
         )
@@ -118,9 +129,7 @@ def kcore_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n == prev_n:
             break
         prev_n = n
-    return degrees.select(
-        F.col("id").alias("doc_id"), F.col("d").alias("core_degree")
-    ).orderBy("doc_id")
+    return degrees
 
 
 @register(
