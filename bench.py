@@ -123,6 +123,7 @@ HEADLINE = [
     "multimodal_audio_windows",
     "dedup_survivorship_quality",
     "incremental_neardup_check",
+    "rfm_segmentation",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

@@ -147,3 +147,41 @@ def test_scd2_merge_tracks_history(spark, tmp_path):
     )
     assert stats2["closed"] == 0 and stats2["opened"] == 0
     assert stats2["after"] == stats["after"]
+
+
+def test_maintenance_handles_empty_inputs(spark, tmp_path):
+    """Empty update batches and empty stores must be no-ops, not crashes:
+    the first thing an incremental pipeline hits in production is a day
+    with no data."""
+    from wsu_cpts_415_spark.io.formats import read_store, write_store
+    from wsu_cpts_415_spark.io.maintenance import merge_scd2, merge_upsert, scd2_init
+
+    cust = load_table(spark, SF_ORACLE, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    empty = cust.filter(F.lit(False))
+    n0 = cust.count()
+
+    # SCD-1 with an empty batch: store unchanged
+    store1 = str(tmp_path / "scd1")
+    cust.write.parquet(store1)
+    stats = merge_upsert(spark, store1, empty, keys=["c_custkey"])
+    assert stats["after"] == n0 and stats["replaced"] == 0
+
+    # SCD-2 with an empty batch: nothing closed or opened
+    store2 = str(tmp_path / "scd2")
+    scd2_init(spark, store2, cust, version=1)
+    stats2 = merge_scd2(
+        spark, store2, empty,
+        keys=["c_custkey"], tracked=["c_nationkey", "c_acctbal"], version=2,
+    )
+    assert stats2["closed"] == 0 and stats2["opened"] == 0
+    assert stats2["after"] == n0
+
+    # format round-trip of an empty frame preserves the schema
+    for fmt in ("parquet", "orc"):
+        p = str(tmp_path / f"empty_{fmt}")
+        write_store(empty, p, fmt)
+        back = read_store(spark, p, fmt, schema=empty.schema)
+        assert back.count() == 0
+        assert back.schema == empty.schema

@@ -117,3 +117,88 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH anchor AS (
+        SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events
+    ),
+    base AS (
+        SELECT user_id,
+               CAST(date_diff('day', MAX(CAST(ts AS TIMESTAMP)),
+                              (SELECT max_ts FROM anchor)) AS BIGINT)
+                   AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               ROUND(SUM(value), 4) AS monetary
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id, recency_days, frequency, monetary,
+               NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r,
+               NTILE(5) OVER (ORDER BY frequency, user_id) AS f,
+               NTILE(5) OVER (ORDER BY monetary, user_id) AS m
+        FROM base
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(r * 100 + f * 10 + m AS INT) AS rfm_code
+    FROM scored
+    ORDER BY user_id
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation over
+    purchase events: per-user days-since-last-purchase anchored at the
+    dataset's max timestamp (reproducible -- no wall clock), purchase
+    count, and value total, each scored 1-5 by NTILE with a user_id
+    tie-break so both engines cut identical quintiles; rfm_code packs
+    the three digits.
+
+    Scale: one filtered aggregate over users, then three windows over
+    the per-USER table (bounded cardinality, same posture as the
+    heavy-hitter and cohort queries -- the event stream itself is never
+    windowed)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    anchor = purchases.agg(F.max("ts").alias("max_ts"))
+    base = (
+        purchases.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("value"), 4).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("max_ts"), F.to_date("last_ts"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.col("recency_days").desc(), "user_id")
+    )
+    f = F.ntile(5).over(Window.orderBy("frequency", "user_id"))
+    m = F.ntile(5).over(Window.orderBy("monetary", "user_id"))
+    return (
+        base.select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            r.alias("r"),
+            f.alias("f"),
+            m.alias("m"),
+        )
+        .withColumn(
+            "rfm_code", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int")
+        )
+        .orderBy("user_id")
+    )
