@@ -124,6 +124,7 @@ HEADLINE = [
     "dedup_survivorship_quality",
     "incremental_neardup_check",
     "rfm_segmentation",
+    "sql_filtered_aggregates",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

@@ -185,3 +185,42 @@ def test_maintenance_handles_empty_inputs(spark, tmp_path):
         back = read_store(spark, p, fmt, schema=empty.schema)
         assert back.count() == 0
         assert back.schema == empty.schema
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    """Continuous-aggregate maintenance: append batches day-by-day,
+    refresh only touched days, and the rollup must equal the full
+    recompute -- including a late-arriving batch that lands on an
+    already-rolled-up day."""
+    from wsu_cpts_415_spark.io.maintenance import refresh_daily_rollup
+    from wsu_cpts_415_spark.io.tables import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    events_dir = str(tmp_path / "events_store")
+    rollup_dir = str(tmp_path / "rollup")
+
+    d0 = F.to_date("ts")
+    lo = ev.agg(F.min(d0)).first()[0]
+    b1 = ev.filter(d0 <= F.lit(lo))          # day one
+    b2 = ev.filter((d0 > F.lit(lo)) & (F.col("event_type") != "error"))
+    b3 = ev.filter((d0 > F.lit(lo)) & (F.col("event_type") == "error"))  # late rows on old days
+
+    b1.write.mode("overwrite").parquet(events_dir)
+    refresh_daily_rollup(spark, events_dir, rollup_dir, b1)
+    b2.write.mode("append").parquet(events_dir)
+    refresh_daily_rollup(spark, events_dir, rollup_dir, b2)
+    b3.write.mode("append").parquet(events_dir)
+    refresh_daily_rollup(spark, events_dir, rollup_dir, b3)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(rollup_dir).collect())
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(events_dir)
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .collect()
+    )
+    assert got == want

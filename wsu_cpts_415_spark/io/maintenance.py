@@ -179,6 +179,49 @@ def merge_scd2(
     }
 
 
+def refresh_daily_rollup(
+    spark: SparkSession,
+    events_dir: str,
+    rollup_dir: str,
+    batch: DataFrame,
+) -> dict[str, int]:
+    """Incremental continuous-aggregate maintenance (the hypertable
+    rollup pattern): given a newly-landed ``batch`` of events, recompute
+    the per-(day, event_type) rollup ONLY for the days the batch
+    touches, and upsert those rows into the rollup store.  Every other
+    day's rollup rows are untouched -- the refresh cost tracks the
+    batch's day span, not the stream's history, which is what makes a
+    continuously-maintained aggregate affordable over years of 100 TB
+    history.
+
+    Correctness contract (tested): after any sequence of appends +
+    refreshes, the rollup store equals the full recompute over the whole
+    events store.  Days are recomputed from the FULL events store (not
+    the batch alone) so late rows landing on an existing day replace
+    that day's rollup rather than double-counting it."""
+    days = [r["d"] for r in batch.select(F.to_date("ts").alias("d")).distinct().collect()]
+    if not days:
+        return {"days_refreshed": 0}
+    events = spark.read.parquet(events_dir)
+    fresh = (
+        events.filter(F.to_date("ts").isin(days))
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    if not os.path.exists(rollup_dir):
+        tmp = rollup_dir.rstrip("/") + f".tmp-{uuid.uuid4().hex[:8]}"
+        fresh.write.mode("overwrite").parquet(tmp)
+        _swap_into(tmp, rollup_dir)
+        return {"days_refreshed": len(days)}
+    merge_upsert(
+        spark, rollup_dir, fresh, keys=["day", "event_type"]
+    )
+    return {"days_refreshed": len(days)}
+
+
 def table_file_stats(store_dir: str) -> dict[str, int]:
     """(n_files, total_bytes) of the parquet data files under a store."""
     n, total = 0, 0

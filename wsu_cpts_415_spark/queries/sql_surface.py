@@ -102,3 +102,29 @@ def sql_recursive_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth = days of history, well inside default iteration limits."""
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+_FILTERED_AGG_SQL = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_finished,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+               AS finished_price,
+           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@register("sql_filtered_aggregates", oracle=_FILTERED_AGG_SQL)
+def sql_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregates -- conditional counts and sums
+    without CASE scaffolding -- as one SQL text accepted verbatim by
+    both engines.  Catalyst compiles each FILTER into the same
+    conditional partial aggregate a sum-of-if produces: one scan, one
+    exchange, map-side combine intact."""
+    register_views(spark, sf_dir)
+    return spark.sql(_FILTERED_AGG_SQL)
