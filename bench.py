@@ -125,6 +125,7 @@ HEADLINE = [
     "incremental_neardup_check",
     "rfm_segmentation",
     "sql_filtered_aggregates",
+    "er_match_scores",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

@@ -224,3 +224,23 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_parquet_layout_audit_reads_footers(spark):
+    """The layout audit reports real footer facts for a fixture table:
+    row counts reconcile with the data, byte counts are positive, and
+    lineitem's sorted-ish key columns carry min/max stats a range scan
+    can skip on."""
+    from wsu_cpts_415_spark.io.layout_audit import layout_summary, parquet_layout_audit
+
+    path = f"{SF_ORACLE}/lineitem.parquet"
+    audit = parquet_layout_audit(spark, path)
+    n_rows_data = spark.read.parquet(path).count()
+    one_col = audit.filter(F.col("column") == "l_orderkey")
+    assert one_col.agg(F.sum("n_rows")).first()[0] == n_rows_data
+    assert audit.filter(F.col("compressed_bytes") <= 0).count() == 0
+
+    summary = layout_summary(audit)
+    row = {r["column"]: r for r in summary.collect()}
+    assert row["l_orderkey"]["minmax_coverage"] == 1.0
+    assert row["l_orderkey"]["compression_ratio"] > 1.0

@@ -216,6 +216,16 @@ def levenshtein_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 53 s vs 0.7 s at sf0.1).  Production stacks several such
     passes with different keys to recover blocking misses (standard
     multi-pass record linkage, Christen 2012)."""
+    return lev_candidates(spark, sf_dir).select(
+        "lang", "blk", "doc_a", "doc_b", "dist"
+    ).orderBy("lang", "blk", "doc_a", "doc_b")
+
+
+def lev_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance candidates with per-side lengths:
+    (lang, blk, doc_a, doc_b, dist, len_a, len_b).  Shared by the
+    registered pair query and the entity-resolution scorer
+    (queries/er_scoring.py)."""
     docs = load_table(spark, sf_dir, "documents")
     blocked = docs.select(
         "doc_id",
@@ -223,6 +233,7 @@ def levenshtein_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / LEV_BLOCK_CHARS).cast("bigint").alias("blk"),
         F.split("text", " ").getItem(0).alias("tok0"),
         F.substring("text", 1, LEV_PREFIX).alias("prefix"),
+        F.col("n_chars").alias("len_chars"),
     )
     a = blocked.select(
         "lang",
@@ -230,6 +241,7 @@ def levenshtein_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok0",
         F.col("doc_id").alias("doc_a"),
         F.col("prefix").alias("pa"),
+        F.col("len_chars").alias("len_a"),
     )
     b = blocked.select(
         "lang",
@@ -237,6 +249,7 @@ def levenshtein_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok0",
         F.col("doc_id").alias("doc_b"),
         F.col("prefix").alias("pb"),
+        F.col("len_chars").alias("len_b"),
     )
     dist = F.levenshtein(F.col("pa"), F.col("pb"), LEV_MAX_DIST)
     return (
@@ -248,8 +261,17 @@ def levenshtein_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             dist.alias("dist"),
+            "len_a",
+            "len_b",
         )
         .filter((F.col("dist") >= 0) & (F.col("dist") <= LEV_MAX_DIST))
-        .select("lang", "blk", "doc_a", "doc_b", F.col("dist").cast("int").alias("dist"))
-        .orderBy("lang", "blk", "doc_a", "doc_b")
+        .select(
+            "lang",
+            "blk",
+            "doc_a",
+            "doc_b",
+            F.col("dist").cast("int").alias("dist"),
+            "len_a",
+            "len_b",
+        )
     )
