@@ -409,3 +409,27 @@ def test_expectations_single_scan(spark, qs):
     plan = fmt_plan(qs["expectations_report"].fn(spark, SF_ORACLE))
     assert plan.count("Location:") == 1
     assert "Union" not in plan
+
+
+def test_rfm_windows_run_on_user_table(spark, qs):
+    """RFM's three NTILE windows sort the per-user aggregate, not raw
+    events: the plan aggregates before any Window node."""
+    plan = fmt_plan(qs["rfm_segmentation"].fn(spark, SF_ORACLE))
+    assert "Window" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_incremental_check_broadcasts_batch_bands(spark, qs):
+    """The new-batch band table must broadcast against the corpus bands
+    -- the asymmetry that keeps per-batch cost corpus-independent."""
+    plan = fmt_plan(qs["incremental_neardup_check"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_er_scoring_topk_short_circuits(spark, qs):
+    """Composite scoring ends in TakeOrderedAndProject, never a global
+    sort of the candidate set."""
+    plan = fmt_plan(qs["er_match_scores"].fn(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
