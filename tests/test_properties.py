@@ -271,3 +271,72 @@ def test_kcore_peel_matches_python_fixpoint(spark, edges, k):
         (r["id"], r["d"]) for r in kcore_peel(df, k, rounds=20).collect()
     )
     assert got == want
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),   # key
+                st.integers(min_value=0, max_value=3),   # tracked value
+            ),
+            min_size=0,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(
+    deadline=None,
+    max_examples=6,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_matches_reference_model(spark, tmp_path_factory, batches):
+    """merge_scd2 against a dict-based SCD-2 simulation over arbitrary
+    batch sequences: same current rows, same closed history."""
+    from wsu_cpts_415_spark.io.maintenance import merge_scd2, scd2_init
+
+    store = str(tmp_path_factory.mktemp("scd2prop") / "store")
+    init = [(k, k * 10) for k in range(3)]  # keys 0-2 live at v1
+    spark.createDataFrame(init, "k long, v long").createOrReplaceTempView("_i")
+    scd2_init(
+        spark, store, spark.createDataFrame(init, "k long, v long"), version=1
+    )
+
+    # python model: key -> list of [v, valid_from, valid_to]
+    model = {k: [[v, 1, None]] for k, v in init}
+    version = 1
+    for batch in batches:
+        version += 1
+        dedup = {}
+        for k, v in batch:  # last write in a batch wins, like the frame
+            dedup[k] = v
+        bdf = spark.createDataFrame(
+            [(k, v) for k, v in sorted(dedup.items())] or [],
+            "k long, v long",
+        )
+        merge_scd2(
+            spark, store, bdf, keys=["k"], tracked=["v"], version=version
+        )
+        for k, v in dedup.items():
+            if k in model:
+                cur = model[k][-1]
+                if cur[0] != v:
+                    cur[2] = version
+                    model[k].append([v, version, None])
+            else:
+                model[k] = [[v, version, None]]
+
+    got = sorted(
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in __import__("pyspark").sql.SparkSession.getActiveSession()
+        .read.parquet(store)
+        .collect()
+    )
+    want = sorted(
+        (k, v, vf, vt, vt is None)
+        for k, rows in model.items()
+        for v, vf, vt in rows
+    )
+    assert got == want
