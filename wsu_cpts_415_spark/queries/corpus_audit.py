@@ -494,11 +494,16 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a 100 TB dedup pass.
 
     Both pair tables are session-staged slivers; the audit itself is one
-    full-outer join on the pair key plus one aggregate."""
-    from wsu_cpts_415_spark.queries.text import exact_jaccard_pairs
+    full-outer join on the pair key plus one aggregate.  Ground truth
+    comes from the block-matmul kernel (``exact_pairs_above``) rather
+    than the posting-list join: on this narrow-vocabulary fixture the
+    join path materializes ~all-pairs (10.3M rows, 47 s at sf0.1) to
+    keep a few hundred survivors; the sgemm kernel computes the same
+    exact counts in ~2 s and emits survivors only."""
+    from wsu_cpts_415_spark.queries.text import SHARED_SHINGLE_TAU, exact_pairs_above
 
     exact = (
-        exact_jaccard_pairs(spark, sf_dir)
+        exact_pairs_above(spark, sf_dir, SHARED_SHINGLE_TAU)
         .filter(F.col("jaccard") >= NEARDUP_THRESHOLD)
         .select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
     )

@@ -107,7 +107,10 @@ def er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     record linkage -- one weak signal misfires (word-soup prefixes look
     alike), the combination separates real near-dups from block
     coincidences."""
-    from wsu_cpts_415_spark.queries.text import exact_jaccard_pairs
+    from wsu_cpts_415_spark.queries.text import (
+        SHARED_SHINGLE_TAU,
+        exact_pairs_above,
+    )
 
     cand = lev_candidates(spark, sf_dir).withColumn(
         "plen",
@@ -116,11 +119,20 @@ def er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(LEV_PREFIX), F.col("len_b")),
         ),
     )
-    jac = exact_jaccard_pairs(spark, sf_dir).select(
+    # the sgemm pair kernel at the shared-shingle floor = exactly the
+    # posting-list jac table, staged once and shared with the recall audit
+    jac = exact_pairs_above(spark, sf_dir, SHARED_SHINGLE_TAU).select(
         "doc_a", "doc_b", "jaccard"
     )
+    # The jac table is pairs-scale (10M rows at sf0.1); the candidate set
+    # is block-bounded.  Probe the big table map-side with the broadcast
+    # candidate keys, then broadcast the (candidate-sized) hits back --
+    # the pair table itself never shuffles.
+    hits = jac.join(
+        F.broadcast(cand.select("doc_a", "doc_b")), ["doc_a", "doc_b"]
+    )
     scored = (
-        cand.join(jac, ["doc_a", "doc_b"], "left")
+        cand.join(F.broadcast(hits), ["doc_a", "doc_b"], "left")
         .select(
             "doc_a",
             "doc_b",

@@ -223,9 +223,18 @@ def levenshtein_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lev_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance candidates with per-side lengths:
-    (lang, blk, doc_a, doc_b, dist, len_a, len_b).  Shared by the
-    registered pair query and the entity-resolution scorer
-    (queries/er_scoring.py)."""
+    (lang, blk, doc_a, doc_b, dist, len_a, len_b).  Session-staged --
+    the banded DP is the dominant cost and both the registered pair
+    query and the entity-resolution scorer (queries/er_scoring.py)
+    consume the identical table."""
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    return staged(
+        spark, "lev_candidates", sf_dir, lambda: _lev_candidates(spark, sf_dir)
+    )
+
+
+def _lev_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blocked = docs.select(
         "doc_id",

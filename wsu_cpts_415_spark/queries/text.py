@@ -379,6 +379,110 @@ def _shingle_rows_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# tau below 1/(max |A|+|B|): keeps exactly the pairs sharing >= 1 shingle,
+# i.e. the same pair set the posting-list join enumerates
+SHARED_SHINGLE_TAU = 1e-6
+
+
+def exact_pairs_above(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
+    """Exact pairs with Jaccard >= ``tau`` via the BLOCK-MATMUL kernel
+    (the ngram_jaccard_matmul machinery emitting a threshold filter
+    instead of a top-k): (doc_a, doc_b, jaccard), session-staged.
+
+    Why not the inverted-index join for this: on a narrow-vocabulary
+    corpus nearly every doc pair shares a shingle, so the posting-list
+    pair explosion materializes ~all-pairs rows (10.3M at sf0.1, 47 s)
+    to keep the handful above threshold.  The sgemm kernel computes the
+    same intersection counts as dense math in a fraction of the time
+    and emits only survivors.  Intersections/degrees are exact integers
+    in float32; the Jaccard division is done in float64, so the
+    threshold compare agrees bit-for-bit with the oracle's double
+    arithmetic."""
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    def build() -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from wsu_cpts_415_spark.queries.similarity import _hashed_staged
+
+        n_blocks = 8
+        compact = _hashed_staged(spark, sf_dir).select(
+            "doc_id",
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("hs"),
+            (F.col("doc_id") % n_blocks).cast("int").alias("blk"),
+        )
+        replicated = compact.select(
+            "doc_id",
+            "blk",
+            "hs",
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("c"),
+        ).select(
+            F.least("blk", "c").alias("bi"),
+            F.greatest("blk", "c").alias("bj"),
+            "doc_id",
+            "blk",
+            "hs",
+        )
+        out_schema = "doc_a long, doc_b long, jaccard double"
+
+        def pair_block_threshold(key, pdf):
+            bi, bj = key
+            empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+            a_rows = pdf[pdf["blk"] == bi].sort_values("doc_id")
+            b_rows = (
+                a_rows if bi == bj else pdf[pdf["blk"] == bj].sort_values("doc_id")
+            )
+            if a_rows.empty or b_rows.empty:
+                return empty
+            all_hashes = np.concatenate(
+                [
+                    np.concatenate(a_rows["hs"].values),
+                    np.concatenate(b_rows["hs"].values),
+                ]
+            )
+            vocab = np.unique(all_hashes)
+            vsize = len(vocab)
+
+            def indicator(rows: pd.DataFrame) -> np.ndarray:
+                S = np.zeros((len(rows), vsize), dtype=np.float32)
+                for i, hs in enumerate(rows["hs"].values):
+                    S[i, np.searchsorted(vocab, hs)] = 1.0
+                return S
+
+            SA = indicator(a_rows)
+            SB = SA if bi == bj else indicator(b_rows)
+            C = (SA @ SB.T).astype(np.float64)  # exact counts < 2^24
+            na = SA.sum(axis=1, dtype=np.float64)[:, None]
+            nb = SB.sum(axis=1, dtype=np.float64)[None, :]
+            jac = C / (na + nb - C)
+            a_ids = a_rows["doc_id"].values[:, None]
+            b_ids = b_rows["doc_id"].values[None, :]
+            mask = (a_ids < b_ids) if bi == bj else (a_ids != b_ids)
+            # round-then-compare, matching the oracle's ROUND(...) >= tau
+            mask &= np.round(jac, 6) >= tau
+            ai, bix = np.nonzero(mask)
+            if len(ai) == 0:
+                return empty
+            doc_a = a_rows["doc_id"].values[ai]
+            doc_b = b_rows["doc_id"].values[bix]
+            return pd.DataFrame(
+                {
+                    "doc_a": np.minimum(doc_a, doc_b),
+                    "doc_b": np.maximum(doc_a, doc_b),
+                    "jaccard": jac[ai, bix],
+                }
+            )
+
+        return (
+            replicated.groupBy("bi", "bj")
+            .applyInPandas(pair_block_threshold, schema=out_schema)
+            .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+
+    return staged(spark, f"exact_pairs_above_{tau}", sf_dir, build)
+
+
 def exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full exact pair table (doc_a, doc_b, jaccard) for every pair
     sharing at least one shingle -- the inverted-index pipeline of
