@@ -126,6 +126,8 @@ HEADLINE = [
     "rfm_segmentation",
     "sql_filtered_aggregates",
     "er_match_scores",
+    "span_corruption_plan",
+    "dataset_card_stats",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

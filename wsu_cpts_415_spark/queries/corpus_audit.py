@@ -616,3 +616,43 @@ def hash_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", F.col("rn").cast("int").alias("rn"))
         .orderBy("lang", "rn")
     )
+
+
+@register(
+    "dataset_card_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_doc_tokens,
+           ROUND(COUNT(*) FILTER (WHERE lang = 'en') * 100.0 / COUNT(*), 4)
+               AS pct_english,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+               AS n_exact_dups
+    FROM documents
+    """,
+)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card headline block in one scan: corpus size, language
+    and source cardinalities, token/char volume, English share, and the
+    exact-duplicate count -- the numbers every dataset release documents
+    first (Gebru et al. 2021 datasheets; HF dataset cards).  Everything
+    is a conditional or distinct aggregate over the single pass, so the
+    card costs one table scan regardless of how many stats it grows."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(n_tokens).cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg(n_tokens), 4).alias("avg_doc_tokens"),
+        F.round(
+            F.sum((F.col("lang") == "en").cast("long")) * 100.0 / F.count("*"),
+            4,
+        ).alias("pct_english"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_exact_dups"),
+    )

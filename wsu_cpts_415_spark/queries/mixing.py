@@ -297,3 +297,80 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("bucket"),
     )
     return dec.filter(F.col("bucket") < F.col("decile") * 10).orderBy("doc_id")
+
+
+CORRUPT_RATE = 0.15  # fraction of tokens covered by noise spans (T5)
+CORRUPT_SPAN = 3  # mean/fixed span length in tokens
+
+
+@register(
+    "span_corruption_plan",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    plan AS (
+        SELECT doc_id, n_tokens,
+               CAST(ROUND(n_tokens * {CORRUPT_RATE} / {CORRUPT_SPAN})
+                    AS BIGINT) AS n_spans
+        FROM toks
+        WHERE n_tokens > {CORRUPT_SPAN}
+          AND ROUND(n_tokens * {CORRUPT_RATE} / {CORRUPT_SPAN}) >= 1
+    )
+    SELECT doc_id,
+           CAST(t.i AS BIGINT) AS span_idx,
+           1 + (('0x' || substr(md5(CAST(doc_id * 1000 + t.i AS VARCHAR)),
+                                1, 8))::BIGINT
+                % (n_tokens - {CORRUPT_SPAN})) AS start_tok,
+           CAST({CORRUPT_SPAN} AS BIGINT) AS span_len
+    FROM plan, UNNEST(generate_series(1, CAST(n_spans AS INT))) AS t(i)
+    ORDER BY doc_id, span_idx
+    """,
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption plan: for each document, the
+    deterministic set of noise spans a denoising-objective writer would
+    mask -- ~{CORRUPT_RATE:.0%} of tokens in {CORRUPT_SPAN}-token spans,
+    span starts drawn by keyed md5 arithmetic (reproducible under any
+    partitioning; overlapping starts are legal and resolved by the
+    writer exactly as in the reference T5 pipeline's random-span
+    sampling, Raffel et al. 2020 §3.1.4).
+
+    Pure row-local arithmetic plus one explode of n_spans per document:
+    no shuffle, output size ~rate/span x corpus tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > CORRUPT_SPAN)
+    # n_spans >= 1 filter matters: Spark's sequence(1, 0) DESCENDS to
+    # [1, 0] instead of being empty (DuckDB's generate_series is empty),
+    # so a zero-span doc would fabricate two spans on one engine only
+    plan = toks.withColumn(
+        "n_spans",
+        F.round(F.col("n_tokens") * CORRUPT_RATE / CORRUPT_SPAN).cast(
+            "bigint"
+        ),
+    ).filter(F.col("n_spans") >= 1)
+    start = 1 + F.expr(
+        "pmod(cast(conv(substr(md5(cast(doc_id * 1000 + i as string)), 1, 8),"
+        f" 16, 10) as bigint), n_tokens - {CORRUPT_SPAN})"
+    )
+    return (
+        plan.select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_spans").cast("int"))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("bigint").alias("span_idx"),
+            start.alias("start_tok"),
+            F.lit(CORRUPT_SPAN).cast("bigint").alias("span_len"),
+        )
+        .orderBy("doc_id", "span_idx")
+    )
