@@ -128,6 +128,7 @@ HEADLINE = [
     "er_match_scores",
     "span_corruption_plan",
     "dataset_card_stats",
+    "string_agg_per_group",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

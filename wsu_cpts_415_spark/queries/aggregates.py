@@ -380,3 +380,40 @@ def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "string_agg_per_group",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    ORDER BY region
+    """,
+)
+def string_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): nations per
+    region as one alphabetized CSV cell.  collect_list order is
+    partition-nondeterministic in a distributed engine, so the sort
+    guarantee is made EXPLICIT (array_sort before array_join) -- the
+    registry's determinism rule for order-sensitive aggregates, and the
+    reason the output is a scalar string the driver canonicalizer can
+    sort."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("region")
+    )

@@ -406,6 +406,8 @@ def exact_pairs_above(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame
 
         from wsu_cpts_415_spark.queries.similarity import _hashed_staged
 
+        # the per-task memory knob: grow ~ sqrt(docs) to hold block
+        # populations (and the dense per-block-pair matrices) constant
         n_blocks = 8
         compact = _hashed_staged(spark, sf_dir).select(
             "doc_id",
