@@ -169,6 +169,34 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Fixed historical subsets so cross-round totals stay comparable as
+    # the suite grows: the round-3 57-query headline set.
+    r3_set = {
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "q10_returned_items", "q4_order_priority", "q12_shipmode_priority",
+        "q14_promo_revenue", "q18_large_orders", "q2_min_cost_supplier",
+        "q7_volume_shipping", "q9_product_type_profit",
+        "q13_customer_distribution", "q21_suppliers_waiting",
+        "flagship_top_customers", "join_star_revenue",
+        "join_asof_last_signup", "sql_top_suppliers", "topn_per_group",
+        "rollup_agg", "window_tumbling", "session_windows",
+        "sessionize_lag", "dedup_exact", "minhash_lsh_pairs",
+        "simhash_fingerprints", "simhash_hamming_pairs", "ann_ivf_probe",
+        "grouping_sets_agg", "ngram_jaccard_matmul",
+        "cosine_topk_bruteforce", "ann_lsh_bucketed",
+        "dedup_embedding_cosine", "quality_score", "doc_fingerprint",
+        "repetition_filter", "contamination_containment",
+        "neardup_clusters", "neardup_dedup_summary", "pagerank_videos",
+        "tfidf_top_terms", "bm25_rank", "retention_cohorts",
+        "activity_streaks", "kmeans_lloyd", "stratified_sample_lang",
+        "neardup_consensus_pairs", "zscore_anomalies",
+        "event_transition_matrix", "rolling_7d_avg", "histogram_bins",
+        "mode_per_group", "curation_funnel", "ref_link_analysis",
+        "ref_trending_rankings", "ref_correlation_matrix",
+        "multimodal_decode_features",
+    }
+    r3_subtotal = round(sum(v for k, v in timings.items() if k in r3_set), 3)
     print(
         json.dumps(
             {
@@ -178,8 +206,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
                 # the headline set grows as operators land; compare rounds
-                # per-query (the "queries" map), not by raw total
+                # per-query (the "queries" map) or via the fixed subset
                 "n_queries": len(timings),
+                "r3_subtotal_sec": r3_subtotal,
             }
         )
     )
