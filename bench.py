@@ -129,6 +129,8 @@ HEADLINE = [
     "span_corruption_plan",
     "dataset_card_stats",
     "string_agg_per_group",
+    "embedding_covariance_topdims",
+    "lang_drift_chisq",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

@@ -656,3 +656,78 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct_english"),
         (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_exact_dups"),
     )
+
+
+@register(
+    "lang_drift_chisq",
+    oracle="""
+    WITH obs AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source, lang
+    ),
+    src_tot AS (
+        SELECT source, CAST(SUM(n) AS DOUBLE) AS src_n FROM obs
+        GROUP BY source
+    ),
+    lang_share AS (
+        SELECT lang, SUM(n) * 1.0 / (SELECT SUM(n) FROM obs) AS p
+        FROM obs GROUP BY lang
+    ),
+    cells AS (
+        SELECT o.source,
+               POWER(o.n - s.src_n * l.p, 2) / (s.src_n * l.p) AS cell
+        FROM obs o
+        JOIN src_tot s USING (source)
+        JOIN lang_share l USING (lang)
+    )
+    SELECT source, ROUND(SUM(cell), 6) AS chi_sq,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM cells
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def lang_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitor: per-source chi-square statistic of the
+    source's language mix against the corpus-wide mix (expected counts =
+    source volume x corpus language share).  The drift alarm a corpus
+    refresh pipeline runs per ingest batch -- a source whose mix lurches
+    from the corpus profile gets quarantined before it skews training.
+
+    Three bounded aggregates (source x lang cells, source totals,
+    language shares) and row-local arithmetic; the observed-cell table
+    is the only thing that ever shuffles, and it is |sources| x |langs|
+    rows.  (Cells where a language is absent from a source contribute
+    only through present cells -- both engines enumerate the same
+    observed cells, so the statistic is identically defined.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    src_tot = obs.groupBy("source").agg(
+        F.sum("n").cast("double").alias("src_n")
+    )
+    corpus_n = obs.agg(F.sum("n").cast("double").alias("corpus_n"))
+    lang_share = (
+        obs.groupBy("lang")
+        .agg(F.sum("n").alias("lang_n"))
+        .crossJoin(F.broadcast(corpus_n))
+        .select("lang", (F.col("lang_n") / F.col("corpus_n")).alias("p"))
+    )
+    cells = (
+        obs.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(lang_share), "lang")
+        .select(
+            "source",
+            (
+                F.pow(F.col("n") - F.col("src_n") * F.col("p"), 2)
+                / (F.col("src_n") * F.col("p"))
+            ).alias("cell"),
+        )
+    )
+    return (
+        cells.groupBy("source")
+        .agg(
+            F.round(F.sum("cell"), 6).alias("chi_sq"),
+            F.count("*").alias("n_cells"),
+        )
+        .orderBy("source")
+    )

@@ -245,3 +245,71 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+COV_DIMS = 8  # leading dimensions entering the covariance audit
+
+
+@register(
+    "embedding_covariance_topdims",
+    oracle=f"""
+    WITH emb AS (
+        SELECT {", ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) AS d{i}"
+            for i in range(COV_DIMS)
+        )}
+        FROM embeddings
+    )
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS dim_i, {j} AS dim_j,"
+            f" ROUND(covar_samp(d{i}, d{j}), 6) AS cov FROM emb"
+            for i in range(COV_DIMS)
+            for j in range(COV_DIMS)
+            if i <= j
+        )}
+    )
+    ORDER BY dim_i, dim_j
+    """,
+)
+def embedding_covariance_topdims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance matrix of the leading {COV_DIMS} embedding
+    dimensions -- the distributed kernel under PCA/whitening/ZCA: all
+    {COV_DIMS}*({COV_DIMS}+1)/2 upper-triangle entries in ONE aggregate
+    pass over the table (the eigendecomposition that follows is
+    model-sized driver math, exactly the k x dim exchange contract of
+    ``kmeans_lloyd``).
+
+    covar_samp is numerically the same two-pass-free update in both
+    engines; entries are rounded to 6 decimals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        *[
+            F.element_at("embedding", i + 1).cast("double").alias(f"d{i}")
+            for i in range(COV_DIMS)
+        ]
+    )
+    aggs = [
+        F.round(F.covar_samp(f"d{i}", f"d{j}"), 6).alias(f"c_{i}_{j}")
+        for i in range(COV_DIMS)
+        for j in range(COV_DIMS)
+        if i <= j
+    ]
+    wide = dims.agg(*aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("dim_i"),
+                F.lit(j).alias("dim_j"),
+                F.col(f"c_{i}_{j}").alias("cov"),
+            )
+            for i in range(COV_DIMS)
+            for j in range(COV_DIMS)
+            if i <= j
+        ]
+    )
+    return (
+        wide.select(F.explode(cells).alias("c"))
+        .select("c.dim_i", "c.dim_j", "c.cov")
+        .orderBy("dim_i", "dim_j")
+    )
