@@ -131,6 +131,7 @@ HEADLINE = [
     "string_agg_per_group",
     "embedding_covariance_topdims",
     "lang_drift_chisq",
+    "pca_projection_check",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

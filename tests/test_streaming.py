@@ -140,3 +140,39 @@ def test_foreachbatch_parquet_sink(spark, tmp_path):
     # replay with same checkpoint: no new input -> no new rows
     stream_to_parquet(read_events_stream(spark, SF_SMOKE), out, ckpt)
     assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_stream_maintained_rollup_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    """foreachBatch + incremental rollup refresh: after streaming the
+    events source into a store, the continuously-maintained daily rollup
+    equals the batch recompute over everything that arrived."""
+    from wsu_cpts_415_spark.streaming.jobs import stream_maintain_rollup
+
+    events_dir = str(tmp_path / "events_store")
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    stream_maintain_rollup(
+        read_events_stream(spark, SF_SMOKE), events_dir, rollup_dir, ckpt
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(rollup_dir).collect())
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(events_dir)
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .collect()
+    )
+    assert got == want
+    # replay with the same checkpoint: nothing new arrives, rollup unchanged
+    stream_maintain_rollup(
+        read_events_stream(spark, SF_SMOKE), events_dir, rollup_dir, ckpt
+    )
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(rollup_dir).collect())
+        == got
+    )

@@ -313,3 +313,74 @@ def embedding_covariance_topdims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c.dim_i", "c.dim_j", "c.cov")
         .orderBy("dim_i", "dim_j")
     )
+
+
+PCA_COMPONENTS = 3
+PCA_REL_TOL = 1e-3
+
+
+@register(
+    "pca_projection_check",
+    oracle=f"""
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f"SELECT CAST({k} AS INT) AS component, TRUE AS variance_matches"
+            for k in range(PCA_COMPONENTS)
+        )}
+    )
+    ORDER BY component
+    """,
+)
+def pca_projection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the leading {COV_DIMS} embedding dimensions, validated
+    end-to-end: the covariance matrix is the distributed one-pass
+    aggregate (``embedding_covariance_topdims``), the eigendecomposition
+    is model-sized driver math (8x8, the k x dim exchange contract of
+    ``kmeans_lloyd``), and the CHECK is distributed again -- the sample
+    variance of the data projected onto each top-{PCA_COMPONENTS}
+    eigenvector must equal its eigenvalue to {PCA_REL_TOL} relative
+    tolerance.  Eigen-solvers aren't portable across engines, so like
+    the sketch family the oracle is self-validating: DuckDB expects
+    every variance identity to hold.
+
+    This is the PCA/whitening training loop a feature pipeline runs at
+    100 TB: one pass for second moments, driver-side factorization,
+    one pass to project."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        *[
+            F.element_at("embedding", i + 1).cast("double").alias(f"d{i}")
+            for i in range(COV_DIMS)
+        ]
+    )
+    cov_row = dims.agg(
+        *[
+            F.covar_samp(f"d{i}", f"d{j}").alias(f"c_{i}_{j}")
+            for i in range(COV_DIMS)
+            for j in range(COV_DIMS)
+            if i <= j
+        ]
+    ).head()
+    C = np.zeros((COV_DIMS, COV_DIMS))
+    for i in range(COV_DIMS):
+        for j in range(COV_DIMS):
+            lo, hi = min(i, j), max(i, j)
+            C[i, j] = cov_row[f"c_{lo}_{hi}"]
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(evals)[::-1][:PCA_COMPONENTS]
+    checks = []
+    for rank, idx in enumerate(order):
+        vec = evecs[:, idx]
+        proj = sum(
+            F.col(f"d{i}") * float(vec[i]) for i in range(COV_DIMS)
+        )
+        got = dims.agg(F.var_samp(proj.alias("p"))).first()[0]
+        want = float(evals[idx])
+        checks.append(
+            (rank, bool(abs(got - want) <= PCA_REL_TOL * max(abs(want), 1e-12)))
+        )
+    return spark.createDataFrame(
+        checks, "component int, variance_matches boolean"
+    ).orderBy("component")

@@ -179,3 +179,32 @@ def stream_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_maintain_rollup(
+    stream_df: DataFrame, events_dir: str, rollup_dir: str, checkpoint_dir: str
+) -> None:
+    """Streaming continuous-aggregate maintenance: each micro-batch is
+    appended to the events store, then only its touched days are
+    re-rolled and upserted (io.maintenance.refresh_daily_rollup).  The
+    streaming face of the hypertable-rollup pattern -- state lives in
+    the store, not the stream, so the rollup survives restarts with
+    exactly-once semantics from the checkpoint's batch-id bookkeeping."""
+    from wsu_cpts_415_spark.io.maintenance import refresh_daily_rollup
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(events_dir)
+            refresh_daily_rollup(spark, events_dir, rollup_dir, batch_df)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
