@@ -132,6 +132,8 @@ HEADLINE = [
     "embedding_covariance_topdims",
     "lang_drift_chisq",
     "pca_projection_check",
+    "conversion_latency_quantiles",
+    "neardup_cluster_size_histogram",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

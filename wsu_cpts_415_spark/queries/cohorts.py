@@ -202,3 +202,70 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "conversion_latency_quantiles",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup'
+                        THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+        FROM events
+        GROUP BY user_id
+    ),
+    lat AS (
+        SELECT user_id,
+               date_diff('second', first_signup, first_purchase) / 3600.0
+                   AS hours
+        FROM firsts
+        WHERE first_signup IS NOT NULL
+          AND first_purchase IS NOT NULL
+          AND first_purchase >= first_signup
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(hours, 0.5), 4) AS p50_hours,
+           ROUND(quantile_cont(hours, 0.9), 4) AS p90_hours,
+           ROUND(MAX(hours), 4) AS max_hours
+    FROM lat
+    """,
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase latency distribution: per-user first
+    occurrences of each event via conditional MIN (one aggregate, no
+    self-join), latency in hours for users whose first purchase follows
+    their first signup, then interpolated p50/p90 -- the time-to-convert
+    number product analytics quotes next to the funnel rate.
+
+    Both engines interpolate quantiles linearly (percentile /
+    quantile_cont), over the bounded per-USER latency table."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("first_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    lat = firsts.filter(
+        F.col("first_signup").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_signup"))
+    ).select(
+        (
+            (
+                F.unix_timestamp("first_purchase")
+                - F.unix_timestamp("first_signup")
+            )
+            / 3600.0
+        ).alias("hours")
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(hours, 0.5)"), 4).alias("p50_hours"),
+        F.round(F.expr("percentile(hours, 0.9)"), 4).alias("p90_hours"),
+        F.round(F.max("hours"), 4).alias("max_hours"),
+    )

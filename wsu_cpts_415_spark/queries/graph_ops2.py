@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wsu_cpts_415_spark.queries.graph_ops import NEARDUP_THRESHOLD
+from wsu_cpts_415_spark.queries.graph_ops import (
+    _NEARDUP_DUCK_CTES as _NEARDUP_DUCK_CTES_REF,
+    NEARDUP_THRESHOLD,
+)
 from wsu_cpts_415_spark.queries.similarity import (
     LSH_PAIRS_DUCK_CTES,
     lsh_verified_pairs,
@@ -168,4 +171,41 @@ def neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.groupBy(F.col("d").alias("degree"))
         .agg(F.count("*").alias("n_docs"))
         .orderBy("degree")
+    )
+
+
+@register(
+    "neardup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_NEARDUP_DUCK_CTES_REF},
+    sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM clusters GROUP BY cluster_id
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM sizes
+    GROUP BY sz
+    ORDER BY cluster_size
+    """,
+)
+def neardup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup connected components:
+    how many singletons, pairs, and template farms the dedup pass found
+    -- the report that prices a dedup action (drop rate = docs minus
+    clusters) and flags pathological mega-clusters before they collapse
+    half the corpus into one survivor.  Two bounded aggregates over the
+    label table."""
+    from wsu_cpts_415_spark.queries.graph_ops import _neardup_labels
+
+    labels = _neardup_labels(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
     )
