@@ -48,6 +48,76 @@ def test_events_ts_plausible_epoch(spark):
     assert row["hi"].year <= 2100, f"ts unit drift: max ts {row['hi']}"
 
 
+def _write_events_variant(tmp_path, ts_array, id_type=None):
+    """Write an events.parquet with a drifted physical shape."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(ts_array)
+    ids = pa.array(range(n), type=id_type or pa.int64())
+    tbl = pa.table(
+        {
+            "event_id": ids,
+            "ts": ts_array,
+            "user_id": pa.array([7] * n, type=pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array([1.5] * n, type=pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_drift_repair_nanos(spark, tmp_path):
+    """TIMESTAMP(NANOS) fixture (round<=2 shape) floor-converts to µs."""
+    import pyarrow as pa
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs
+    ts = pa.array([base_us * 1000 + 1234, (base_us + 86_400_000_000) * 1000],
+                  type=pa.timestamp("ns"))
+    d = _write_events_variant(tmp_path, ts)
+    rows = load_table(spark, d, "events").select(
+        F.unix_micros("ts").alias("us")
+    ).orderBy("us").collect()
+    assert [r["us"] for r in rows] == [base_us + 1, base_us + 86_400_000_000]
+
+
+def test_drift_repair_date32_and_int32(spark, tmp_path):
+    """DATE-typed ts and int32 event_id both repair to the canonical types."""
+    import datetime
+
+    import pyarrow as pa
+
+    ts = pa.array([datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)],
+                  type=pa.date32())
+    d = _write_events_variant(tmp_path, ts, id_type=pa.int32())
+    df = load_table(spark, d, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert dict(df.dtypes)["event_id"] == "bigint"
+    days = sorted(r[0] for r in df.select(F.to_date("ts")).collect())
+    assert [str(x) for x in days] == ["2024-01-01", "2024-01-02"]
+
+
+def test_drift_repair_micros_passthrough(spark, tmp_path):
+    """The canonical MICROS shape takes the unmodified declared-schema scan
+    (no conversion expressions) -- pushdown-preserving fast path."""
+    import pyarrow as pa
+
+    from wsu_cpts_415_spark.io.tables import _arrow_schema, _reconcile
+    from wsu_cpts_415_spark.schemas import EVENTS
+
+    base_us = 1_704_067_200_000_000
+    ts = pa.array([base_us, base_us + 1], type=pa.timestamp("us"))
+    d = _write_events_variant(tmp_path, ts)
+    _, conversions = _reconcile(EVENTS, _arrow_schema(f"{d}/events.parquet"))
+    assert conversions == {}
+    rows = load_table(spark, d, "events").select(
+        F.unix_micros("ts").alias("us")
+    ).orderBy("us").collect()
+    assert [r["us"] for r in rows] == [base_us, base_us + 1]
+
+
 def test_all_tables_readable_and_counts_match(spark):
     """Every fixture table must load under its pinned schema and agree
     with DuckDB on row count -- catches physical-type drift in any

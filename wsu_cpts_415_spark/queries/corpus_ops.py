@@ -546,3 +546,62 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "redact_transform_audit",
+    oracle="""
+    WITH red AS (
+        SELECT event_type, props,
+               regexp_replace(props, '[0-9]+', '#', 'g') AS redacted
+        FROM events WHERE props IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN props <> redacted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+           CAST(SUM(length(props) - length(redacted)) AS BIGINT)
+               AS chars_removed,
+           CAST(COUNT(DISTINCT redacted) AS BIGINT) AS n_shapes
+    FROM red
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def redact_transform_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redaction TRANSFORM (pattern_scan_rollup is the scan that
+    decides; this is the rewrite that acts): digit runs in the
+    semi-structured props payload replaced with a mask, audited
+    before/after per event type -- rows touched, characters removed, and
+    how many distinct payload *shapes* survive redaction (the k-anonymity
+    sanity check: masked payloads should collapse to few shapes).
+
+    Scale: regexp_replace evaluates inside codegen at the scan; the only
+    shuffle carries per-(type, shape) partial aggregates.  The same
+    expression applied with a writer (io/formats.py) IS the redaction
+    pass over a 100 TB corpus -- this query is its dry-run audit.
+    """
+    from wsu_cpts_415_spark.io.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    red = ev.select(
+        "event_type",
+        "props",
+        F.regexp_replace("props", "[0-9]+", "#").alias("redacted"),
+    )
+    return (
+        red.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("props") != F.col("redacted"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_changed"),
+            F.sum(F.length("props") - F.length("redacted"))
+            .cast("bigint")
+            .alias("chars_removed"),
+            F.countDistinct("redacted").alias("n_shapes"),
+        )
+        .orderBy("event_type")
+    )

@@ -621,3 +621,91 @@ def lpa_round(
         "node",
         F.coalesce("new_label", F.col("node")).alias("label"),
     )
+
+
+@register(
+    "community_modularity",
+    oracle=f"""
+    WITH RECURSIVE {_NEARDUP_DUCK_CTES},
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS DOUBLE) AS d
+        FROM (SELECT doc_a AS node FROM nd
+              UNION ALL SELECT doc_b AS node FROM nd)
+        GROUP BY node
+    ),
+    intra AS (
+        SELECT la.cluster_id, CAST(COUNT(*) AS DOUBLE) AS e_c
+        FROM nd e
+        JOIN clusters la ON e.doc_a = la.doc_id
+        JOIN clusters lb ON e.doc_b = lb.doc_id
+                        AND la.cluster_id = lb.cluster_id
+        GROUP BY la.cluster_id
+    ),
+    dsum AS (
+        SELECT l.cluster_id, SUM(deg.d) AS d_c
+        FROM deg JOIN clusters l ON deg.node = l.doc_id
+        GROUP BY l.cluster_id
+    ),
+    m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM nd)
+    SELECT CAST(m.m AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           ROUND(SUM(COALESCE(intra.e_c, 0) / m.m
+                     - POW(dsum.d_c / (2 * m.m), 2)), 6) AS modularity
+    FROM dsum LEFT JOIN intra USING (cluster_id) CROSS JOIN m
+    GROUP BY m.m
+    """,
+)
+def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the near-dup cluster partition over the
+    verified pair graph: Q = sum_c [e_c/m - (d_c/2m)^2].  The quality
+    score that tells a dedup pipeline whether its clusters are real
+    communities or artifacts of the pair threshold; computed generally
+    (intra-edges counted via a two-sided label join), so the same
+    operator scores ANY partition -- LPA labels, category buckets --
+    not just connected components (for which e_c/m trivially sums to 1).
+
+    Scale: runs entirely on the pair-graph sliver (edges + incident
+    vertices); two joins against the label table (broadcast -- labels of
+    edge-incident vertices only) and one tiny per-cluster aggregate.
+    """
+    pairs = (
+        lsh_verified_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= NEARDUP_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    labels = _neardup_labels(spark, sf_dir).select("doc_id", "cluster_id")
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionByName(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("double").alias("d"))
+    )
+    la = labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb")
+    )
+    intra = (
+        pairs.join(F.broadcast(la), "doc_a")
+        .join(F.broadcast(lb), "doc_b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("cluster_id"))
+        .agg(F.count("*").cast("double").alias("e_c"))
+    )
+    dsum = (
+        deg.join(F.broadcast(labels), deg["node"] == labels["doc_id"])
+        .groupBy("cluster_id")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    m_edges = pairs.count()
+    m = float(m_edges)
+    per_cluster = dsum.join(intra, "cluster_id", "left").select(
+        (F.coalesce("e_c", F.lit(0.0)) / F.lit(m)
+         - F.pow(F.col("d_c") / F.lit(2 * m), 2)).alias("q_c")
+    )
+    return per_cluster.agg(
+        F.lit(m_edges).cast("bigint").alias("n_edges"),
+        F.count("*").alias("n_communities"),
+        F.round(F.sum("q_c"), 6).alias("modularity"),
+    )

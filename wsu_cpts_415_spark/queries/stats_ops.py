@@ -141,3 +141,50 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "linreg_chars_on_tokens",
+    oracle=r"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(n_chars, len(regexp_split_to_array(text, '\s+'))),
+                 4) AS slope,
+           ROUND(regr_intercept(n_chars,
+                 len(regexp_split_to_array(text, '\s+'))), 4) AS intercept,
+           ROUND(regr_r2(n_chars, len(regexp_split_to_array(text, '\s+'))),
+                 6) AS r2
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def linreg_chars_on_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OLS fit of document length (chars) on whitespace
+    token count: slope ~ average token+separator width, r2 ~ how
+    length-predictable the language is.  The simplest member of the
+    distributed-regression family: closed-form from six running sums
+    (n, Sx, Sy, Sxx, Syy, Sxy), all map-side combinable -- the same
+    sufficient-statistics pattern scales to multi-feature normal
+    equations via a Gram-matrix aggregate (X'X is features^2 numbers
+    per group regardless of row count).
+
+    Both engines evaluate their native regr_* aggregates over the
+    identical tokenization (split on runs of whitespace), so the fit is
+    bit-comparable after rounding.
+    """
+    from wsu_cpts_415_spark.io.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    x = F.expr(r"size(split(text, '\\s+'))").cast("double")
+    y = F.col("n_chars").cast("double")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+        )
+        .orderBy("lang")
+    )
