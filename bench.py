@@ -134,6 +134,16 @@ HEADLINE = [
     "pca_projection_check",
     "conversion_latency_quantiles",
     "neardup_cluster_size_histogram",
+    "pit_join_user_tier",
+    "snapshot_diff_audit",
+    "late_event_audit",
+    "journey_trigrams",
+    "bpe_merge_candidates",
+    "source_vocab_overlap",
+    "pq_ann_adc_topk",
+    "community_modularity",
+    "linreg_chars_on_tokens",
+    "redact_transform_audit",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

@@ -433,3 +433,67 @@ def test_er_scoring_topk_short_circuits(spark, qs):
     plan = fmt_plan(qs["er_match_scores"].fn(spark, SF_ORACLE))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pit_join_is_single_user_shuffle_no_range_join(spark, qs):
+    plan = fmt_plan(qs["pit_join_user_tier"].fn(spark, SF_ORACLE))
+    # the as-of merge must NOT run as a theta/range join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # history + facts merge through a union into one windowed sort
+    assert "Union" in plan
+
+
+def test_snapshot_diff_carries_fingerprints_only(spark, qs):
+    plan = fmt_plan(qs["snapshot_diff_audit"].fn(spark, SF_ORACLE))
+    # the fingerprint md5 is computed below the join (in the scan-side
+    # projection), so the exchange moves (key, fp), not value columns
+    assert "md5" in plan
+    join_line = next(
+        l for l in plan.splitlines() if "SortMergeJoin" in l or "ShuffledHashJoin" in l
+    )
+    assert "FullOuter" in join_line
+
+
+def test_late_event_audit_has_no_global_raw_window(spark, qs):
+    plan = fmt_plan(qs["late_event_audit"].fn(spark, SF_ORACLE))
+    # the only unpartitioned window runs over the chunk aggregate (tiny);
+    # the per-event running max is partitioned by chunk
+    assert "BroadcastHashJoin" in plan, "chunk carry-in must broadcast"
+    assert plan.count("Window") >= 2
+
+
+def test_bpe_pairs_are_map_side_then_topk(spark, qs):
+    plan = fmt_plan(qs["bpe_merge_candidates"].fn(spark, SF_ORACLE))
+    assert "Generate" in plan and "explode(" in plan, (
+        "pair extraction must be explode"
+    )
+    assert "Window" not in plan, "no per-doc window for adjacency"
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_pq_encode_is_map_side_argmin(spark, qs):
+    plan = fmt_plan(qs["pq_ann_adc_topk"].fn(spark, SF_ORACLE))
+    # codes + ADC + exact distances all evaluate in the scan projection:
+    # no join, no aggregate shuffle before the top-k
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_journey_trigrams_single_sort_then_topk(spark, qs):
+    plan = fmt_plan(qs["journey_trigrams"].fn(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan, "trigram count must map-side combine"
+
+
+def test_vocab_overlap_broadcasts_sizes(spark, qs):
+    plan = fmt_plan(qs["source_vocab_overlap"].fn(spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 2, "size dims must broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_modularity_runs_on_pair_sliver(spark, qs):
+    plan = fmt_plan(qs["community_modularity"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.queries.events import SESSION_GAP_MIN
 from wsu_cpts_415_spark.registry import register
 
 TIER_UNIT = 50.0  # cumulative-value width of one loyalty tier
@@ -311,4 +312,91 @@ def late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_lateness_sec"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "journey_trigrams",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sess_no
+        FROM gaps
+    ),
+    tri AS (
+        SELECT event_type || ' > '
+               || LEAD(event_type, 1) OVER w2 || ' > '
+               || LEAD(event_type, 2) OVER w2 AS journey,
+               LEAD(sess_no, 2) OVER w2 = sess_no AS same_sess
+        FROM sess
+        WINDOW w2 AS (PARTITION BY user_id, sess_no ORDER BY ts, event_id)
+    )
+    SELECT journey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri WHERE journey IS NOT NULL AND same_sess
+    GROUP BY journey
+    ORDER BY n DESC, journey
+    LIMIT 10
+    """,
+)
+def journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step user journeys (event-type trigrams) WITHIN a
+    session (gap-based, {SESSION_GAP_MIN} min): the path-mining rollup
+    behind "what do users do right before purchasing" analyses --
+    sessionization composed with sequence extraction.
+
+    Scale: one window sort per user partition produces session ids AND
+    both lookaheads (shared sort, Catalyst collapses the window group);
+    the trigram count is a map-side-combinable aggregate over a
+    |types|^3-bounded key space, then TakeOrderedAndProject for the
+    top-10.  Nothing shuffles twice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > SESSION_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.withColumn(
+        "sess_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = Window.partitionBy("user_id", "sess_no").orderBy("ts", "event_id")
+    tri = sess.select(
+        F.concat_ws(
+            " > ",
+            "event_type",
+            F.lead("event_type", 1).over(w2),
+            F.lead("event_type", 2).over(w2),
+        ).alias("journey"),
+        (F.lead("sess_no", 2).over(w2) == F.col("sess_no")).alias("same_sess"),
+        F.lead("event_type", 2).over(w2).alias("third"),
+    )
+    return (
+        tri.filter(F.col("third").isNotNull() & F.col("same_sess"))
+        .groupBy("journey")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "journey")
+        .limit(10)
     )

@@ -843,3 +843,132 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
     )
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=r"""
+    WITH d AS (
+        SELECT regexp_split_to_array(text, '\s+') AS toks FROM documents
+    ),
+    pairs AS (
+        SELECT toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+                   AS pair
+        FROM d, UNNEST(range(1, len(toks))) AS r(i)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-style merge round over whitespace tokens: the 20 most
+    frequent adjacent token pairs in the corpus -- the statistic a
+    byte-pair/wordpiece vocabulary builder computes every merge
+    iteration (here at token granularity; the same plan runs at byte
+    granularity with a different splitter).
+
+    Scale: pair extraction is a pure map-side array expression (zip the
+    token array with its own tail via a transform over indices -- no
+    per-doc window, no shuffle of raw text); the only shuffle carries
+    (pair, partial count) after map-side combine, and the top-20 is a
+    TakeOrderedAndProject.  An N-round vocabulary build iterates this
+    plan on a re-encoded token column, same shape every round.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = F.expr(
+        r"""
+        transform(
+            slice(split(text, '\\s+'), 1,
+                  greatest(size(split(text, '\\s+')) - 1, 0)),
+            (x, i) -> concat(x, ' ', split(text, '\\s+')[i + 1])
+        )
+        """
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "source_vocab_overlap",
+    oracle=r"""
+    WITH vocab AS (
+        SELECT DISTINCT source, t.tok
+        FROM documents,
+             UNNEST(regexp_split_to_array(text, '\s+')) AS t(tok)
+    ),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS nv
+        FROM vocab GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM vocab a JOIN vocab b
+          ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, i.n_shared,
+           ROUND(i.n_shared * 1.0
+                 / (sa.nv + sb.nv - i.n_shared), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY jaccard DESC, src_a, src_b
+    LIMIT 15
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources (top-15 most-similar
+    pairs): the corpus-comparison statistic that flags near-identical
+    scrapes BEFORE document-level dedup runs -- two sources sharing 90%
+    of their vocabulary probably crawled the same sites.
+
+    Scale: the distinct (source, token) projection is vocabulary-bounded
+    regardless of corpus size; the self-join is an inverted-index join
+    keyed on token, whose hot keys (stopwords shared by every source)
+    are bounded by |sources|^2 per token -- cap or drop head terms via
+    a document-frequency filter when |sources| is large (same knob as
+    the contamination scan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "source", F.explode(F.expr(r"split(text, '\\s+')")).alias("tok")
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("nv"))
+    a = vocab.select(F.col("source").alias("src_a"), "tok")
+    b = vocab.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("nv").alias("nva"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("nv").alias("nvb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("nva") + F.col("nvb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "src_a", "src_b")
+        .limit(15)
+    )
