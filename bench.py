@@ -143,6 +143,8 @@ HEADLINE = [
     "pq_ann_adc_topk",
     "community_modularity",
     "linreg_chars_on_tokens",
+    "linreg_normal_equations",
+    "quality_calibration_curve",
     "redact_transform_audit",
     "ref_link_analysis",
     "ref_trending_rankings",

@@ -188,3 +188,102 @@ def linreg_chars_on_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Shared Cramer-solve formulas for the 3x3 normal equations (intercept +
+# 2 features).  The SAME text is evaluated by Spark and DuckDB: the
+# sufficient statistics are exact integers (counts and sums of integer
+# products, all < 2^53), so the doubles entering these expressions are
+# bit-identical in both engines, and identical expression trees produce
+# identical IEEE results.
+_NE_DET = (
+    "(n * (s11 * s22 - s12 * s12)"
+    " - s1 * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s12 - s11 * s2))"
+)
+_NE_DET0 = (
+    "(sy * (s11 * s22 - s12 * s12)"
+    " - s1 * (s1y * s22 - s12 * s2y)"
+    " + s2 * (s1y * s12 - s11 * s2y))"
+)
+_NE_DET1 = (
+    "(n * (s1y * s22 - s12 * s2y)"
+    " - sy * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s2y - s1y * s2))"
+)
+_NE_DET2 = (
+    "(n * (s11 * s2y - s1y * s12)"
+    " - s1 * (s1 * s2y - s1y * s2)"
+    " + sy * (s1 * s12 - s11 * s2))"
+)
+
+
+@register(
+    "linreg_normal_equations",
+    oracle=rf"""
+    WITH feat AS (
+        SELECT CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS x1,
+               CAST(len(list_distinct(regexp_split_to_array(text, '\s+')))
+                    AS BIGINT) AS x2,
+               n_chars AS y
+        FROM documents
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x1) AS DOUBLE) AS s1,
+               CAST(SUM(x2) AS DOUBLE) AS s2,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+               CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+               CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+               CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+               CAST(SUM(x2 * y) AS DOUBLE) AS s2y
+        FROM feat
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND({_NE_DET0} / {_NE_DET}, 6) AS beta0,
+           ROUND({_NE_DET1} / {_NE_DET}, 6) AS beta1,
+           ROUND({_NE_DET2} / {_NE_DET}, 6) AS beta2
+    FROM g
+    """,
+)
+def linreg_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature distributed OLS by normal equations: fit
+    n_chars ~ b0 + b1*ws_tokens + b2*unique_tokens in ONE aggregate pass
+    (the Gram matrix X'X and X'y are nine sufficient statistics, all
+    map-side combinable) and a closed-form 3x3 Cramer solve on the
+    single-row result.
+
+    This is the pattern that scales regression to 100 TB: row count
+    never matters, only features^2 numbers cross the wire, and because
+    the statistics here are exact integers below 2^53 the result is
+    bit-deterministic regardless of partitioning -- the oracle runs the
+    byte-identical solve formulas over the same sums.
+    """
+    from wsu_cpts_415_spark.io.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    feat = docs.select(
+        F.expr(r"cast(size(split(text, '\\s+')) as bigint)").alias("x1"),
+        F.expr(
+            r"cast(size(array_distinct(split(text, '\\s+'))) as bigint)"
+        ).alias("x2"),
+        F.col("n_chars").alias("y"),
+    )
+    g = feat.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+    )
+    return g.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(f"round({_NE_DET0} / {_NE_DET}, 6)").alias("beta0"),
+        F.expr(f"round({_NE_DET1} / {_NE_DET}, 6)").alias("beta1"),
+        F.expr(f"round({_NE_DET2} / {_NE_DET}, 6)").alias("beta2"),
+    )

@@ -878,17 +878,20 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan on a re-encoded token column, same shape every round.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # Pair adjacency via zip_with of the token array against its own
+    # tail: no indexed access inside the lambda, so even if Catalyst
+    # collapses the projection the split() evaluates a constant number
+    # of times per ROW -- an indexed lambda (tok[i+1]) re-evaluates the
+    # inlined split per ELEMENT, O(tokens^2) per doc (measured 3.7 s at
+    # sf0.1 vs 0.4 s for this formulation).
+    toks = docs.select(F.expr(r"split(text, '\\s+')").alias("tok"))
     pairs = F.expr(
-        r"""
-        transform(
-            slice(split(text, '\\s+'), 1,
-                  greatest(size(split(text, '\\s+')) - 1, 0)),
-            (x, i) -> concat(x, ' ', split(text, '\\s+')[i + 1])
-        )
-        """
+        "zip_with(slice(tok, 1, greatest(size(tok) - 1, 0)),"
+        " slice(tok, 2, greatest(size(tok) - 1, 0)),"
+        " (a, b) -> concat(a, ' ', b))"
     )
     return (
-        docs.select(F.explode(pairs).alias("pair"))
+        toks.select(F.explode(pairs).alias("pair"))
         .groupBy("pair")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "pair")
@@ -971,4 +974,56 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("jaccard").desc(), "src_a", "src_b")
         .limit(15)
+    )
+
+
+@register(
+    "quality_calibration_curve",
+    oracle=f"""
+    WITH {QUALITY_DUCK_CTES}
+    SELECT CAST(LEAST(9, FLOOR(quality * 10)) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(quality), 6) AS avg_quality,
+           ROUND(AVG(CASE WHEN unique_ratio >= 0.8 THEN 1.0 ELSE 0.0 END),
+                 6) AS diverse_rate
+    FROM qual
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the heuristic quality score: documents
+    bucketed into fixed 0.1-wide score bins, each bin reporting its mean
+    score against the empirical rate of an independent goodness proxy
+    (vocabulary diversity >= 0.8).  A well-calibrated scorer shows
+    diverse_rate rising monotonically with the bin -- the eval every
+    learned quality classifier gets before it gates a corpus.
+
+    Scale: fixed-width binning is pure arithmetic on the scan (NO ntile
+    -- a decile window would global-sort the corpus; fixed bins trade
+    equal-population for shuffle-free), then a 10-key aggregate.
+    """
+    from wsu_cpts_415_spark.queries.text import quality_score as _qscore
+
+    scored = _qscore(spark, sf_dir)
+    return (
+        scored.select(
+            F.least(F.lit(9), F.floor(F.col("quality") * 10))
+            .cast("int")
+            .alias("bucket"),
+            "quality",
+            "unique_ratio",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(
+                F.avg(
+                    F.when(F.col("unique_ratio") >= 0.8, 1.0).otherwise(0.0)
+                ),
+                6,
+            ).alias("diverse_rate"),
+        )
+        .orderBy("bucket")
     )
