@@ -146,6 +146,9 @@ HEADLINE = [
     "linreg_normal_equations",
     "quality_calibration_curve",
     "redact_transform_audit",
+    "bfs_hops_videos",
+    "gdpr_erasure_audit",
+    "interval_coverage_per_user",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

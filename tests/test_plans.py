@@ -497,3 +497,16 @@ def test_modularity_runs_on_pair_sliver(spark, qs):
     plan = fmt_plan(qs["community_modularity"].fn(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gdpr_audit_broadcasts_deletion_cohort(spark, qs):
+    plan = fmt_plan(qs["gdpr_erasure_audit"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan, "deletion cohort must broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_interval_coverage_single_sort_per_user(spark, qs):
+    plan = fmt_plan(qs["interval_coverage_per_user"].fn(spark, SF_ORACLE))
+    # running-max and cumsum share one user-partitioned window sort
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan, "aggregates must map-side combine"

@@ -605,3 +605,107 @@ def redact_transform_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ERASE_PRED = "% 37 = 0"  # deletion cohort: every 37th user key
+
+
+@register(
+    "gdpr_erasure_audit",
+    oracle=f"""
+    WITH del AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id {_ERASE_PRED}
+    ),
+    per_table AS (
+        SELECT 'events' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(CASE WHEN user_id {_ERASE_PRED} THEN 1 END)
+                    AS BIGINT) AS n_erased
+        FROM events
+        UNION ALL
+        SELECT 'customer',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(CASE WHEN c_custkey IN (SELECT user_id FROM del)
+                          THEN 1 END) AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'orders',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(CASE WHEN o_custkey IN (SELECT user_id FROM del)
+                          THEN 1 END) AS BIGINT)
+        FROM orders
+    )
+    SELECT table_name, n_rows, n_erased,
+           n_rows - n_erased AS n_remaining,
+           ROUND(n_erased * 1.0 / n_rows, 6) AS erased_frac
+    FROM per_table
+    ORDER BY table_name
+    """,
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure dry run: a deletion cohort (every 37th user key)
+    traced across every table that references the subject -- row counts
+    to erase, rows remaining, erased fraction per table.  The audit a
+    privacy pipeline emits BEFORE running the anti-join deletes; the
+    delete itself is the same predicate applied with the SCD writer
+    (io/maintenance.py) as a rewrite of only the partitions that contain
+    cohort rows.
+
+    Scale: the fact table filters by a pure key predicate (no join); the
+    dimension tables probe the deletion cohort through a broadcast
+    semi/left join -- the cohort is always small relative to facts.  One
+    aggregate per table, a 3-row result.
+    """
+    from wsu_cpts_415_spark.io.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    del_users = (
+        ev.filter(F.expr(f"user_id {_ERASE_PRED}")).select("user_id").distinct()
+    )
+    ev_audit = ev.agg(
+        F.lit("events").alias("table_name"),
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.expr(f"user_id {_ERASE_PRED}"), 1))
+        .cast("bigint")
+        .alias("n_erased"),
+    )
+    cust = _lt(spark, sf_dir, "customer")
+    cust_flag = cust.join(
+        F.broadcast(del_users.withColumnRenamed("user_id", "c_custkey")).withColumn(
+            "is_del", F.lit(1)
+        ),
+        "c_custkey",
+        "left",
+    )
+    cust_audit = cust_flag.agg(
+        F.lit("customer").alias("table_name"),
+        F.count("*").alias("n_rows"),
+        F.count("is_del").cast("bigint").alias("n_erased"),
+    )
+    od = _lt(spark, sf_dir, "orders")
+    od_flag = od.join(
+        F.broadcast(del_users.withColumnRenamed("user_id", "o_custkey")).withColumn(
+            "is_del", F.lit(1)
+        ),
+        "o_custkey",
+        "left",
+    )
+    od_audit = od_flag.agg(
+        F.lit("orders").alias("table_name"),
+        F.count("*").alias("n_rows"),
+        F.count("is_del").cast("bigint").alias("n_erased"),
+    )
+    return (
+        ev_audit.unionByName(cust_audit)
+        .unionByName(od_audit)
+        .select(
+            "table_name",
+            "n_rows",
+            "n_erased",
+            (F.col("n_rows") - F.col("n_erased")).alias("n_remaining"),
+            F.round(F.col("n_erased") / F.col("n_rows"), 6).alias(
+                "erased_frac"
+            ),
+        )
+        .orderBy("table_name")
+    )

@@ -709,3 +709,85 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_communities"),
         F.round(F.sum("q_c"), 6).alias("modularity"),
     )
+
+
+BFS_MAX_HOPS = 4
+
+
+@register(
+    "bfs_hops_videos",
+    oracle=f"""
+    WITH RECURSIVE {VIDEOS_FLAT_DUCK_CTE.strip().rstrip()},
+    verts AS (SELECT id FROM videos_flat),
+    edges AS (
+        SELECT f.id AS src, u.dst
+        FROM videos_flat f, UNNEST(f.related_ids) AS u(dst)
+        WHERE u.dst IN (SELECT id FROM verts)
+    ),
+    root AS (SELECT MIN(id) AS id FROM verts),
+    reach(node, h) AS (
+        SELECT id, 0 FROM root
+        UNION ALL
+        SELECT e.dst, reach.h + 1
+        FROM edges e JOIN reach ON reach.node = e.src
+        WHERE reach.h < {BFS_MAX_HOPS}
+    )
+    SELECT node AS id, CAST(MIN(h) AS INT) AS hops
+    FROM reach
+    GROUP BY node
+    ORDER BY hops, id
+    """,
+)
+def bfs_hops_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS: shortest hop distance (<= {BFS_MAX_HOPS}) from the
+    lexicographically-first video along directed related-links -- the
+    "how far does influence travel" primitive under every k-hop
+    neighborhood feature.  Completes the iterative-graph family (SCC,
+    CC, PageRank, LPA, k-core, triangles) with the one kernel whose
+    frontier SHRINKS as it runs.
+
+    Scale: per round, only the FRONTIER (nodes first reached that round)
+    joins the edge table -- visited nodes never re-enter, so total work
+    is O(edges within the horizon), one shuffle per hop, lineage
+    truncated per round like every iterative kernel here.  The oracle's
+    recursive CTE enumerates bounded paths and takes MIN(h); BFS's
+    first-touch IS that minimum."""
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    flat_slim = staged(
+        spark,
+        "videos_graph_slim",
+        sf_dir,
+        lambda: videos_flat(spark, sf_dir).select("id", "related_ids"),
+    )
+    verts = flat_slim.select("id")
+    raw = flat_slim.select(
+        F.col("id").alias("src"), F.explode("related_ids").alias("dst")
+    )
+    edges = (
+        raw.join(verts.select(F.col("id").alias("dst")), "dst", "leftsemi")
+        .coalesce(4)
+        .localCheckpoint(eager=True)
+    )
+    root = verts.agg(F.min("id").alias("id"))
+    dist = root.select("id", F.lit(0).alias("hops")).localCheckpoint(eager=True)
+    frontier = dist
+    for h in range(1, BFS_MAX_HOPS + 1):
+        reached = (
+            edges.join(
+                frontier.select(F.col("id").alias("src")), "src", "leftsemi"
+            )
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        new = (
+            reached.join(dist.select("id"), "id", "leftanti")
+            .select("id", F.lit(h).alias("hops"))
+            .coalesce(4)
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).coalesce(4).localCheckpoint(eager=True)
+        frontier = new
+    return dist.orderBy("hops", "id")

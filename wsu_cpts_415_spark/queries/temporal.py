@@ -400,3 +400,90 @@ def journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "journey")
         .limit(10)
     )
+
+
+COVER_SEC = 300  # each event covers [ts, ts + 5 min)
+
+
+@register(
+    "interval_coverage_per_user",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, ts AS s, ts + INTERVAL {COVER_SEC} SECOND AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    OR MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS isl
+        FROM flagged
+    ),
+    merged AS (
+        SELECT user_id, isl,
+               epoch_us(MAX(e)) - epoch_us(MIN(s)) AS span_us
+        FROM islands GROUP BY user_id, isl
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(span_us) // 1000000 AS BIGINT) AS covered_sec
+    FROM merged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def interval_coverage_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: each event covers a {COVER_SEC}s span;
+    overlapping spans merge (gaps-and-islands over a running max of the
+    interval END -- plain islands on start times miss containment), and
+    each user reports merged-island count and total covered seconds.
+    The span-dedup primitive behind "active time" metrics and overlap-
+    free annotation budgets.
+
+    Scale: one window sort per user partition (running max + cumsum
+    share it), then two key-bounded aggregates.  Identical shape to the
+    sessionizer -- interval union IS sessionization with end-extension.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.unix_micros("ts") + COVER_SEC * 1_000_000).alias("e_us"),
+    ).withColumn("s_us", F.unix_micros("s"))
+    w = Window.partitionBy("user_id").orderBy("s_us", "e_us")
+    prev_max = F.max("e_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "is_new",
+        F.when(prev_max.isNull() | (F.col("s_us") > prev_max), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "isl",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("user_id", "isl").agg(
+        (F.max("e_us") - F.min("s_us")).alias("span_us")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            (F.sum("span_us") / 1_000_000)
+            .cast("bigint")
+            .alias("covered_sec"),
+        )
+        .orderBy("user_id")
+    )
