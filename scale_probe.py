@@ -31,7 +31,14 @@ temperature_mix_weights ~1x, hash_sample_per_group 1.3x,
 unigram_logprob_score 2.5x, expectations_report ~1.1x,
 join_shuffle_hash_hint ~1.5x, cms_frequency_check ~1.6x,
 bloom_membership_audit 1.3x -- bounded key spaces, single scans, and
-sketch mergers all behave exactly as designed at 10x data.
+sketch mergers all behave exactly as designed at 10x data.  The
+temporal/governance/ML ops measured at x10 (2026-08-14 run,
+scale_probe_r4.json): pit_join 1.3x, late_event_audit 1.0x,
+interval_coverage 1.2x, gdpr_erasure 1.0x, linreg_normal_equations
+1.1x, bfs_hops 1.2x, journey_trigrams 2.0x, redact 1.7x,
+snapshot_diff 3.6x, quality_calibration 3.4x, bpe_merge 4.7x and
+pq_ann 5.2x (the last four are one-full-scan shapes: sub-linear
+against 10x input, exactly the profile expected).
 """
 
 from __future__ import annotations
@@ -105,6 +112,22 @@ PROBE = [
     "join_shuffle_hash_hint",
     "cms_frequency_check",
     "bloom_membership_audit",
+    # round-4 temporal/governance/ML ops; all bounded-key or single-scan
+    # shapes except pq (training scales linearly in rows).  The
+    # similarity-derived ops (community_modularity, source_vocab_overlap)
+    # are excluded like the other dedup-family ops.
+    "pit_join_user_tier",
+    "snapshot_diff_audit",
+    "late_event_audit",
+    "interval_coverage_per_user",
+    "journey_trigrams",
+    "bpe_merge_candidates",
+    "linreg_normal_equations",
+    "quality_calibration_curve",
+    "redact_transform_audit",
+    "gdpr_erasure_audit",
+    "pq_ann_adc_topk",
+    "bfs_hops_videos",
 ]
 
 
