@@ -146,6 +146,9 @@ HEADLINE = [
     "linreg_normal_equations",
     "quality_calibration_curve",
     "redact_transform_audit",
+    "geo_grid_neighbor_pairs",
+    "linear_interpolation_fill",
+    "mutual_information_lang_source",
     "bfs_hops_videos",
     "gdpr_erasure_audit",
     "interval_coverage_per_user",

@@ -510,3 +510,25 @@ def test_interval_coverage_single_sort_per_user(spark, qs):
     # running-max and cumsum share one user-partitioned window sort
     assert "CartesianProduct" not in plan
     assert "partial_" in plan, "aggregates must map-side combine"
+
+
+def test_geo_pairs_equi_join_no_range(spark, qs):
+    plan = fmt_plan(qs["geo_grid_neighbor_pairs"].fn(spark, SF_ORACLE))
+    # candidate generation must be an equi-join on cell ids, never the
+    # oracle's range-join formulation
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan and "explode(" in plan
+
+
+def test_interpolation_single_window_sort(spark, qs):
+    plan = fmt_plan(qs["linear_interpolation_fill"].fn(spark, SF_ORACLE))
+    # all four neighbor lookups share one window sort over the daily agg
+    assert plan.count("Sort ") <= 3, "neighbor lookups must share the sort"
+    assert "partial_sum" in plan
+
+
+def test_mutual_information_broadcasts_marginals(spark, qs):
+    plan = fmt_plan(qs["mutual_information_lang_source"].fn(spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

@@ -287,3 +287,72 @@ def linreg_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"round({_NE_DET1} / {_NE_DET}, 6)").alias("beta1"),
         F.expr(f"round({_NE_DET2} / {_NE_DET}, 6)").alias("beta2"),
     )
+
+
+@register(
+    "mutual_information_lang_source",
+    oracle="""
+    WITH joint AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT SUM(n) AS t FROM joint),
+    ml AS (SELECT lang, SUM(n) AS nl FROM joint GROUP BY lang),
+    ms AS (SELECT source, SUM(n) AS ns FROM joint GROUP BY source)
+    SELECT CAST(tot.t AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM((joint.n * 1.0 / tot.t)
+                     * ln((joint.n * 1.0 * tot.t) / (ml.nl * 1.0 * ms.ns))),
+                 6) AS mi_nats,
+           ROUND(-SUM(CASE WHEN joint.n > 0 THEN
+                     (joint.n * 1.0 / tot.t) * ln(joint.n * 1.0 / tot.t)
+                     END), 6) AS h_joint
+    FROM joint
+    JOIN ml USING (lang)
+    JOIN ms USING (source)
+    CROSS JOIN tot
+    GROUP BY tot.t
+    """,
+)
+def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between language and source (nats), plus the
+    joint entropy: the dependence screen run before stratified splits --
+    high MI means language mix is NOT exchangeable across sources, so
+    per-source sampling reweights must condition on language.
+
+    Scale: one grouped count over the corpus, then all probability math
+    runs on the |langs| x |sources| contingency sliver with broadcast
+    marginals.  Exact integer counts in, so only the final log/ratio is
+    float -- deterministic after rounding.
+    """
+    from wsu_cpts_415_spark.io.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    joint = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    tot = joint.agg(F.sum("n").alias("t"))
+    ml = joint.groupBy("lang").agg(F.sum("n").alias("nl"))
+    ms = joint.groupBy("source").agg(F.sum("n").alias("ns"))
+    full = (
+        joint.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("n") * 1.0 / F.col("t")
+    return full.groupBy("t").agg(
+        F.count("*").alias("n_cells"),
+        F.round(
+            F.sum(
+                p * F.log((F.col("n") * 1.0 * F.col("t"))
+                          / (F.col("nl") * 1.0 * F.col("ns")))
+            ),
+            6,
+        ).alias("mi_nats"),
+        F.round(-F.sum(F.when(F.col("n") > 0, p * F.log(p))), 6).alias(
+            "h_joint"
+        ),
+    ).select(
+        F.col("t").cast("bigint").alias("n_docs"),
+        "n_cells",
+        "mi_nats",
+        "h_joint",
+    )

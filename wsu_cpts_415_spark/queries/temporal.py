@@ -487,3 +487,109 @@ def interval_coverage_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "linear_interpolation_fill",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               ROUND(SUM(value), 4) AS x,
+               day(date_trunc('day', ts)) % 5 <> 0 AS present
+        FROM events GROUP BY 1, 2, 4
+    ),
+    marked AS (
+        SELECT event_type, d, present,
+               CASE WHEN present THEN x END AS xk
+        FROM daily
+    ),
+    nb AS (
+        SELECT event_type, d, present, xk,
+               LAST_VALUE(xk IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pv,
+               LAST_VALUE(CASE WHEN xk IS NOT NULL THEN d END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pd,
+               FIRST_VALUE(xk IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS nv,
+               FIRST_VALUE(CASE WHEN xk IS NOT NULL THEN d END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS nd
+        FROM marked
+    )
+    SELECT event_type, d AS day,
+           ROUND(CASE WHEN present THEN xk
+                      ELSE pv + (nv - pv)
+                           * date_diff('day', pd, d)
+                           / date_diff('day', pd, nd) END, 4) AS value,
+           NOT present AS is_interpolated
+    FROM nb
+    WHERE present OR (pv IS NOT NULL AND nv IS NOT NULL)
+    ORDER BY event_type, day
+    """,
+)
+def linear_interpolation_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap repair: daily totals with every 5th calendar day
+    masked out (simulated sensor dropout), missing days rebuilt by
+    linear interpolation between the nearest present neighbors.  The
+    resampling primitive under every continuous-time feature: forward
+    value + backward value + day-fraction blend; edge gaps (no neighbor
+    on one side) are left out rather than extrapolated.
+
+    Scale: the raw stream collapses to |types| x |days| rows first; all
+    four neighbor lookups (prev/next value and day) share ONE window
+    sort per type over that bounded daily table.  No self-joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).agg(F.round(F.sum("value"), 4).alias("x")).withColumn(
+        "present", F.dayofmonth("d") % 5 != 0
+    )
+    marked = daily.withColumn("xk", F.when(F.col("present"), F.col("x")))
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    kd = F.when(F.col("xk").isNotNull(), F.col("d"))
+    nb = marked.select(
+        "event_type",
+        "d",
+        "present",
+        "xk",
+        F.last("xk", ignorenulls=True).over(wp).alias("pv"),
+        F.last(kd, ignorenulls=True).over(wp).alias("pd"),
+        F.first("xk", ignorenulls=True).over(wn).alias("nv"),
+        F.first(kd, ignorenulls=True).over(wn).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * F.datediff(
+        F.col("d"), F.col("pd")
+    ) / F.datediff(F.col("nd"), F.col("pd"))
+    return (
+        nb.filter(
+            F.col("present")
+            | (F.col("pv").isNotNull() & F.col("nv").isNotNull())
+        )
+        .select(
+            "event_type",
+            F.col("d").alias("day"),
+            F.round(
+                F.when(F.col("present"), F.col("xk")).otherwise(interp), 4
+            ).alias("value"),
+            (~F.col("present")).alias("is_interpolated"),
+        )
+        .orderBy("event_type", "day")
+    )
