@@ -340,3 +340,146 @@ def test_scd2_matches_reference_model(spark, tmp_path_factory, batches):
         for v, vf, vt in rows
     )
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    max_hops=st.integers(min_value=1, max_value=4),
+)
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bfs_matches_python_bfs(spark, edges, max_hops):
+    """The frontier BFS kernel equals a queue BFS on arbitrary digraphs,
+    any root, any hop bound."""
+    import collections
+
+    from wsu_cpts_415_spark.queries.graph_ops import bfs_hops
+
+    root = min(a for a, _ in edges)
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+    want = {root: 0}
+    q = collections.deque([root])
+    while q:
+        v = q.popleft()
+        if want[v] >= max_hops:
+            continue
+        for w in adj[v]:
+            if w not in want:
+                want[w] = want[v] + 1
+                q.append(w)
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    rdf = spark.createDataFrame([(root,)], "id long")
+    got = {r["id"]: r["hops"] for r in bfs_hops(edf, rdf, max_hops).collect()}
+    assert got == want
+
+
+def _write_events(tmpdir, rows):
+    """rows: (event_id, user_id, ts_offset_sec, event_type, value)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_704_067_200_000_000  # 2024-01-01 in us
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + r[2] * 1_000_000 for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, f"{tmpdir}/events.parquet")
+    return str(tmpdir)
+
+
+_EVENT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**6),  # event_id (deduped below)
+        st.integers(min_value=0, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=3600),  # ts offset sec
+        st.sampled_from(["click", "purchase"]),
+        st.integers(min_value=0, max_value=60),  # integer value (exact sums)
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=_EVENT_ROWS)
+@settings(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pit_join_matches_python_asof(spark, tmp_path_factory, rows):
+    """The union-merge PIT join equals the brute-force per-purchase
+    cumulative-tier model on arbitrary event streams."""
+    from wsu_cpts_415_spark.queries.temporal import (
+        TIER_CAP,
+        TIER_UNIT,
+        pit_join_user_tier,
+    )
+
+    d = _write_events(tmp_path_factory.mktemp("pit"), rows)
+    want = {}
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        cum = by_user.get(r[1], 0) + r[4]
+        by_user[r[1]] = cum
+        if r[3] == "purchase":
+            want[r[0]] = min(TIER_CAP, int(cum // TIER_UNIT))
+    got = {
+        r["event_id"]: r["tier"]
+        for r in pit_join_user_tier(spark, d).collect()
+    }
+    assert got == want
+
+
+@given(rows=_EVENT_ROWS)
+@settings(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interval_coverage_matches_python_merge(spark, tmp_path_factory, rows):
+    """Interval-union coverage equals the brute-force sweep merge."""
+    from wsu_cpts_415_spark.queries.temporal import (
+        COVER_SEC,
+        interval_coverage_per_user,
+    )
+
+    d = _write_events(tmp_path_factory.mktemp("cov"), rows)
+    want = {}
+    users = sorted({r[1] for r in rows})
+    for u in users:
+        ivs = sorted(
+            (r[2], r[2] + COVER_SEC) for r in rows if r[1] == u
+        )
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        want[u] = (len(islands), sum(e - s for s, e in islands))
+    got = {
+        r["user_id"]: (r["n_islands"], r["covered_sec"])
+        for r in interval_coverage_per_user(spark, d).collect()
+    }
+    assert got == want

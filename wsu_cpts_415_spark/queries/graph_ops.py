@@ -770,9 +770,19 @@ def bfs_hops_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     root = verts.agg(F.min("id").alias("id"))
+    return bfs_hops(edges, root, BFS_MAX_HOPS).orderBy("hops", "id")
+
+
+def bfs_hops(edges: DataFrame, root: DataFrame, max_hops: int) -> DataFrame:
+    """Frontier BFS kernel: (src, dst) directed edges + a root vertex set
+    in, (id, hops) out for every vertex within ``max_hops`` of a root.
+    Visited vertices never re-enter the frontier join (anti join against
+    the accumulated distance table), lineage truncated per round.
+    Property-tested against a pure-python BFS in tests/test_properties.py.
+    """
     dist = root.select("id", F.lit(0).alias("hops")).localCheckpoint(eager=True)
     frontier = dist
-    for h in range(1, BFS_MAX_HOPS + 1):
+    for h in range(1, max_hops + 1):
         reached = (
             edges.join(
                 frontier.select(F.col("id").alias("src")), "src", "leftsemi"
@@ -790,4 +800,4 @@ def bfs_hops_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         dist = dist.unionByName(new).coalesce(4).localCheckpoint(eager=True)
         frontier = new
-    return dist.orderBy("hops", "id")
+    return dist
