@@ -118,6 +118,79 @@ def test_drift_repair_micros_passthrough(spark, tmp_path):
     assert [r["us"] for r in rows] == [base_us, base_us + 1]
 
 
+def test_drift_repair_lying_sidecar(spark, tmp_path):
+    """File whose parquet logical type is TIMESTAMP(MICROS) but whose
+    ARROW:schema sidecar claims timestamp[ns] (seen from some writers when
+    the fixture regenerated mid-round).  The unit decision must follow the
+    footer's logical annotation -- trusting the sidecar divides us by 1000
+    and squashes 30 days of events into ~43 minutes (the CORRECTNESS_r03
+    failure signature: one window, one session per user).
+
+    pyarrow's own writers keep the sidecar truthful, so the lie is injected
+    by monkeypatching _arrow_schema's reported arrow view over a genuine
+    MICROS file -- exactly what the loader would see from such a writer."""
+    import pyarrow as pa
+
+    import wsu_cpts_415_spark.io.tables as tables_mod
+
+    base_us = 1_704_067_200_000_000
+    vals = [base_us, base_us + 86_400_000_000, base_us + 2 * 86_400_000_000]
+    ts = pa.array(vals, type=pa.timestamp("us"))
+    d = _write_events_variant(tmp_path, ts)
+
+    real_arrow_schema = tables_mod._arrow_schema
+
+    def lying_arrow_schema(path):
+        meta = real_arrow_schema(path)
+        if meta is not None and "ts" in meta.get("logical", {}):
+            i = meta["arrow"].get_field_index("ts")
+            meta["arrow"] = meta["arrow"].set(i, pa.field("ts", pa.timestamp("ns")))
+        return meta
+
+    tables_mod._arrow_schema = lying_arrow_schema
+    try:
+        df = load_table(spark, d, "events")
+        got = sorted(r[0] for r in df.select(F.unix_micros("ts")).collect())
+        assert got == vals
+        days = df.select(F.to_date("ts")).distinct().count()
+        assert days == 3, "sidecar lie must not collapse distinct days"
+    finally:
+        tables_mod._arrow_schema = real_arrow_schema
+
+
+def test_drift_repair_plain_epoch_int64(spark, tmp_path):
+    """Unannotated epoch-int64 ts (no parquet timestamp logical type) in
+    µs and ms magnitudes both repair via the magnitude-adaptive CASE."""
+    import pyarrow as pa
+
+    base_us = 1_704_067_200_000_000
+    for unit_div in (1, 1000):  # µs file, then ms file
+        vals = [base_us // unit_div, (base_us + 86_400_000_000) // unit_div]
+        ts = pa.array(vals, type=pa.int64())
+        d = _write_events_variant(tmp_path, ts)
+        got = sorted(
+            r[0]
+            for r in load_table(spark, d, "events")
+            .select(F.unix_micros("ts"))
+            .collect()
+        )
+        assert got == [base_us, base_us + 86_400_000_000], f"unit_div={unit_div}"
+
+
+def test_drift_repair_millis_logical(spark, tmp_path):
+    """TIMESTAMP(MILLIS) logical annotation scans natively (no conversion)."""
+    import pyarrow as pa
+
+    base_ms = 1_704_067_200_000
+    ts = pa.array([base_ms, base_ms + 86_400_000], type=pa.timestamp("ms"))
+    d = _write_events_variant(tmp_path, ts)
+    got = sorted(
+        r[0]
+        for r in load_table(spark, d, "events").select(F.unix_micros("ts")).collect()
+    )
+    assert got == [base_ms * 1000, (base_ms + 86_400_000) * 1000]
+
+
 def test_all_tables_readable_and_counts_match(spark):
     """Every fixture table must load under its pinned schema and agree
     with DuckDB on row count -- catches physical-type drift in any

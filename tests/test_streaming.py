@@ -71,22 +71,26 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     from pyspark.sql import functions as F
     from wsu_cpts_415_spark.schemas import EVENTS_RAW
 
-    from wsu_cpts_415_spark.io.tables import _events_ts_is_nanos
+    from wsu_cpts_415_spark.io.tables import (
+        _events_ts_is_nanos,
+        epoch_int64_to_timestamp,
+    )
 
     src = tmp_path / "src"
     src.mkdir()
     ckpt = str(tmp_path / "ckpt")
     shutil.copy(f"{SF_SMOKE}/events.parquet", src / "f1.parquet")
 
-    # the fixture's physical unit varies by round (ns or us); mirror the
-    # loader's sniff so the raw int64 -> timestamp conversion is exact
+    # the fixture's physical unit varies by round (ns or us); the
+    # magnitude-adaptive conversion is unit-proof, but the 60-day shift
+    # below must still be expressed in the file's raw unit
     per_us = 1000 if _events_ts_is_nanos(f"{SF_SMOKE}/events.parquet") else 1
 
     def run_once(name):
         raw = (
             spark.readStream.schema(EVENTS_RAW)
             .parquet(f"{src}/*.parquet")
-            .withColumn("ts", F.expr(f"timestamp_micros(ts div {per_us})"))
+            .withColumn("ts", epoch_int64_to_timestamp("ts"))
         )
         q = (
             tumbling_counts(raw)
@@ -111,7 +115,7 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     batch2_raw = raw_base.withColumn(
         "event_id", F.col("event_id") + 1_000_000
     ).withColumn("ts", F.col("ts") + F.lit(60 * 86400 * 10**6 * per_us))
-    batch2 = batch2_raw.withColumn("ts", F.expr(f"timestamp_micros(ts div {per_us})"))
+    batch2 = batch2_raw.withColumn("ts", epoch_int64_to_timestamp("ts"))
     n2_rows = batch2.count()
     batch2_raw.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
     part = next((tmp_path / "stage").glob("part-*.parquet"))

@@ -15,12 +15,31 @@ file's physical types against the canonical schema:
 * columns whose declared type Spark can scan directly keep the declared
   type (pushdown intact — the common case, zero overhead);
 * TIMESTAMP(NANOS) (which Spark's reader rejects with
-  PARQUET_TYPE_ILLEGAL) is read as the raw int64 and floor-converted
-  ns -> us with integer division (exact; double division would lose
-  precision on ~1.7e18 ns epochs);
+  PARQUET_TYPE_ILLEGAL) and unannotated epoch-int64 columns are read as
+  the raw int64 and floor-converted to microseconds with integer
+  division (exact; double division would lose precision on ~1.7e18 ns
+  epochs);
 * other representable drifts (DATE file vs TIMESTAMP schema, timestamp
   file vs DATE schema, narrower/wider ints, float vs double) are read at
   the file's native type and cast to the canonical type.
+
+Two hardening rules, learned from a round-3 regression where every
+event fell into a single window (CORRECTNESS_r03: 7 reds, all
+``events.ts`` consumers):
+
+1. **The parquet logical type, not the arrow-metadata view, decides the
+   unit.**  ``pf.schema_arrow`` is reconstructed from the ``ARROW:schema``
+   / pandas sidecar metadata, which some writers leave stale (claiming
+   ``timestamp[ns]`` over a file whose logical annotation — the thing
+   Spark's reader actually honours — is TIMESTAMP(MICROS)).  Keying the
+   ns repair off the sidecar divides already-micros values by 1000 and
+   silently squashes 30 days of events into ~43 minutes.
+2. **Raw int64 -> timestamp conversion is magnitude-adaptive.**  Epoch
+   seconds (~1e9), millis (~1e12), micros (~1e15) and nanos (~1e18) are
+   three decades apart, so a CASE on ``abs(v)`` picks the right divisor
+   per row no matter what the footer claimed (unambiguous for dates
+   between 1973 and ~5000 CE).  A wrong annotation can then cost a cast,
+   never a silent 1000x error.
 
 The repair is per-column: an undrifted column scans exactly as before.
 """
@@ -58,29 +77,76 @@ def _arrow_schema(path: str):
         # INT96 (legacy Spark writer) surfaces as timestamp[ns] in the
         # arrow view but IS natively Spark-readable; report it as None so
         # the reconciler leaves the column alone.
-        phys = {phys_col.name: phys_col.physical_type for phys_col in
-                (pf.schema.column(i) for i in range(len(pf.schema)))}
-        return {"arrow": pf.schema_arrow, "physical": phys}
+        phys = {}
+        logical = {}
+        for i in range(len(pf.schema)):
+            col = pf.schema.column(i)
+            phys[col.name] = col.physical_type
+            # str() of the logical annotation, e.g.
+            # "Timestamp(isAdjustedToUTC=false, timeUnit=microseconds, ...)"
+            # — this is the footer truth Spark's reader honours, unlike the
+            # ARROW:schema sidecar behind pf.schema_arrow.
+            logical[col.name] = str(col.logical_type)
+        return {"arrow": pf.schema_arrow, "physical": phys, "logical": logical}
     except Exception:
         return None
 
 
-def _events_ts_is_nanos(path: str) -> bool:
-    """True when the events parquet stores ``ts`` as TIMESTAMP(NANOS).
+def epoch_int64_to_timestamp(name: str) -> Column:
+    """Magnitude-adaptive raw-int64 -> TIMESTAMP conversion.
 
-    Kept for the streaming source (streaming/jobs.py), which needs to know
-    the unit before constructing its readStream schema.
+    Epoch values in seconds / millis / micros / nanos occupy disjoint
+    magnitude bands (1000x apart), so the unit is recoverable from the
+    value itself — immune to stale footer metadata.  Integer division
+    keeps the ns -> us floor exact (double math loses ulps at ~1.7e18).
+    Unambiguous for timestamps between 1973 and ~5000 CE in every unit.
+    """
+    q = f"`{name}`"
+    return F.expr(
+        f"CASE WHEN abs({q}) >= 100000000000000000 THEN timestamp_micros({q} div 1000) "
+        f"WHEN abs({q}) >= 100000000000000 THEN timestamp_micros({q}) "
+        f"WHEN abs({q}) >= 100000000000 THEN timestamp_millis({q}) "
+        f"ELSE timestamp_seconds({q}) END"
+    )
+
+
+def events_ts_read_plan(path: str) -> tuple[str, Column | None]:
+    """How to read ``events.ts``: ``("native", None)`` when Spark scans it
+    as TimestampType directly, else ``("raw", conversion)`` — read as
+    LongType and apply the returned conversion Column.
+
+    Used by the streaming source (streaming/jobs.py), which must pick its
+    readStream schema before any data flows.  The decision comes from the
+    parquet *logical* annotation (footer truth); the arrow sidecar view is
+    only a fallback signal for files with no annotation at all.
     """
     meta = _arrow_schema(path)
-    if meta is None:
-        return False
-    if meta["physical"].get("ts") != "INT64":
-        return False
+    if meta is None or meta["physical"].get("ts") != "INT64":
+        return "native", None
+    logical = meta["logical"].get("ts", "")
+    if "timeUnit=microseconds" in logical or "timeUnit=milliseconds" in logical:
+        return "native", None
+    if "timeUnit=nanoseconds" in logical:
+        return "raw", epoch_int64_to_timestamp("ts")
+    # No timestamp annotation: a plain epoch int64 (any unit) cannot be
+    # scanned as TimestampType; read raw and convert by magnitude.
     try:
-        field = meta["arrow"].field("ts")
-    except KeyError:
-        return False
-    return getattr(field.type, "unit", None) == "ns"
+        import pyarrow as pa
+
+        atype = meta["arrow"].field("ts").type
+        if pa.types.is_timestamp(atype) or pa.types.is_integer(atype):
+            return "raw", epoch_int64_to_timestamp("ts")
+    except Exception:
+        pass
+    return "native", None
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """Back-compat shim: True when ``events.ts`` needs the raw-read path.
+
+    (Historically "is nanos"; now any shape Spark can't scan natively.)
+    """
+    return events_ts_read_plan(path)[0] == "raw"
 
 
 def _spark_native_type(arrow_type) -> T.DataType | None:
@@ -130,6 +196,7 @@ def _reconcile(
     if meta is None:
         return declared, {}
     arrow, physical = meta["arrow"], meta["physical"]
+    logical = meta.get("logical", {})
     read_fields: list[T.StructField] = []
     conversions: dict[str, Column] = {}
     for field in declared.fields:
@@ -140,15 +207,52 @@ def _reconcile(
             afield = None
         if afield is not None:
             atype = afield.type
+            log = logical.get(field.name, "")
+            phys = physical.get(field.name)
+            wants_temporal = isinstance(
+                field.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
+            )
             if (
-                pa.types.is_timestamp(atype)
-                and atype.unit == "ns"
-                and physical.get(field.name) == "INT64"
+                phys == "INT64"
+                and "timeUnit=nanoseconds" in log
             ):
                 # TIMESTAMP(NANOS): Spark rejects the annotation outright
-                # (PARQUET_TYPE_ILLEGAL) — read raw int64, floor ns -> us.
+                # (PARQUET_TYPE_ILLEGAL) — read raw int64, convert by
+                # magnitude (exact floor division for the ns case).
                 read_type = T.LongType()
-                conv = F.expr(f"timestamp_micros(`{field.name}` div 1000)")
+                conv = epoch_int64_to_timestamp(field.name)
+                if isinstance(field.dataType, T.DateType):
+                    conv = conv.cast(T.DateType())
+                conversions[field.name] = conv.alias(field.name)
+            elif (
+                phys == "INT64"
+                and ("timeUnit=microseconds" in log or "timeUnit=milliseconds" in log)
+            ):
+                # Footer says MICROS/MILLIS: Spark scans these natively,
+                # even when a stale ARROW:schema sidecar claims ns.  Keep
+                # the declared temporal type at the scan (pushdown intact);
+                # cast only if the declared type is DATE.
+                if isinstance(field.dataType, T.DateType):
+                    read_type = T.TimestampType()
+                    conversions[field.name] = (
+                        F.col(field.name).cast(T.DateType()).alias(field.name)
+                    )
+                elif not wants_temporal:
+                    read_type = T.TimestampType()
+                    conversions[field.name] = (
+                        F.col(field.name).cast(field.dataType).alias(field.name)
+                    )
+            elif (
+                wants_temporal
+                and phys == "INT64"
+                and pa.types.is_integer(atype)
+            ):
+                # Plain epoch int64 (no timestamp annotation) under a
+                # temporal declared type: raw read + magnitude-adaptive
+                # conversion.  A long->timestamp CAST would misread the
+                # value as epoch *seconds*.
+                read_type = T.LongType()
+                conv = epoch_int64_to_timestamp(field.name)
                 if isinstance(field.dataType, T.DateType):
                     conv = conv.cast(T.DateType())
                 conversions[field.name] = conv.alias(field.name)

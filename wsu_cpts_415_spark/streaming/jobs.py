@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-from wsu_cpts_415_spark.io.tables import _events_ts_is_nanos
+from wsu_cpts_415_spark.io.tables import events_ts_read_plan
 from wsu_cpts_415_spark.schemas import EVENTS, EVENTS_RAW
 
 WATERMARK = "1 day"
@@ -35,18 +35,19 @@ SESSION_GAP = "30 minutes"
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source streaming read of the events fixture (one-file 'topic').
 
-    Same ns->us timestamp conversion as the batch loader (io/tables.py);
-    maxFilesPerTrigger=1 keeps replay deterministic."""
+    Same magnitude-adaptive timestamp repair as the batch loader
+    (io/tables.py); maxFilesPerTrigger=1 keeps replay deterministic."""
     # glob (not bare file path): the file stream source requires its
     # basePath to be a directory, and the deepest non-glob ancestor of
     # "events.*" is sf_dir
-    if _events_ts_is_nanos(f"{sf_dir}/events.parquet"):
+    mode, conv = events_ts_read_plan(f"{sf_dir}/events.parquet")
+    if mode == "raw":
         raw = (
             spark.readStream.schema(EVENTS_RAW)
             .option("maxFilesPerTrigger", "1")
             .parquet(f"{sf_dir}/events.*")
         )
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return raw.withColumn("ts", conv)
     return (
         spark.readStream.schema(EVENTS)
         .option("maxFilesPerTrigger", "1")
