@@ -152,6 +152,9 @@ HEADLINE = [
     "bfs_hops_videos",
     "gdpr_erasure_audit",
     "interval_coverage_per_user",
+    "dsir_importance_weights",
+    "cdc_chunk_boundaries",
+    "quality_lift_deciles",
     "ref_link_analysis",
     "ref_trending_rankings",
     "ref_correlation_matrix",

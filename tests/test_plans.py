@@ -532,3 +532,28 @@ def test_mutual_information_broadcasts_marginals(spark, qs):
     plan = fmt_plan(qs["mutual_information_lang_source"].fn(spark, SF_ORACLE))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_dsir_ratio_table_broadcasts(spark, qs):
+    """DSIR pass 2 must broadcast the 256-row ratio table onto the token
+    stream -- a sort-merge join here would shuffle every token."""
+    plan = fmt_plan(qs["dsir_importance_weights"].fn(spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side agg
+
+
+def test_cdc_chunking_never_explodes_tokens(spark, qs):
+    """CDC boundaries are a per-row array expression: no Generate
+    (explode) node, and the only exchange is the per-source rollup."""
+    plan = fmt_plan(qs["cdc_chunk_boundaries"].fn(spark, SF_ORACLE))
+    assert "Generate" not in plan
+    assert plan.count("hashpartitioning(") <= 1
+
+
+def test_lift_and_binning_windows_are_partitioned(spark, qs):
+    """The decile windows must be hash-partitioned by lang -- a global
+    (SinglePartition) ntile would serialize the sort at 100 TB."""
+    for name in ("quality_lift_deciles", "quantile_binning"):
+        plan = fmt_plan(qs[name].fn(spark, SF_ORACLE))
+        assert "hashpartitioning(lang" in plan, name
