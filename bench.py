@@ -152,6 +152,8 @@ HEADLINE = [
     "bfs_hops_videos",
     "gdpr_erasure_audit",
     "interval_coverage_per_user",
+    "kaplan_meier_conversion",
+    "cuped_adjusted_metric",
     "dsir_importance_weights",
     "cdc_chunk_boundaries",
     "quality_lift_deciles",

@@ -557,3 +557,33 @@ def test_lift_and_binning_windows_are_partitioned(spark, qs):
     for name in ("quality_lift_deciles", "quantile_binning"):
         plan = fmt_plan(qs[name].fn(spark, SF_ORACLE))
         assert "hashpartitioning(lang" in plan, name
+
+
+def test_kaplan_meier_windows_run_on_day_grain(spark, qs):
+    """KM's cumulative windows must consume the day-level aggregate (a
+    calendar-bounded sliver), never raw events; users reduce via one
+    partial-aggregated shuffle first."""
+    plan = fmt_plan(qs["kaplan_meier_conversion"].fn(spark, SF_ORACLE))
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cuped_theta_is_broadcast_scalar(spark, qs):
+    """CUPED's theta/x_mean are a 1-row scalar joined by broadcast; the
+    only real shuffle is the per-user aggregate."""
+    plan = fmt_plan(qs["cuped_adjusted_metric"].fn(spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_k_anonymity_single_shuffle(spark, qs):
+    plan = fmt_plan(qs["k_anonymity_audit"].fn(spark, SF_ORACLE))
+    assert plan.count("hashpartitioning(") <= 1
+    assert "partial_count" in plan
+
+
+def test_dow_seasonality_day_grain_rollup(spark, qs):
+    plan = fmt_plan(qs["dow_seasonality"].fn(spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
