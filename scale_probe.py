@@ -128,6 +128,22 @@ PROBE = [
     "gdpr_erasure_audit",
     "pq_ann_adc_topk",
     "bfs_hops_videos",
+    # round-4 batch 2: training-prep + experiment analytics.  All
+    # bounded-output shapes: DSIR reduces to a 256-row ratio table, CDC
+    # is per-row arrays, KM/CUPED/seasonality collapse to day/user
+    # grains before any window.  quality_lift_deciles is included even
+    # though replication manufactures duplicates (its cost is the
+    # digest groupBy + partitioned ntile, both linear).
+    "dsir_importance_weights",
+    "cdc_chunk_boundaries",
+    "quality_lift_deciles",
+    "quantile_binning",
+    "percentile_disc_median",
+    "array_hof_suite",
+    "kaplan_meier_conversion",
+    "cuped_adjusted_metric",
+    "k_anonymity_audit",
+    "dow_seasonality",
 ]
 
 

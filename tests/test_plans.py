@@ -587,3 +587,27 @@ def test_dow_seasonality_day_grain_rollup(spark, qs):
     plan = fmt_plan(qs["dow_seasonality"].fn(spark, SF_ORACLE))
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_seasonal_anomalies_no_window(spark, qs):
+    """Seasonal residuals are pure aggregate + broadcast: no Window node
+    and no sort-merge join anywhere."""
+    plan = fmt_plan(qs["seasonal_residual_anomalies"].fn(spark, SF_ORACLE))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bootstrap_replicates_user_sliver_not_events(spark, qs):
+    """The 64x bootstrap explode must sit ABOVE the per-user aggregate:
+    exactly one hashpartitioning (user_id) below the Generate node."""
+    plan = fmt_plan(qs["hash_bootstrap_ci"].fn(spark, SF_ORACLE))
+    assert "Generate" in plan  # the explode exists
+    assert "partial_sum" in plan  # and the per-user aggregate feeds it
+    assert "SortMergeJoin" not in plan
+
+
+def test_neyman_and_benford_single_shuffle(spark, qs):
+    for name in ("neyman_allocation", "benford_audit"):
+        plan = fmt_plan(qs[name].fn(spark, SF_ORACLE))
+        assert "SortMergeJoin" not in plan, name
+        assert plan.count("hashpartitioning(") <= 2, name

@@ -1,0 +1,308 @@
+"""Statistical-audit operators, round 4 batch 3: seasonal anomaly
+detection, survey sampling allocation, Benford screening, and a
+deterministic bootstrap.
+
+Engine extensions (the reference's statistics surface is the Pearson
+correlation matrix, correlation_analysis.py:82-136); all four are
+textbook public methods chosen so both engines can evaluate them
+bit-stably:
+
+  * ``seasonal_residual_anomalies`` -- day-of-week-adjusted volume
+    anomalies: daily event counts minus their weekday mean, flagged at
+    |z| > 2 of the residual distribution (the seasonal sibling of
+    ``zscore_anomalies``).
+  * ``neyman_allocation``  -- optimal stratified-sampling allocation
+    (Neyman 1934, public): sample budget split across language strata
+    proportional to N_h * S_h, the variance-minimizing design the
+    stratified sampler should be driven by.
+  * ``benford_audit``      -- first-significant-digit distribution of
+    order totals vs Benford's law with per-digit chi-square
+    contributions.  Expected shares are pinned literals (log10(1+1/d))
+    so neither engine's libm rounding participates; the first digit
+    comes from the integer part's string form, not floating log10.
+  * ``hash_bootstrap_ci``  -- subsampling bootstrap of the per-user
+    mean value with md5-hash half-samples instead of RNG: replayable
+    on any cluster, identical in both engines.
+
+Scale design: every query reduces to a tiny grain before any window or
+join -- calendar days, |strata|, 9 digits, B=64 resamples.  The
+bootstrap replicates per-user rows map-side (64x a user-level sliver,
+never raw events) and collapses immediately to 64 resample means.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.registry import register
+
+Z_FLAG = 2.0  # |z| threshold for seasonal anomalies
+SAMPLE_BUDGET = 1000  # Neyman total sample size
+N_BOOT = 64  # bootstrap resamples
+
+# log10(1 + 1/d) for d = 1..9, pinned so both engines share one literal
+BENFORD = [
+    (1, 0.30103), (2, 0.17609), (3, 0.12494), (4, 0.09691), (5, 0.07918),
+    (6, 0.06695), (7, 0.05799), (8, 0.05115), (9, 0.04576),
+]
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in BENFORD
+) + " END"
+
+
+@register(
+    "seasonal_residual_anomalies",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY d
+    ),
+    dowed AS (
+        SELECT d, n, CAST((d - DATE '1970-01-01') % 7 AS BIGINT) AS dow
+        FROM daily
+    ),
+    expected AS (
+        SELECT dow, AVG(n) AS dow_mean FROM dowed GROUP BY dow
+    ),
+    resid AS (
+        SELECT dowed.d, dowed.n, expected.dow_mean,
+               dowed.n - expected.dow_mean AS r
+        FROM dowed JOIN expected USING (dow)
+    ),
+    spread AS (
+        SELECT stddev_pop(r) AS s FROM resid
+    )
+    SELECT d, n,
+           ROUND(dow_mean, 4) AS expected_n,
+           ROUND(r, 4) AS residual,
+           ROUND(r / s, 4) AS z
+    FROM resid, spread
+    WHERE ABS(r / s) > {Z_FLAG}
+    ORDER BY d
+    """,
+)
+def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-adjusted volume anomalies: each day's event count minus
+    its day-of-week mean, flagged where the residual exceeds
+    {Z_FLAG} population standard deviations.  Catches the "quiet
+    Tuesday" a raw z-score misses because weekends dominate the spread.
+
+    Scale: events collapse to |dates| rows first; the weekday means are
+    a 7-row broadcast; the residual spread a 1-row broadcast.  No
+    window at all -- everything is aggregate + broadcast join."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count("*").alias("n"))
+    dowed = daily.withColumn(
+        "dow", (F.datediff("d", F.lit("1970-01-01")) % 7).cast("bigint")
+    )
+    expected = dowed.groupBy("dow").agg(F.avg("n").alias("dow_mean"))
+    resid = dowed.join(F.broadcast(expected), "dow").withColumn(
+        "r", F.col("n") - F.col("dow_mean")
+    )
+    spread = resid.agg(F.stddev_pop("r").alias("s"))
+    return (
+        resid.crossJoin(F.broadcast(spread))
+        .filter(F.abs(F.col("r") / F.col("s")) > Z_FLAG)
+        .select(
+            "d",
+            "n",
+            F.round("dow_mean", 4).alias("expected_n"),
+            F.round("r", 4).alias("residual"),
+            F.round(F.col("r") / F.col("s"), 4).alias("z"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "neyman_allocation",
+    oracle=f"""
+    WITH strata AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_h,
+               stddev_pop(n_chars) AS s_h
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT SUM(n_h * s_h) AS denom FROM strata
+    )
+    SELECT lang, n_h,
+           ROUND(s_h, 4) AS stddev_chars,
+           ROUND(n_h * s_h / denom, 6) AS weight,
+           CAST(FLOOR({SAMPLE_BUDGET} * n_h * s_h / denom) AS BIGINT)
+               AS alloc_n
+    FROM strata, tot
+    ORDER BY lang
+    """,
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation over language strata:
+    each stratum's share of the {SAMPLE_BUDGET}-row budget is
+    N_h*S_h / sum(N_h*S_h) (bigger and more variable strata get more
+    samples -- the design that minimizes the estimator variance).
+    Floor-rounded so the allocation is deterministic.
+
+    Scale: one partial-aggregated shuffle to |strata| rows, then a
+    1-row denominator broadcast.  This is the allocator that should
+    drive ``stratified_sample_lang`` at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("lang").agg(
+        F.count("*").alias("n_h"), F.stddev_pop("n_chars").alias("s_h")
+    )
+    tot = strata.agg(F.sum(F.col("n_h") * F.col("s_h")).alias("denom"))
+    return (
+        strata.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_h",
+            F.round("s_h", 4).alias("stddev_chars"),
+            F.round(F.col("n_h") * F.col("s_h") / F.col("denom"), 6).alias(
+                "weight"
+            ),
+            F.floor(
+                SAMPLE_BUDGET * F.col("n_h") * F.col("s_h") / F.col("denom")
+            )
+            .cast("bigint")
+            .alias("alloc_n"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "benford_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                    1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (
+        SELECT SUM(n) AS total FROM obs
+    )
+    SELECT digit, n,
+           ROUND(n * 1.0 / total, 5) AS obs_share,
+           {_BENFORD_SQL_CASE} AS exp_share,
+           ROUND(total * POWER(n * 1.0 / total - {_BENFORD_SQL_CASE}, 2)
+                 / {_BENFORD_SQL_CASE}, 4) AS chi2_part
+    FROM obs, tot
+    ORDER BY digit
+    """,
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen of order totals: observed first-significant-
+    digit shares vs log10(1+1/d), with each digit's chi-square
+    contribution (large parts localize the distortion).  The digit is
+    taken from the integer part's decimal string -- identical in both
+    engines -- and the expected shares are pinned literals, so no libm
+    log10 is in the comparison path.  FLOOR before the integer cast is
+    load-bearing: DuckDB's double->BIGINT cast rounds half-away while
+    Spark's truncates, which flips e.g. 8999.6 between digits 8 and 9.
+
+    Scale: a single scan reduces to 9 digit rows; the total is a 1-row
+    broadcast.  (Synthetic uniform-ish fixture prices will FAIL the
+    screen -- that is the audit working as intended.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    exp_share = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pair in BENFORD for x in pair]
+        ),
+        F.col("digit").cast("int"),
+    )
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total"), 5).alias("obs_share"),
+            exp_share.alias("exp_share"),
+            F.round(
+                F.col("total")
+                * F.pow(F.col("n") / F.col("total") - exp_share, 2)
+                / exp_share,
+                4,
+            ).alias("chi2_part"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "hash_bootstrap_ci",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, SUM(value) AS total_value
+        FROM events GROUP BY user_id
+    ),
+    resampled AS (
+        SELECT b.b, per_user.total_value
+        FROM per_user, LATERAL (
+            SELECT UNNEST(generate_series(0, {N_BOOT - 1})) AS b
+        ) AS b
+        WHERE (('0x' || substr(md5(per_user.user_id || '_' || b.b), 1, 8))::BIGINT) % 2 = 0
+    ),
+    boot AS (
+        SELECT b, AVG(total_value) AS m FROM resampled GROUP BY b
+    ),
+    full_mean AS (
+        SELECT AVG(total_value) AS mu FROM per_user
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_resamples,
+           ROUND(MAX(mu), 4) AS full_sample_mean,
+           ROUND(AVG(m), 4) AS boot_mean,
+           ROUND(stddev_pop(m), 4) AS boot_se,
+           ROUND(MIN(m), 4) AS boot_min,
+           ROUND(MAX(m), 4) AS boot_max
+    FROM boot, full_mean
+    """,
+)
+def hash_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic subsampling bootstrap of the mean per-user value:
+    {N_BOOT} half-samples drawn by md5(user, b) parity instead of RNG,
+    so the interval is replayable bit-for-bit on any cluster and in
+    both engines.  Reports the resample spread (SE and range) around
+    the full-sample mean.
+
+    Scale: users collapse to one row each first; the {N_BOOT}x
+    replication happens on that user-level sliver map-side (explode of
+    a literal range -- no shuffle) and collapses immediately to
+    {N_BOOT} resample means.  Raw events are scanned exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("total_value"))
+    resampled = (
+        per_user.select(
+            "user_id",
+            "total_value",
+            F.explode(F.sequence(F.lit(0), F.lit(N_BOOT - 1))).alias("b"),
+        )
+        .filter(
+            F.expr(
+                "cast(conv(substr(md5(concat(user_id, '_', b)), 1, 8), 16, 10)"
+                " as bigint) % 2 = 0"
+            )
+        )
+    )
+    boot = resampled.groupBy("b").agg(F.avg("total_value").alias("m"))
+    full_mean = per_user.agg(F.avg("total_value").alias("mu"))
+    return boot.crossJoin(F.broadcast(full_mean)).agg(
+        F.count("*").alias("n_resamples"),
+        F.round(F.max("mu"), 4).alias("full_sample_mean"),
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.round(F.stddev_pop("m"), 4).alias("boot_se"),
+        F.round(F.min("m"), 4).alias("boot_min"),
+        F.round(F.max("m"), 4).alias("boot_max"),
+    )
