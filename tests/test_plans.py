@@ -611,3 +611,24 @@ def test_neyman_and_benford_single_shuffle(spark, qs):
         plan = fmt_plan(qs[name].fn(spark, SF_ORACLE))
         assert "SortMergeJoin" not in plan, name
         assert plan.count("hashpartitioning(") <= 2, name
+
+
+def test_markov_power_steps_broadcast_tiny_matrix(spark, qs):
+    """Every power-iteration step joins the state vector to the cached
+    25-row transition matrix by broadcast -- no SMJ at any depth."""
+    plan = fmt_plan(qs["markov_stationary_dist"].fn(spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_basket_pairs_join_deduped_baskets(spark, qs):
+    """The pair self-join input is the (user, type) distinct sliver, so
+    a partial-aggregate (distinct) must appear below the join."""
+    plan = fmt_plan(qs["basket_lift_pairs"].fn(spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+
+
+def test_cusum_window_on_day_grain(spark, qs):
+    plan = fmt_plan(qs["cusum_changepoints"].fn(spark, SF_ORACLE))
+    assert "partial_count" in plan  # daily rollup below the window
+    assert "SortMergeJoin" not in plan
