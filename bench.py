@@ -153,6 +153,9 @@ HEADLINE = [
     "gdpr_erasure_audit",
     "interval_coverage_per_user",
     "kaplan_meier_conversion",
+    "hash_bootstrap_ci",
+    "markov_stationary_dist",
+    "basket_lift_pairs",
     "cuped_adjusted_metric",
     "dsir_importance_weights",
     "cdc_chunk_boundaries",
