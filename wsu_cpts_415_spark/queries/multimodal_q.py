@@ -147,3 +147,61 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_window_plan(attach_payloads(docs)).orderBy(
         "doc_id", "win_idx"
     )
+
+
+@register(
+    "multimodal_payload_dedup",
+    oracle="""
+    WITH payloads AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               md5(text) AS digest,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    ),
+    uniq AS (
+        SELECT media_type, digest,
+               CAST(COUNT(*) AS BIGINT) AS copies,
+               MAX(n_bytes) AS n_bytes
+        FROM payloads GROUP BY media_type, digest
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(copies) AS BIGINT) AS n_payloads,
+           CAST(SUM(copies * n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM((copies - 1) * n_bytes) AS BIGINT) AS dedup_savings_bytes
+    FROM uniq
+    GROUP BY media_type
+    ORDER BY media_type
+    """,
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup census: payloads grouped by md5 digest
+    per media type, reporting unique count, total stored bytes, and the
+    bytes a content-addressed store would save.  The digest is computed
+    over the BINARY column (Spark md5 accepts binary directly); the
+    oracle hashes the same UTF-8 bytes through DuckDB's md5.
+
+    Scale: the shuffle key is the 16-byte digest -- payload bytes never
+    move; the rollup is |media_type| rows.  This is the dedup-exact
+    pattern applied to the opaque-binary modality."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_payloads(docs).select(
+        "media_type", F.md5("payload").alias("digest"), "n_bytes"
+    )
+    uniq = payloads.groupBy("media_type", "digest").agg(
+        F.count("*").alias("copies"), F.max("n_bytes").alias("n_bytes")
+    )
+    return (
+        uniq.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.sum("copies").alias("n_payloads"),
+            F.sum(F.col("copies") * F.col("n_bytes")).alias("total_bytes"),
+            F.sum((F.col("copies") - 1) * F.col("n_bytes")).alias(
+                "dedup_savings_bytes"
+            ),
+        )
+        .orderBy("media_type")
+    )

@@ -267,3 +267,66 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(agg, "q_streaming_sliding")
     return out.orderBy("window_start", "event_type")
+
+
+@register(
+    "streaming_seasonal_alerts",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY d
+    ),
+    dowed AS (
+        SELECT d, n, CAST((d - DATE '1970-01-01') % 7 AS BIGINT) AS dow
+        FROM daily
+    ),
+    expected AS (
+        SELECT dow, AVG(n) AS dow_mean FROM dowed GROUP BY dow
+    ),
+    resid AS (
+        SELECT dowed.d, dowed.n, expected.dow_mean,
+               dowed.n - expected.dow_mean AS r
+        FROM dowed JOIN expected USING (dow)
+    ),
+    spread AS (SELECT stddev_pop(r) AS s FROM resid)
+    SELECT d, n,
+           ROUND(dow_mean, 4) AS expected_n,
+           ROUND(r / s, 4) AS z
+    FROM resid, spread
+    WHERE ABS(r / s) > 2
+    ORDER BY d
+    """,
+)
+def streaming_seasonal_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static anomaly alerting: the seasonal model (weekday means
+    + residual spread) is a STATIC broadcast table; the stream's daily
+    windows join against it and only |z| > 2 days surface.  The batch
+    seasonal query (queries/stats_audits.py) is the oracle -- bounded
+    replay must reproduce the batch alert list exactly.
+
+    Production shape: the model tables refresh on a schedule; alert
+    state is bounded by the daily-window watermark, and the join adds
+    no streaming state at all (static side broadcast)."""
+    from pyspark.sql import functions as F
+
+    from wsu_cpts_415_spark.io.tables import load_table
+    from wsu_cpts_415_spark.streaming.jobs import seasonal_alerts
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    dowed = daily.withColumn(
+        "dow", (F.datediff("d", F.lit("1970-01-01")) % 7).cast("bigint")
+    )
+    expected = dowed.groupBy("dow").agg(F.avg("n").alias("dow_mean"))
+    spread = (
+        dowed.join(expected, "dow")
+        .withColumn("r", F.col("n") - F.col("dow_mean"))
+        .agg(F.stddev_pop("r").alias("s"))
+    )
+    out = run_available_now(
+        seasonal_alerts(read_events_stream(spark, sf_dir), expected, spread),
+        "q_streaming_seasonal",
+    )
+    return out.orderBy("d")

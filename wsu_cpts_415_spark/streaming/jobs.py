@@ -209,3 +209,39 @@ def stream_maintain_rollup(
         .start()
     )
     q.awaitTermination()
+
+
+def seasonal_alerts(
+    events_stream: DataFrame, expected: DataFrame, spread: DataFrame
+) -> DataFrame:
+    """Stream-static seasonal anomaly alerts: daily volumes from the
+    stream joined to the (static, 7-row broadcast) weekday-mean table
+    and the 1-row residual spread, flagged at |z| > 2.
+
+    The static sides come from the batch seasonal model (the same
+    expected/spread the batch query computes); in production they are a
+    periodically-refreshed model table, exactly the stream-static
+    enrichment pattern.  State is bounded by the watermark on the daily
+    window; the join adds no state (static side is a broadcast)."""
+    daily = (
+        events_stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.to_date("w.start").alias("d"), "n")
+        .withColumn(
+            "dow",
+            (F.datediff("d", F.lit("1970-01-01")) % 7).cast("bigint"),
+        )
+    )
+    return (
+        daily.join(F.broadcast(expected), "dow")
+        .crossJoin(F.broadcast(spread))
+        .withColumn("r", F.col("n") - F.col("dow_mean"))
+        .filter(F.abs(F.col("r") / F.col("s")) > 2.0)
+        .select(
+            "d",
+            "n",
+            F.round("dow_mean", 4).alias("expected_n"),
+            F.round(F.col("r") / F.col("s"), 4).alias("z"),
+        )
+    )
