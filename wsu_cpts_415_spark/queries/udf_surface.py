@@ -1,0 +1,157 @@
+"""UDF-surface completion (SURVEY.md §2.12): the two quadrants the rest
+of the engine doesn't already exercise.
+
+  * ``pandas_udaf_weighted_median`` -- a GROUPED_AGG pandas UDF (Arrow-
+    batched vectorized UDAF): per-language token-weighted median of
+    document length.  Scalar pandas_udf, grouped-map applyInPandas,
+    mapInPandas, and applyInPandasWithState are already on hot paths
+    elsewhere (similarity2, text, multimodal, streaming); this adds the
+    aggregate quadrant.
+  * ``udtf_char_bigrams`` -- a Python UDTF (Spark 4 table function) in a
+    LATERAL join, expanding character bigrams for a bounded top-k slice.
+    UDTFs evaluate row-at-a-time in Python, so the demo deliberately
+    runs AFTER a top-k reduction (10 rows) and the docstring pins that:
+    on unbounded data the same expansion is the JVM-side
+    explode/sequence expression used by ``posexplode_tokens`` and the
+    shingle kernels -- the UDTF exists for API surface parity, not as a
+    production path.
+
+Both are oracle-checked like every other query; the UDAF's weighted
+median is defined as the smallest value whose running weight reaches
+half the total -- run-boundary cumulative weights are permutation-
+invariant, so the answer is deterministic in both engines.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.registry import register
+
+TOP_K_DOCS = 10  # UDTF demo slice
+
+
+def _make_weighted_median():
+    """GROUPED_AGG kernel factory (pandas_udf parses its DDL type at
+    definition time, which needs an active session -- so build lazily):
+    smallest v with cum-weight >= total/2 under ascending value order.
+    Sorting inside the kernel makes the result independent of Arrow
+    batch arrival order."""
+
+    @pandas_udf("double")
+    def _weighted_median(values: pd.Series, weights: pd.Series) -> float:
+        df = pd.DataFrame({"v": values, "w": weights}).sort_values(
+            "v", kind="mergesort"
+        )
+        cw = df["w"].cumsum()
+        half = df["w"].sum() / 2.0
+        return float(df.loc[cw >= half, "v"].iloc[0])
+
+    return _weighted_median
+
+
+@register(
+    "pandas_udaf_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT lang, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS wt
+        FROM documents
+    ),
+    ordered AS (
+        SELECT lang, n_chars, wt,
+               SUM(wt) OVER (PARTITION BY lang ORDER BY n_chars
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(wt) OVER (PARTITION BY lang) AS tw
+        FROM w
+    )
+    SELECT lang,
+           CAST(MIN(CASE WHEN cw >= tw / 2.0 THEN n_chars END) AS DOUBLE)
+               AS weighted_median_chars
+    FROM ordered
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def pandas_udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language median document length weighted by token count,
+    computed by a vectorized GROUPED_AGG pandas UDF (one Arrow batch per
+    group, no per-row Python).  The definition (first value whose
+    running weight crosses half the total) is permutation-invariant at
+    run boundaries, so the UDAF and the SQL window mirror agree exactly.
+
+    Scale: the aggregation shuffles (lang, n_chars, weight) triples --
+    same movement as any groupBy -- and each group's kernel is a single
+    vectorized sort+cumsum.  For groups too large for one executor's
+    Arrow batch, the production form is the two-pass quantile (bucket
+    counts, then in-bucket select); this query carries the UDAF API
+    surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("wt"),
+    )
+    wm = _make_weighted_median()
+    return (
+        w.groupBy("lang")
+        .agg(wm("n_chars", "wt").alias("weighted_median_chars"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "udtf_char_bigrams",
+    oracle=f"""
+    WITH top_docs AS (
+        SELECT doc_id, text FROM documents
+        ORDER BY n_chars, doc_id LIMIT {TOP_K_DOCS}
+    ),
+    grams AS (
+        SELECT doc_id, substr(text, i, 2) AS bigram
+        FROM top_docs, LATERAL UNNEST(generate_series(1, len(text) - 1))
+             AS t(i)
+    )
+    SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams
+    GROUP BY doc_id, bigram
+    ORDER BY doc_id, bigram
+    """,
+)
+def udtf_char_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram expansion of the {TOP_K_DOCS} shortest documents
+    through a Python UDTF joined LATERAL -- the table-function quadrant
+    of the UDF surface.  Bounded BY CONSTRUCTION: the UDTF runs after a
+    TakeOrderedAndProject top-k, because Python UDTFs are row-at-a-time;
+    the unbounded form of this exact expansion is the JVM-side
+    transform/sequence expression the shingle kernels use."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="bigram: string")
+    class CharBigrams:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i in range(len(text) - 1):
+                yield (text[i : i + 2],)
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = docs.select("doc_id", "text", "n_chars").orderBy(
+        "n_chars", "doc_id"
+    ).limit(TOP_K_DOCS)
+    top.createOrReplaceTempView("_udtf_top_docs")
+    spark.udtf.register("char_bigrams", CharBigrams)
+    grams = spark.sql(
+        "SELECT t.doc_id, g.bigram "
+        "FROM _udtf_top_docs t, LATERAL char_bigrams(t.text) g"
+    )
+    return (
+        grams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy("doc_id", "bigram")
+    )
