@@ -44,6 +44,27 @@ def staged(
     return df
 
 
+_MODEL_CACHE: dict[tuple[int, str, str], object] = {}
+
+
+def staged_model(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    build: Callable[[], object],
+) -> object:
+    """Driver-side analogue of ``staged`` for MODEL-SIZED Python values
+    (trained codebooks, centroid lists, sketch parameters): memoized per
+    (session, name, dataset).  The cluster equivalent is a persisted
+    model table written once by the training job and read by every
+    consumer -- training is deterministic here, so the memo changes
+    latency, never results."""
+    key = (id(spark.sparkContext), name, sf_dir)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = build()
+    return _MODEL_CACHE[key]
+
+
 def clear_staged() -> None:
     """Unpersist and drop every cache entry (tests; memory pressure)."""
     for df in _CACHE.values():
@@ -52,3 +73,4 @@ def clear_staged() -> None:
         except Exception:
             pass
     _CACHE.clear()
+    _MODEL_CACHE.clear()

@@ -172,65 +172,77 @@ def pq_ann_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub_exprs = [
         f"slice(v, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})" for s in range(PQ_M)
     ]
-    # ---- train: Lloyd rounds for ALL subspaces in one job per round
-    # (model-sized driver exchange: PQ_M x PQ_K x PQ_SUBDIM doubles)
-    init_rows = (
-        emb.filter(F.col("vec_id") < PQ_K)
-        .select(F.col("vec_id").cast("int").alias("c"), "v")
-        .collect()
-    )
-    codebooks: list[list[tuple[int, list[float]]]] = [
-        sorted(
-            (int(r["c"]), list(r["v"])[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM])
-            for r in init_rows
-        )
-        for s in range(PQ_M)
-    ]
-    for it in range(1, PQ_ITERS):
-        # one select computes every subspace's assignment; one
-        # posexplode + aggregate re-estimates all PQ_M codebooks together
-        assigned = emb.select(
-            "v",
-            *[
-                F.expr(_assign_expr(sub_exprs[s], codebooks[s])).alias(f"c{s}")
-                for s in range(PQ_M)
-            ],
-        )
-        code_of_sub = "array(" + ",".join(f"c{s}" for s in range(PQ_M)) + ")"
-        rows = (
-            assigned.select(
-                F.posexplode("v").alias("gdim", "val"),
-                *[F.col(f"c{s}") for s in range(PQ_M)],
-            )
-            .select(
-                (F.col("gdim") / PQ_SUBDIM).cast("int").alias("s"),
-                F.expr(
-                    f"element_at({code_of_sub},"
-                    f" cast(gdim div {PQ_SUBDIM} as int) + 1)"
-                ).alias("c"),
-                (F.col("gdim") % PQ_SUBDIM).alias("dim"),
-                "val",
-            )
-            .groupBy("s", "c", "dim")
-            .agg(F.round(F.avg("val"), 6).alias("val"))
+    # ---- train (session-memoized via ops.staging.staged_model: the
+    # codebooks are a deterministic pure function of the dataset, so the
+    # memo is the local analogue of a persisted model table -- repeated
+    # queries skip straight to encode+ADC)
+    def _train():
+        # ---- train: Lloyd rounds for ALL subspaces in one job per round
+        # (model-sized driver exchange: PQ_M x PQ_K x PQ_SUBDIM doubles)
+        init_rows = (
+            emb.filter(F.col("vec_id") < PQ_K)
+            .select(F.col("vec_id").cast("int").alias("c"), "v")
             .collect()
         )
-        by_sc: dict[tuple[int, int], list[tuple[int, float]]] = {}
-        for r in rows:
-            by_sc.setdefault((int(r["s"]), int(r["c"])), []).append(
-                (int(r["dim"]), float(r["val"]))
-            )
-        codebooks = [
+        codebooks: list[list[tuple[int, list[float]]]] = [
             sorted(
-                (c, [v for _, v in sorted(dims)])
-                for (s2, c), dims in by_sc.items()
-                if s2 == s
+                (int(r["c"]), list(r["v"])[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM])
+                for r in init_rows
             )
             for s in range(PQ_M)
         ]
+        for it in range(1, PQ_ITERS):
+            # one select computes every subspace's assignment; one
+            # posexplode + aggregate re-estimates all PQ_M codebooks together
+            assigned = emb.select(
+                "v",
+                *[
+                    F.expr(_assign_expr(sub_exprs[s], codebooks[s])).alias(f"c{s}")
+                    for s in range(PQ_M)
+                ],
+            )
+            code_of_sub = "array(" + ",".join(f"c{s}" for s in range(PQ_M)) + ")"
+            rows = (
+                assigned.select(
+                    F.posexplode("v").alias("gdim", "val"),
+                    *[F.col(f"c{s}") for s in range(PQ_M)],
+                )
+                .select(
+                    (F.col("gdim") / PQ_SUBDIM).cast("int").alias("s"),
+                    F.expr(
+                        f"element_at({code_of_sub},"
+                        f" cast(gdim div {PQ_SUBDIM} as int) + 1)"
+                    ).alias("c"),
+                    (F.col("gdim") % PQ_SUBDIM).alias("dim"),
+                    "val",
+                )
+                .groupBy("s", "c", "dim")
+                .agg(F.round(F.avg("val"), 6).alias("val"))
+                .collect()
+            )
+            by_sc: dict[tuple[int, int], list[tuple[int, float]]] = {}
+            for r in rows:
+                by_sc.setdefault((int(r["s"]), int(r["c"])), []).append(
+                    (int(r["dim"]), float(r["val"]))
+                )
+            codebooks = [
+                sorted(
+                    (c, [v for _, v in sorted(dims)])
+                    for (s2, c), dims in by_sc.items()
+                    if s2 == s
+                )
+                for s in range(PQ_M)
+            ]
+        qv = next(
+            list(r["v"]) for r in init_rows if int(r["c"]) == PQ_QUERY_ID
+        )
+        return qv, codebooks
+
+    from wsu_cpts_415_spark.ops.staging import staged_model
+
+    qv, codebooks = staged_model(spark, "pq_codebooks", sf_dir, _train)
     # ---- LUT: query subvector vs final centroids, same fold + rounding
     # (the query vector is among the init rows: PQ_QUERY_ID < PQ_K)
-    qv = next(list(r["v"]) for r in init_rows if int(r["c"]) == PQ_QUERY_ID)
     luts: list[dict[int, float]] = []
     for s in range(PQ_M):
         qs = qv[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
