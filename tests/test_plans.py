@@ -632,3 +632,11 @@ def test_cusum_window_on_day_grain(spark, qs):
     plan = fmt_plan(qs["cusum_changepoints"].fn(spark, SF_ORACLE))
     assert "partial_count" in plan  # daily rollup below the window
     assert "SortMergeJoin" not in plan
+
+
+def test_hard_negative_queries_broadcast(spark, qs):
+    """The query batch must broadcast (corpus streams map-side past it);
+    top-1 per query must use the rank-limit pushdown."""
+    plan = fmt_plan(qs["hard_negative_mining"].fn(spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan

@@ -16,6 +16,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from wsu_cpts_415_spark.io.tables import load_table
 from wsu_cpts_415_spark.queries.similarity import _DUCK_H32, _QUERY_VEC_ID, TOP_K
@@ -405,3 +406,82 @@ def neardup_consensus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m.jaccard",
         "s.hamming",
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+    WITH queries AS (
+        SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+        SELECT q.qid, q.qlabel, e.vec_id AS neg_id, e.label AS neg_label,
+               ROUND(
+                   list_aggregate(list_transform(
+                       generate_series(1, len(e.embedding)),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                            * CAST(q.qv[i] AS DOUBLE)), 'sum')
+                   / (SQRT(list_aggregate(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    * SQRT(list_aggregate(list_transform(q.qv,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+                   6) AS sim
+        FROM queries q JOIN embeddings e
+          ON e.label <> q.qlabel
+    ),
+    ranked AS (
+        SELECT qid, qlabel, neg_id, neg_label, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY sim DESC, neg_id
+               ) AS rn
+        FROM scored
+    )
+    SELECT qid, qlabel, neg_id, neg_label, sim
+    FROM ranked WHERE rn = 1
+    ORDER BY qid
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each query vector (a
+    deterministic 1% id-sample), the most cosine-similar vector carrying
+    a DIFFERENT label -- the near-miss a contrastive loss learns most
+    from (public recipe: e.g. DPR / SimCSE negative mining).
+
+    Scale: the bounded query batch BROADCASTS and the corpus streams
+    past it map-side (one scan, no corpus shuffle); per-query top-1 is a
+    qid-partitioned rank (WindowGroupLimit prunes).  For unbounded query
+    sets the production path swaps the broadcast for the LSH-bucketed
+    candidate join (``ann_lsh_bucketed``), same scoring expression."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    cos = (
+        "aggregate(zip_with(embedding, qv,"
+        " (x, y) -> cast(x as double) * cast(y as double)), 0D,"
+        " (acc, v) -> acc + v)"
+        " / (sqrt(aggregate(embedding, 0D,"
+        " (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+        " * sqrt(aggregate(qv, 0D,"
+        " (acc, x) -> acc + cast(x as double) * cast(x as double))))"
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(F.expr(cos), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "neg_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "qlabel", "neg_id", "neg_label", "sim")
+        .orderBy("qid")
+    )
