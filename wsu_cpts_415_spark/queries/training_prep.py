@@ -471,3 +471,70 @@ def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "quantile_normalization_map",
+    oracle="""
+    WITH binned AS (
+        SELECT source, n_chars,
+               NTILE(10) OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+               ) AS decile
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(n_chars) AS src_mean
+        FROM binned GROUP BY source, decile
+    ),
+    ref AS (
+        SELECT decile, AVG(src_mean) AS ref_mean
+        FROM per_src GROUP BY decile
+    )
+    SELECT p.source, p.decile, p.n,
+           ROUND(p.src_mean, 4) AS src_mean,
+           ROUND(r.ref_mean, 4) AS ref_mean,
+           ROUND(r.ref_mean - p.src_mean, 4) AS shift
+    FROM per_src p JOIN ref r ON p.decile = r.decile
+    ORDER BY p.source, p.decile
+    """,
+)
+def quantile_normalization_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization mapping table (the rank-based distribution
+    alignment from microarray statistics, Bolstad et al. 2003, public):
+    each source's within-source length deciles are mapped onto the
+    cross-source reference distribution (the decile-wise mean of source
+    means), yielding the per-(source, decile) shift that makes every
+    source's length profile comparable -- the corpus-balancing sibling
+    of per-feature standardization.
+
+    Scale: the decile window is PARTITIONED by source; sources collapse
+    to a |sources| x 10 mapping before the reference join, which is a
+    broadcast of 10 rows.  Applying the map downstream is a broadcast
+    join + arithmetic, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.select(
+        "source",
+        "n_chars",
+        F.ntile(10)
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("decile"),
+    )
+    per_src = binned.groupBy("source", "decile").agg(
+        F.count("*").alias("n"), F.avg("n_chars").alias("src_mean")
+    )
+    ref = per_src.groupBy("decile").agg(F.avg("src_mean").alias("ref_mean"))
+    return (
+        per_src.join(F.broadcast(ref), "decile")
+        .select(
+            "source",
+            "decile",
+            "n",
+            F.round("src_mean", 4).alias("src_mean"),
+            F.round("ref_mean", 4).alias("ref_mean"),
+            F.round(F.col("ref_mean") - F.col("src_mean"), 4).alias("shift"),
+        )
+        .orderBy("source", "decile")
+    )
