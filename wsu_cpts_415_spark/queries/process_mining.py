@@ -373,3 +373,96 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item_a", "item_b")
     )
+
+
+@register(
+    "funnel_within_window",
+    oracle="""
+    WITH signup AS (
+        SELECT user_id, MIN(ts) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    stepped AS (
+        SELECT s.user_id, s.t_signup,
+               MIN(CASE WHEN e.event_type = 'view'
+                        AND e.ts > s.t_signup
+                        AND e.ts <= s.t_signup + INTERVAL 1 DAY
+                        THEN e.ts END) AS t_view
+        FROM signup s JOIN events e ON e.user_id = s.user_id
+        GROUP BY s.user_id, s.t_signup
+    ),
+    full_funnel AS (
+        SELECT st.user_id, st.t_view,
+               MIN(CASE WHEN e.event_type = 'purchase'
+                        AND e.ts > st.t_view
+                        AND e.ts <= st.t_view + INTERVAL 3 DAY
+                        THEN e.ts END) AS t_purchase
+        FROM stepped st JOIN events e ON e.user_id = st.user_id
+        WHERE st.t_view IS NOT NULL
+        GROUP BY st.user_id, st.t_view
+    )
+    SELECT CAST((SELECT COUNT(*) FROM signup) AS BIGINT) AS n_signup,
+           CAST((SELECT COUNT(t_view) FROM stepped) AS BIGINT)
+               AS n_view_1d,
+           CAST(COUNT(t_purchase) AS BIGINT) AS n_purchase_3d,
+           ROUND(COUNT(t_purchase) * 1.0
+                 / (SELECT COUNT(*) FROM signup), 5) AS full_conversion
+    FROM full_funnel
+    """,
+)
+def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded sequential funnel: signup -> first view within 1 day
+    -> first purchase within 3 days of that view.  Unlike the unbounded
+    funnels (funnel_signup_purchase, funnel_three_step), each step must
+    land inside its own window measured from the PREVIOUS step's time --
+    the standard product-funnel definition.
+
+    Scale: two user-keyed join+aggregate passes (step N's timestamps
+    join back onto the per-user event sliver); every shuffle is on
+    user_id, and AQE coalesces the tiny step tables.  No window
+    functions over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    stepped = (
+        signup.join(ev, "user_id")
+        .groupBy("user_id", "t_signup")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view")
+                    & (F.col("ts") > F.col("t_signup"))
+                    & (F.col("ts") <= F.col("t_signup") + F.expr("INTERVAL 1 DAY")),
+                    F.col("ts"),
+                )
+            ).alias("t_view")
+        )
+    )
+    full_funnel = (
+        stepped.filter(F.col("t_view").isNotNull())
+        .join(ev, "user_id")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_view"))
+                    & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 3 DAY")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    n_signup = signup.count()
+    n_view = stepped.filter(F.col("t_view").isNotNull()).count()
+    return full_funnel.agg(
+        F.lit(n_signup).cast("bigint").alias("n_signup"),
+        F.lit(n_view).cast("bigint").alias("n_view_1d"),
+        F.count("t_purchase").alias("n_purchase_3d"),
+        F.round(F.count("t_purchase") / F.lit(float(n_signup)), 5).alias(
+            "full_conversion"
+        ),
+    )

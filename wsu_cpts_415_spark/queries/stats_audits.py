@@ -306,3 +306,62 @@ def hash_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("m"), 4).alias("boot_min"),
         F.round(F.max("m"), 4).alias("boot_max"),
     )
+
+
+@register(
+    "mad_outliers_per_lang",
+    oracle="""
+    WITH med AS (
+        SELECT lang, quantile_cont(n_chars, 0.5) AS med_chars
+        FROM documents GROUP BY lang
+    ),
+    dev AS (
+        SELECT d.lang, d.doc_id, d.n_chars, m.med_chars,
+               ABS(d.n_chars - m.med_chars) AS adev
+        FROM documents d JOIN med m ON d.lang = m.lang
+    ),
+    mad AS (
+        SELECT lang, quantile_cont(adev, 0.5) AS mad_chars
+        FROM dev GROUP BY lang
+    )
+    SELECT dev.lang, dev.doc_id, CAST(dev.n_chars AS BIGINT) AS n_chars,
+           ROUND(0.6745 * (dev.n_chars - dev.med_chars)
+                 / mad.mad_chars, 4) AS robust_z
+    FROM dev JOIN mad ON dev.lang = mad.lang
+    WHERE ABS(0.6745 * (dev.n_chars - dev.med_chars) / mad.mad_chars) > 3.5
+    ORDER BY dev.lang, dev.doc_id
+    """,
+)
+def mad_outliers_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers via the modified z-score (Iglewicz-Hoaglin,
+    public): 0.6745 * (x - median) / MAD, flagged past 3.5 -- immune to
+    the outliers themselves inflating the spread, unlike the plain
+    z-score screens (zscore_anomalies, seasonal_residual_anomalies).
+
+    Scale: both the median and the MAD are exact percentile AGGREGATES
+    partitioned by language (no global sort, no window); the per-doc
+    pass joins two |languages|-row broadcast tables.  Two scans by
+    construction (MAD needs the median first) -- same two-pass shape
+    as DSIR."""
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med_chars")
+    )
+    dev = docs.join(F.broadcast(med), "lang").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med_chars"))
+    )
+    mad = dev.groupBy("lang").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_chars")
+    )
+    rz = 0.6745 * (F.col("n_chars") - F.col("med_chars")) / F.col("mad_chars")
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .filter(F.abs(rz) > 3.5)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round(rz, 4).alias("robust_z"),
+        )
+        .orderBy("lang", "doc_id")
+    )
