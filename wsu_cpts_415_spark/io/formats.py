@@ -1,4 +1,4 @@
-"""Multi-format table source/sink: parquet, ORC, CSV, JSON-lines.
+"""Multi-format table source/sink: parquet, ORC, CSV, JSON-lines, XML.
 
 The reference ingests TSV and (conceptually) serves from a document
 store (SURVEY.md §1.5); an engine its users can switch to needs the
@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-FORMATS = ("parquet", "orc", "csv", "json")
+FORMATS = ("parquet", "orc", "csv", "json", "xml")
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
@@ -42,6 +42,9 @@ def _text_options(fmt: str) -> dict[str, str]:
     opts = {"timestampFormat": _TS_FMT}
     if fmt == "csv":
         opts.update({"header": "true", "nullValue": "\\N"})
+    if fmt == "xml":
+        # Spark 4 native XML source: one row element per record
+        opts.update({"rowTag": "row"})
     return opts
 
 
@@ -50,7 +53,7 @@ def write_store(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     if fmt not in FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
     writer = df.write.mode("overwrite").format(fmt)
-    if fmt in ("csv", "json"):
+    if fmt in ("csv", "json", "xml"):
         for k, v in _text_options(fmt).items():
             writer = writer.option(k, v)
     writer.save(path)
@@ -67,13 +70,14 @@ def read_store(
     pin engine-facing types when given."""
     if fmt not in FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
-    if fmt in ("csv", "json") and schema is None:
+    if fmt in ("csv", "json", "xml") and schema is None:
         raise ValueError(f"{fmt} read requires an explicit schema")
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
-    if fmt in ("csv", "json"):
+    if fmt in ("csv", "json", "xml"):
         for k, v in _text_options(fmt).items():
             reader = reader.option(k, v)
-        reader = reader.option("mode", "FAILFAST")
+        if fmt != "xml":  # the XML reader has no FAILFAST mode option
+            reader = reader.option("mode", "FAILFAST")
     return reader.load(path)

@@ -7,8 +7,9 @@ engines."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from wsu_cpts_415_spark.io.tables import register_views
+from wsu_cpts_415_spark.io.tables import load_table, register_views
 from wsu_cpts_415_spark.registry import register
 
 _SQL = """
@@ -128,3 +129,88 @@ def sql_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, map-side combine intact."""
     register_views(spark, sf_dir)
     return spark.sql(_FILTERED_AGG_SQL)
+
+
+@register(
+    "variant_shred_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           ROUND(AVG(k), 6) AS avg_k
+    FROM (
+        SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_shred_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing through Spark 4's VARIANT type: the
+    JSON props column is parsed once with ``parse_json`` into a variant
+    (the open-schema binary encoding), then typed paths are extracted
+    with ``variant_get`` -- the engine-native path for schema-on-read
+    JSON that replaces per-query from_json schemas.  The oracle is
+    DuckDB's JSON path extraction over the same column.
+
+    Scale: variant parse + path extraction are per-row JVM expressions
+    inside codegen; the only shuffle is the |event_types| rollup.  On
+    stored tables the production form shreds hot paths into columns at
+    write time and keeps the variant for the long tail."""
+    ev = load_table(spark, sf_dir, "events")
+    shredded = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json(F.col("props")), "$.k", "int").alias("k"),
+    )
+    return (
+        shredded.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "sql_pivot_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COALESCE("F", 0) AS BIGINT) AS F,
+           CAST(COALESCE("O", 0) AS BIGINT) AS O,
+           CAST(COALESCE("P", 0) AS BIGINT) AS P
+    FROM (
+        PIVOT (SELECT o_orderpriority, o_orderstatus FROM orders)
+        ON o_orderstatus USING COUNT(*)
+    )
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native SQL PIVOT syntax parity: each engine's own PIVOT clause
+    (Spark's FOR ... IN, DuckDB's ON ... USING) must produce the same
+    wide table.  Complements ``pivot_status_by_flag``, which goes
+    through the DataFrame pivot API.
+
+    Scale: a pivot over an enumerated IN list is exactly one grouped
+    aggregate with |statuses| conditional columns -- same single
+    shuffle as the longhand CASE form."""
+    from wsu_cpts_415_spark.io.tables import load_table, register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               coalesce(F, 0) AS F,
+               coalesce(O, 0) AS O,
+               coalesce(P, 0) AS P
+        FROM (
+            SELECT * FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+            PIVOT (COUNT(*) FOR o_orderstatus IN ('F' AS F, 'O' AS O, 'P' AS P))
+        )
+        ORDER BY o_orderpriority
+        """
+    )
