@@ -56,6 +56,18 @@ def main(argv: list[str] | None = None) -> int:
         help="query names (default: the bench headline set)",
     )
 
+    shp = sub.add_parser(
+        "shuffle-audit",
+        help="measured shuffle/broadcast volumes per query (SHUFFLES.md)",
+    )
+    shp.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    shp.add_argument("--out", default="SHUFFLES.md")
+    shp.add_argument(
+        "--queries",
+        nargs="*",
+        help="query names (default: the fixed round-3 bench subset)",
+    )
+
     ingp = sub.add_parser("ingest", help="load a raw TSV crawl tree")
     ingp.add_argument("crawl_root")
     ingp.add_argument("store_dir")
@@ -139,6 +151,47 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.out, "w") as f:
             f.write(md)
         print(f"wrote {args.out} ({len(audits)} queries)")
+        return 0
+
+    if args.cmd == "shuffle-audit":
+        from wsu_cpts_415_spark.ops.metrics import shuffle_profile
+
+        qs = all_queries()
+        if args.queries:
+            names = args.queries
+        else:
+            import bench
+
+            names = sorted(bench.HEADLINE)
+        lines = [
+            "# SHUFFLES — measured data movement per query",
+            "",
+            f"Runtime SQLMetrics of the final (post-AQE) executed plan at"
+            f" `{args.sf_dir}`, via `ops/metrics.py shuffle_profile`."
+            "  `sh_bytes`/`sh_recs` = total shuffle writes; `n_sh` ="
+            " exchanges run; `bc_bytes` = broadcast sizes; `scan_rows` ="
+            " rows out of file scans.  Regenerate with"
+            " `python -m wsu_cpts_415_spark shuffle-audit`.",
+            "",
+            "| query | sh_bytes | sh_recs | n_sh | bc_bytes | scan_rows |",
+            "|---|---|---|---|---|---|",
+        ]
+        for n in names:
+            if n not in qs:
+                continue
+            try:
+                prof = shuffle_profile(qs[n].fn(spark, args.sf_dir))
+            except Exception as exc:  # pragma: no cover - audit resilience
+                lines.append(f"| {n} | err: {str(exc)[:40]} | | | | |")
+                continue
+            lines.append(
+                f"| {n} | {prof['shuffle_bytes']:,} |"
+                f" {prof['shuffle_records']:,} | {prof['n_shuffles']} |"
+                f" {prof['broadcast_bytes']:,} | {prof['scan_rows']:,} |"
+            )
+        with open(args.out, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"wrote {args.out} ({len(lines) - 8} queries)")
         return 0
 
     if args.cmd == "ingest":
