@@ -485,3 +485,111 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "qlabel", "neg_id", "neg_label", "sim")
         .orderBy("qid")
     )
+
+
+@register(
+    "matryoshka_recall_audit",
+    oracle="""
+    WITH queries AS (
+        SELECT vec_id AS qid, embedding AS qv
+        FROM embeddings WHERE vec_id % 250 = 0
+    ),
+    scored AS (
+        SELECT q.qid, e.vec_id,
+               ROUND(
+                   list_aggregate(list_transform(
+                       generate_series(1, 64),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                            * CAST(q.qv[i] AS DOUBLE)), 'sum')
+                   / (SQRT(list_aggregate(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    * SQRT(list_aggregate(list_transform(q.qv,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+                   6) AS sim_full,
+               ROUND(
+                   list_aggregate(list_transform(
+                       generate_series(1, 16),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                            * CAST(q.qv[i] AS DOUBLE)), 'sum')
+                   / (SQRT(list_aggregate(list_transform(e.embedding[1:16],
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    * SQRT(list_aggregate(list_transform(q.qv[1:16],
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+                   6) AS sim_trunc
+        FROM queries q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    ranked AS (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim_full DESC, vec_id) AS r_full,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim_trunc DESC, vec_id) AS r_trunc
+        FROM scored
+    )
+    SELECT qid,
+           CAST(COUNT(CASE WHEN r_full <= 10 AND r_trunc <= 10 THEN 1 END)
+                AS BIGINT) AS hits,
+           ROUND(COUNT(CASE WHEN r_full <= 10 AND r_trunc <= 10 THEN 1 END)
+                 / 10.0, 2) AS recall_at_10
+    FROM ranked
+    GROUP BY qid
+    ORDER BY qid
+    """,
+)
+def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension ablation (Kusupati et al. 2022,
+    public): how much of the full-dimension cosine top-10 survives when
+    similarity uses only the first 16 of 64 dimensions -- the recall
+    cost of serving truncated embeddings (cheaper storage/ANN) measured
+    per query.
+
+    Scale: the bounded query batch broadcasts; both similarity columns
+    come from the SAME corpus scan (one pass, two folds per row); the
+    per-query ranks are qid-partitioned windows over |Q| x N score
+    rows.  Raw embeddings shuffle only within the score sliver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+
+    def cos(vec: str, q: str, dims: int | None) -> str:
+        v = vec if dims is None else f"slice({vec}, 1, {dims})"
+        qq = q if dims is None else f"slice({q}, 1, {dims})"
+        return (
+            f"round(aggregate(zip_with({v}, {qq},"
+            " (x, y) -> cast(x as double) * cast(y as double)), 0D,"
+            " (acc, w) -> acc + w)"
+            f" / (sqrt(aggregate({v}, 0D,"
+            " (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+            f" * sqrt(aggregate({qq}, 0D,"
+            " (acc, x) -> acc + cast(x as double) * cast(x as double)))), 6)"
+        )
+
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(cos("embedding", "qv", None)).alias("sim_full"),
+            F.expr(cos("embedding", "qv", 16)).alias("sim_trunc"),
+        )
+    )
+    w_full = Window.partitionBy("qid").orderBy(F.col("sim_full").desc(), "vec_id")
+    w_trunc = Window.partitionBy("qid").orderBy(
+        F.col("sim_trunc").desc(), "vec_id"
+    )
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(w_full).alias("r_full"),
+        F.row_number().over(w_trunc).alias("r_trunc"),
+    )
+    hit = F.when((F.col("r_full") <= 10) & (F.col("r_trunc") <= 10), 1)
+    return (
+        ranked.groupBy("qid")
+        .agg(
+            F.count(hit).alias("hits"),
+            F.round(F.count(hit) / 10.0, 2).alias("recall_at_10"),
+        )
+        .orderBy("qid")
+    )
