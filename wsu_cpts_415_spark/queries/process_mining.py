@@ -119,13 +119,15 @@ def markov_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
-    p = counts.withColumn(
+    p_plan = counts.withColumn(
         "prob",
         F.col("n") / F.sum("n").over(Window.partitionBy("from_type")),
     ).select("from_type", "to_type", "prob")
-    # tiny matrix from here on: cache it so the 8 iterations don't
-    # re-derive the window over raw events each step
-    p = p.cache()
+    # tiny matrix from here on: session-stage it so neither the 8
+    # iterations nor repeated calls re-derive the event-stream window
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    p = staged(spark, "markov_transitions", sf_dir, lambda: p_plan)
     states = p.select(F.col("from_type").alias("state")).distinct()
     n_states = states.count()
     dist = states.withColumn("w", F.lit(1.0 / n_states))
