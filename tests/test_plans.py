@@ -640,3 +640,11 @@ def test_hard_negative_queries_broadcast(spark, qs):
     plan = fmt_plan(qs["hard_negative_mining"].fn(spark, SF_ORACLE))
     assert "SortMergeJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_training_manifest_is_two_exchanges(spark, qs):
+    """The end-to-end manifest DAG: one digest groupBy + the manifest
+    rollup.  Any extra exchange means a stage stopped being row-local."""
+    plan = fmt_plan(qs["training_manifest_pipeline"].fn(spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("hashpartitioning(") <= 3  # digest, digest-join, rollup

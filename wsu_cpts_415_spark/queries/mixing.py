@@ -374,3 +374,98 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "span_idx")
     )
+
+
+@register(
+    "training_manifest_pipeline",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, text, lang,
+               md5(text) AS digest,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               n_chars * 1.0 / len(string_split(text, ' ')) AS avg_tok_len
+        FROM documents
+    ),
+    winners AS (
+        SELECT digest, MIN(doc_id) AS keep_id
+        FROM scored GROUP BY digest
+    ),
+    survivors AS (
+        SELECT s.* FROM scored s JOIN winners w
+          ON s.digest = w.digest AND s.doc_id = w.keep_id
+    ),
+    gated AS (
+        SELECT * FROM survivors
+        WHERE n_tokens >= 10 AND avg_tok_len <= 12
+    ),
+    assigned AS (
+        SELECT doc_id, lang, n_tokens, avg_tok_len,
+               CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_split'), 1, 8))::BIGINT) % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_shard'), 1, 8))::BIGINT) % 8 AS shard
+        FROM gated
+    )
+    SELECT split, CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(avg_tok_len), 4) AS mean_tok_len,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM assigned
+    GROUP BY split, shard
+    ORDER BY split, shard
+    """,
+)
+def training_manifest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-assembly DAG a training run actually
+    consumes, as ONE query: exact-dedup survivors (deterministic
+    min-doc_id winner per md5 digest) -> quality gate (length and mean
+    token length bounds) -> hash-bucket train/val split -> hash shard
+    assignment -> per-(split, shard) manifest with token budgets and
+    language coverage.  Each stage reuses the semantics its standalone
+    operator pins (dedup_exact, quality_score, train_val_test_split,
+    shard_assignment_stats); this composition proves they stack.
+
+    Scale: ONE scan of documents; the only data-sized shuffle is the
+    digest groupBy (16-byte keys); split/shard assignment is row-local
+    hash arithmetic; the manifest is |splits| x |shards| rows.  At
+    100 TB this whole DAG is exactly two exchanges."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("digest"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        (
+            F.col("n_chars") * 1.0 / F.size(F.split("text", " "))
+        ).alias("avg_tok_len"),
+    )
+    winners = scored.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+    survivors = scored.join(
+        winners,
+        (scored["digest"] == winners["digest"])
+        & (scored["doc_id"] == winners["keep_id"]),
+    ).select(scored["*"])
+    gated = survivors.filter(
+        (F.col("n_tokens") >= 10) & (F.col("avg_tok_len") <= 12)
+    )
+    h = "cast(conv(substr(md5(concat(cast(doc_id as string), '{tag}')), 1, 8), 16, 10) as bigint)"
+    assigned = gated.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "avg_tok_len",
+        F.when(F.expr(h.format(tag="_split")) % 100 < 90, "train")
+        .otherwise("val")
+        .alias("split"),
+        (F.expr(h.format(tag="_shard")) % 8).alias("shard"),
+    )
+    return (
+        assigned.groupBy("split", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("avg_tok_len"), 4).alias("mean_tok_len"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split", "shard")
+    )
