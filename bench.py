@@ -154,6 +154,7 @@ HEADLINE = [
     "interval_coverage_per_user",
     "kaplan_meier_conversion",
     "hash_bootstrap_ci",
+    "training_manifest_pipeline",
     "markov_stationary_dist",
     "basket_lift_pairs",
     "cuped_adjusted_metric",

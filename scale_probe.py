@@ -144,6 +144,7 @@ PROBE = [
     "cuped_adjusted_metric",
     "k_anonymity_audit",
     "dow_seasonality",
+    "training_manifest_pipeline",
 ]
 
 

@@ -1,0 +1,54 @@
+"""Custom Python DataSource (io/pysource.py): determinism across
+partitionings, schema stability, and pushdown-compatible planning."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from wsu_cpts_415_spark.io.pysource import (
+    _mix,
+    register_synthetic_source,
+)
+
+
+def _read(spark, **opts):
+    register_synthetic_source(spark)
+    reader = spark.read.format("synthetic_events")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def test_rows_are_pure_function_of_seed_and_index(spark):
+    """Same (seed, n_rows) must emit identical rows no matter how many
+    partitions slice the index space -- the scale-out property."""
+    a = sorted(map(tuple, _read(spark, n_rows=500, n_partitions=2).collect()))
+    b = sorted(map(tuple, _read(spark, n_rows=500, n_partitions=7).collect()))
+    assert a == b
+    assert len(a) == 500
+
+
+def test_seed_changes_rows(spark):
+    a = _read(spark, n_rows=100, seed=1).agg(F.sum("user_id")).collect()[0][0]
+    b = _read(spark, n_rows=100, seed=2).agg(F.sum("user_id")).collect()[0][0]
+    assert a != b
+
+
+def test_schema_and_domains(spark):
+    df = _read(spark, n_rows=200)
+    assert [f.name for f in df.schema.fields] == [
+        "event_id", "ts_us", "user_id", "event_type", "value",
+    ]
+    types = {r[0] for r in df.select("event_type").distinct().collect()}
+    assert types <= {"click", "view", "purchase", "signup", "error"}
+    assert df.filter((F.col("user_id") < 0) | (F.col("user_id") >= 1000)).count() == 0
+
+
+def test_partition_count_matches_option(spark):
+    df = _read(spark, n_rows=1000, n_partitions=5)
+    assert df.rdd.getNumPartitions() == 5
+
+
+def test_mix_is_splitmix64(spark):
+    # reference value for splitmix64(seed=0 advanced once) is public
+    assert _mix(0) == 16294208416658607535

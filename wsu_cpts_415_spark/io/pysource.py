@@ -1,0 +1,103 @@
+"""Custom Python data source (Spark 4 DataSource API): a deterministic
+synthetic-events generator, registered as ``format("synthetic_events")``.
+
+Why it exists: the engine's source surface (S-rows in SURVEY.md §2)
+covers files (parquet/ORC/CSV/JSON/XML, TSV crawl trees) and streams
+(file-source streaming).  The Python DataSource API is the remaining
+first-class way third parties plug sources into Spark -- this module
+carries that surface with a generator any test can call without I/O:
+seeded, partition-parallel, and schema-stable.
+
+Semantics: ``load()`` takes options ``n_rows`` (total), ``n_partitions``
+and ``seed``; every row is a pure function of (seed, row index) via a
+splitmix64-style integer mix, so the SAME option set yields the SAME
+rows on any cluster, any partition count (rows are range-partitioned by
+index).  No RNG state crosses partitions -- each task derives its rows
+from its [start, end) slice alone, the property that makes a generator
+scale: adding executors re-slices the index space without changing a
+single emitted row.
+
+This is also the pattern for real custom sources (REST pagination,
+message queues): partitions() enumerates self-describing slices up
+front; read() touches only its slice.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+_MASK = (1 << 64) - 1
+
+
+def _mix(x: int) -> int:
+    """splitmix64 finalizer: a public-domain integer mix (Steele et al.,
+    "Fast Splittable Pseudorandom Number Generators", OOPSLA 2014)."""
+    x = (x + 0x9E3779B97F4A7C15) & _MASK
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK
+    return x ^ (x >> 31)
+
+
+def _row(seed: int, i: int):
+    h = _mix(seed * 0x5851F42D4C957F2D + i)
+    return (
+        i,
+        1_700_000_000_000_000 + i * 1_000_000 + (h % 1_000_000),
+        h % 1000,
+        EVENT_TYPES[(h >> 10) % len(EVENT_TYPES)],
+        round(((h >> 20) % 10_000) / 100.0, 2),
+    )
+
+
+@dataclass
+class _Slice(InputPartition):
+    start: int
+    end: int
+    seed: int
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_partitions = int(options.get("n_partitions", 4))
+        self.seed = int(options.get("seed", 42))
+
+    def partitions(self):
+        per = -(-self.n_rows // self.n_partitions)
+        return [
+            _Slice(lo, min(lo + per, self.n_rows), self.seed)
+            for lo in range(0, self.n_rows, per)
+        ]
+
+    def read(self, partition: _Slice):
+        for i in range(partition.start, partition.end):
+            yield _row(partition.seed, i)
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("event_id", T.LongType(), False),
+                T.StructField("ts_us", T.LongType(), False),
+                T.StructField("user_id", T.LongType(), False),
+                T.StructField("event_type", T.StringType(), False),
+                T.StructField("value", T.DoubleType(), False),
+            ]
+        )
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return SyntheticEventsReader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotent registration of the custom source on a session."""
+    spark.dataSource.register(SyntheticEventsDataSource)
