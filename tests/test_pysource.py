@@ -52,3 +52,33 @@ def test_partition_count_matches_option(spark):
 def test_mix_is_splitmix64(spark):
     # reference value for splitmix64(seed=0 advanced once) is public
     assert _mix(0) == 16294208416658607535
+
+
+def test_stream_reader_matches_batch_rows(spark, tmp_path):
+    """The streaming face must emit exactly the batch generator's rows
+    under availableNow replay (offsets are row indices; rows are pure
+    functions of the index)."""
+    from wsu_cpts_415_spark.io.pysource import register_synthetic_stream_source
+
+    register_synthetic_stream_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("max_rows", 300)
+        .option("rows_per_batch", 100)
+        .option("seed", 7)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pysource_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("pysource_stream").collect()))
+    want = sorted(
+        map(tuple, _read(spark, n_rows=300, seed=7).collect())
+    )
+    assert got == want

@@ -26,7 +26,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql import types as T
 
 EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
@@ -101,3 +106,54 @@ class SyntheticEventsDataSource(DataSource):
 def register_synthetic_source(spark) -> None:
     """Idempotent registration of the custom source on a session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# --- streaming face of the same generator --------------------------------
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over the same (seed, index) row space: offsets
+    are plain row indices, each trigger advances by ``rows_per_batch``
+    until ``max_rows``.  Because rows are pure functions of the index,
+    replaying any offset range after a crash yields identical rows --
+    exactly-once comes from determinism plus the checkpoint's offset
+    log, with no source-side state at all."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 1000))
+        self.n_partitions = int(options.get("n_partitions", 2))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        return {"index": self.max_rows}
+
+    def partitions(self, start, end):
+        lo, hi = start["index"], end["index"]
+        per = max(1, -(-(hi - lo) // self.n_partitions))
+        return [
+            _Slice(s, min(s + per, hi), self.seed) for s in range(lo, hi, per)
+        ]
+
+    def read(self, partition: _Slice):
+        for i in range(partition.start, partition.end):
+            yield _row(partition.seed, i)
+
+    def commit(self, end):
+        pass  # nothing to clean up: the generator holds no state
+
+
+class SyntheticEventsStreamingDataSource(SyntheticEventsDataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def streamReader(self, schema: T.StructType):
+        return SyntheticEventsStreamReader(self.options)
+
+
+def register_synthetic_stream_source(spark) -> None:
+    spark.dataSource.register(SyntheticEventsStreamingDataSource)
