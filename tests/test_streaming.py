@@ -180,3 +180,40 @@ def test_stream_maintained_rollup_equals_batch(spark, tmp_path):
         sorted(tuple(r) for r in spark.read.parquet(rollup_dir).collect())
         == got
     )
+
+
+def test_session_aggregates_under_rocksdb_state_store(spark, tmp_path):
+    """The production state-store backend (RocksDB, bundled with Spark 4)
+    must produce byte-identical session aggregates to the default HDFS
+    state store -- the config an actual 100 TB streaming deployment
+    flips for large state."""
+    from pyspark.sql import functions as F
+    from wsu_cpts_415_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now,
+        session_aggregates,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = run_available_now(
+            session_aggregates(read_events_stream(spark, SF_SMOKE)),
+            "q_sessions_rocksdb",
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    default = run_available_now(
+        session_aggregates(read_events_stream(spark, SF_SMOKE)),
+        "q_sessions_default_store",
+    ).collect()
+    assert sorted(map(tuple, rocks)) == sorted(map(tuple, default))
+    assert len(rocks) > 0
