@@ -731,3 +731,73 @@ def lang_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "source_dedup_crosstab",
+    oracle=f"""
+    WITH {LSH_PAIRS_DUCK_CTES},
+    src AS (SELECT doc_id, source FROM documents),
+    labeled AS (
+        SELECT LEAST(sa.source, sb.source) AS source_lo,
+               GREATEST(sa.source, sb.source) AS source_hi
+        FROM lsh_pairs p
+        JOIN src sa ON sa.doc_id = p.doc_a
+        JOIN src sb ON sb.doc_id = p.doc_b
+        WHERE p.jaccard >= {NEARDUP_THRESHOLD}
+    )
+    SELECT source_lo, source_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CASE WHEN source_lo = source_hi THEN 'within' ELSE 'cross' END
+               AS kind
+    FROM labeled
+    GROUP BY source_lo, source_hi
+    ORDER BY source_lo, source_hi
+    """,
+)
+def source_dedup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication provenance: which source pairs the near-duplicate
+    pairs connect -- within-source duplication points at a crawler
+    re-fetching, cross-source duplication at content syndication (and at
+    dedup ordering: dedup BEFORE mixing, or the mixture weights count
+    the same document twice).
+
+    Scale: reuses the session-staged verified pair table (16-byte ids +
+    jaccard) and joins the |docs|-row (doc_id, source) sliver twice;
+    output is bounded by sources^2."""
+    from wsu_cpts_415_spark.queries.similarity import lsh_verified_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    pairs = lsh_verified_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= NEARDUP_THRESHOLD
+    )
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+        )
+    )
+    return (
+        labeled.groupBy("source_lo", "source_hi")
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumn(
+            "kind",
+            F.when(F.col("source_lo") == F.col("source_hi"), "within").otherwise(
+                "cross"
+            ),
+        )
+        .orderBy("source_lo", "source_hi")
+    )

@@ -561,3 +561,41 @@ def ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(w * F.col("s.x")) / F.sum(w), 6).alias("ewma"))
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "events_heatmap_hour_dow",
+    oracle="""
+    SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY dow, hour
+    ORDER BY dow, hour
+    """,
+)
+def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The activity heatmap behind every ops dashboard: event volume on
+    the (day-of-week x hour-of-day) grid.  dow comes from epoch-day
+    arithmetic (engine-convention-proof, same rule as dow_seasonality);
+    hour from the shared timestamp.
+
+    Scale: single scan, one partial-aggregated shuffle onto a 7x24 key
+    space -- the canonical bounded-cardinality rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7)
+            .cast("bigint")
+            .alias("dow"),
+            F.hour("ts").cast("bigint").alias("hour"),
+            "value",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("dow", "hour")
+    )
