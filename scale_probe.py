@@ -145,6 +145,26 @@ PROBE = [
     "k_anonymity_audit",
     "dow_seasonality",
     "training_manifest_pipeline",
+    # batches 3-5: statistical audits, process mining, surface ops --
+    # all calendar/user/bounded grains.  source_dedup_crosstab is
+    # excluded (dedup family: replication manufactures pair growth).
+    "seasonal_residual_anomalies",
+    "cusum_changepoints",
+    "ab_proportion_ztest",
+    "hash_bootstrap_ci",
+    "benford_audit",
+    "neyman_allocation",
+    "markov_stationary_dist",
+    "basket_lift_pairs",
+    "mad_outliers_per_lang",
+    "funnel_within_window",
+    "events_heatmap_hour_dow",
+    "variant_shred_extract",
+    "pandas_udaf_weighted_median",
+    "quantile_normalization_map",
+    "multimodal_payload_dedup",
+    "hard_negative_mining",
+    "matryoshka_recall_audit",
 ]
 
 
