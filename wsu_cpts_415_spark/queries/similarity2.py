@@ -413,7 +413,7 @@ def neardup_consensus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH queries AS (
         SELECT vec_id AS qid, embedding AS qv, label AS qlabel
-        FROM embeddings WHERE vec_id % 100 = 0
+        FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000
     ),
     scored AS (
         SELECT q.qid, q.qlabel, e.vec_id AS neg_id, e.label AS neg_label,
@@ -444,8 +444,9 @@ def neardup_consensus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training hard negatives: for each query vector (a
-    deterministic 1% id-sample), the most cosine-similar vector carrying
-    a DIFFERENT label -- the near-miss a contrastive loss learns most
+    deterministic FIXED-SIZE id-sample -- bounded by id range, so the
+    batch does not grow with the corpus), the most cosine-similar vector
+    carrying a DIFFERENT label -- the near-miss a contrastive loss learns most
     from (public recipe: e.g. DPR / SimCSE negative mining).
 
     Scale: the bounded query batch BROADCASTS and the corpus streams
@@ -454,7 +455,9 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets the production path swaps the broadcast for the LSH-bucketed
     candidate join (``ann_lsh_bucketed``), same scoring expression."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+    queries = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("qlabel"),
@@ -492,7 +495,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH queries AS (
         SELECT vec_id AS qid, embedding AS qv
-        FROM embeddings WHERE vec_id % 250 = 0
+        FROM embeddings WHERE vec_id % 250 = 0 AND vec_id < 4000
     ),
     scored AS (
         SELECT q.qid, e.vec_id,
@@ -548,9 +551,9 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query ranks are qid-partitioned windows over |Q| x N score
     rows.  Raw embeddings shuffle only within the score sliver."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 250 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    )
+    queries = emb.filter(
+        (F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 4000)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
 
     def cos(vec: str, q: str, dims: int | None) -> str:
         v = vec if dims is None else f"slice({vec}, 1, {dims})"
