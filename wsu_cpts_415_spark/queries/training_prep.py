@@ -113,16 +113,28 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass 2 BROADCASTS the ratio table onto the token stream, so no
     document-sized row ever shuffles.  The per-doc aggregate shuffles
     (doc_id, partial-sum) pairs -- the same cardinality any tokenizer
-    stage already moves."""
+    stage already moves.  The hashed token stream is session-staged so
+    the md5-per-token cost is paid once across both passes (the
+    pipeline form: write the tokenized-features table once, select from
+    it many times; recomputing instead is a pure space/time knob)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
-        .select(
+
+    def _token_buckets():
+        return docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+        ).select(
             "doc_id",
             "lang",
             (F.expr(_SPARK_H32.format(x="tok")) % N_BUCKETS).alias("bucket"),
         )
-    )
+
+    # session-stage the hashed token stream: BOTH passes (distribution
+    # and scoring) and repeated calls read it, so the md5-per-token cost
+    # is paid once -- the local analogue of a pipeline writing its
+    # tokenized-features table once and running many selections over it.
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    toks = staged(spark, "dsir_token_buckets", sf_dir, _token_buckets)
     dist = toks.groupBy("bucket").agg(
         F.count(F.when(F.col("lang") == TARGET_LANG, 1)).alias("n_target"),
         F.count("*").alias("n_raw"),
