@@ -155,6 +155,9 @@ HEADLINE = [
     "kaplan_meier_conversion",
     "hash_bootstrap_ci",
     "training_manifest_pipeline",
+    "variant_shred_extract",
+    "funnel_within_window",
+    "events_heatmap_hour_dow",
     "markov_stationary_dist",
     "basket_lift_pairs",
     "cuped_adjusted_metric",

@@ -68,6 +68,13 @@ def main(argv: list[str] | None = None) -> int:
         help="query names (default: the fixed round-3 bench subset)",
     )
 
+    confp = sub.add_parser(
+        "conformance",
+        help="oracle-differential check vs DuckDB (the driver contract)",
+    )
+    confp.add_argument("names", nargs="*", help="query names (default: all)")
+    confp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
     ingp = sub.add_parser("ingest", help="load a raw TSV crawl tree")
     ingp.add_argument("crawl_root")
     ingp.add_argument("store_dir")
@@ -193,6 +200,23 @@ def main(argv: list[str] | None = None) -> int:
             f.write("\n".join(lines) + "\n")
         print(f"wrote {args.out} ({len(lines) - 8} queries)")
         return 0
+
+    if args.cmd == "conformance":
+        from wsu_cpts_415_spark.ops.conformance import run_conformance
+
+        results = run_conformance(spark, args.sf_dir, args.names or None)
+        n_bad = 0
+        for name, status in results.items():
+            if status.startswith("FAIL"):
+                n_bad += 1
+                print(f"{name:40s} {status}")
+        passed = sum(1 for s in results.values() if s == "PASS")
+        rows_only = sum(1 for s in results.values() if s.startswith("rows-only"))
+        print(
+            f"conformance: {passed} PASS, {rows_only} rows-only, "
+            f"{n_bad} FAIL of {len(results)}"
+        )
+        return 1 if n_bad else 0
 
     if args.cmd == "ingest":
         from wsu_cpts_415_spark.io.ingest import ingest_crawl
