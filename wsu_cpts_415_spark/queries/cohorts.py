@@ -269,3 +269,117 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(hours, 0.9)"), 4).alias("p90_hours"),
         F.round(F.max("hours"), 4).alias("max_hours"),
     )
+
+
+@register(
+    "value_concentration_curve",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, SUM(value) AS total
+        FROM events GROUP BY user_id
+    ),
+    binned AS (
+        SELECT total,
+               NTILE(10) OVER (ORDER BY total DESC, user_id) AS decile
+        FROM per_user
+    ),
+    tot AS (SELECT SUM(total) AS grand FROM per_user)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(SUM(total), 4) AS decile_value,
+           ROUND(SUM(total) / grand, 6) AS value_share,
+           ROUND(SUM(SUM(total)) OVER (
+               ORDER BY decile ROWS UNBOUNDED PRECEDING) / grand, 6)
+               AS cum_share
+    FROM binned, tot
+    GROUP BY decile, grand
+    ORDER BY decile
+    """,
+)
+def value_concentration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration curve: users ranked by lifetime value into
+    top-down deciles, with each decile's share and the cumulative share
+    -- the "does 20% of the base carry 80% of the value" report.
+
+    Scale: events collapse to one row per user BEFORE any ranking; the
+    global ntile runs over that user-grain sliver (the same bounded
+    shape as heavy_hitters_skew / kaplan_meier), and the final curve is
+    10 rows.  For a billion-user sliver the production decile boundary
+    comes from approx quantiles + bucket join; this exact form is the
+    oracle-checkable semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("total"))
+    binned = per_user.select(
+        "total",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("total").desc(), "user_id"))
+        .alias("decile"),
+    )
+    tot = per_user.agg(F.sum("total").alias("grand"))
+    per_decile = (
+        binned.groupBy("decile")
+        .agg(F.count("*").alias("n_users"), F.sum("total").alias("dv"))
+        .crossJoin(F.broadcast(tot))
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per_decile.select(
+        "decile",
+        "n_users",
+        F.round("dv", 4).alias("decile_value"),
+        F.round(F.col("dv") / F.col("grand"), 6).alias("value_share"),
+        F.round(F.sum("dv").over(w_cum) / F.col("grand"), 6).alias("cum_share"),
+    ).orderBy("decile")
+
+
+@register(
+    "gini_user_value",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, SUM(value) AS total
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT total,
+               ROW_NUMBER() OVER (ORDER BY total, user_id) AS rnk,
+               COUNT(*) OVER () AS n,
+               SUM(total) OVER () AS s
+        FROM per_user
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           ROUND(MAX(s), 4) AS total_value,
+           ROUND(2.0 * SUM(rnk * total) / (MAX(n) * MAX(s))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def gini_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user value: the single-number inequality
+    summary behind the concentration curve, via the rank formula
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending-ranked users
+    (ties broken by user_id so both engines rank identically).
+
+    Scale: the rank runs over the per-user sliver (one row per user,
+    same grain as the curve); everything after is one aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("total"))
+    w = Window.orderBy("total", "user_id")
+    ranked = per_user.select(
+        "total",
+        F.row_number().over(w).alias("rnk"),
+    )
+    stats = per_user.agg(
+        F.count("*").alias("n"), F.sum("total").alias("s")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(stats))
+        .agg(
+            F.max("n").cast("bigint").alias("n_users"),
+            F.round(F.max("s"), 4).alias("total_value"),
+            F.round(
+                2.0 * F.sum(F.col("rnk") * F.col("total"))
+                / (F.max("n") * F.max("s"))
+                - (F.max("n") + 1.0) / F.max("n"),
+                6,
+            ).alias("gini"),
+        )
+    )
