@@ -214,3 +214,47 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "sql_window_named",
+    oracle="""
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           ROUND(SUM(value) OVER wf, 4) AS running_value
+    FROM (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE user_id < 10
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING)
+    ORDER BY user_id, rn
+    """,
+)
+def sql_window_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-WINDOW SQL syntax parity: one shared window definition
+    referenced by several functions must evaluate identically through each engine's
+    own WINDOW clause (frame-refining a named window inline is not in
+    Spark's grammar, so the framed variant is its own named window) -- the syntax every analyst actually writes for multi-metric
+    window queries.
+
+    Scale: single user-partitioned window over a pushed-down user
+    slice; the shared definition also guarantees Spark plans ONE window
+    sort for both functions."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT user_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+               ROUND(SUM(value) OVER wf, 4) AS running_value
+        FROM (
+            SELECT user_id, ts, event_id, value FROM events
+            WHERE user_id < 10
+        )
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)
+        ORDER BY user_id, rn
+        """
+    )
