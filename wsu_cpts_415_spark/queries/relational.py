@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from wsu_cpts_415_spark.io.tables import load_table
 from wsu_cpts_415_spark.registry import register
@@ -163,3 +164,137 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         results = one if results is None else results.unionByName(one)
     return results.orderBy("relationship")
+
+
+@register(
+    "monthly_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY month
+    )
+    SELECT month, revenue, n_orders,
+           ROUND(revenue - LAG(revenue) OVER (ORDER BY month), 2)
+               AS mom_change,
+           ROUND((revenue / NULLIF(LAG(revenue) OVER (ORDER BY month), 0)
+                  - 1) * 100, 4) AS mom_pct,
+           ROUND((revenue / NULLIF(LAG(revenue, 12) OVER (ORDER BY month), 0)
+                  - 1) * 100, 4) AS yoy_pct
+    FROM monthly
+    ORDER BY month
+    """,
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: monthly revenue with
+    month-over-month and year-over-year growth percentages (LAG 1 and
+    LAG 12 over the month series) -- the canonical finance trend table.
+
+    Scale: orders collapse to |months| rows before the lag window; the
+    calendar-bounded series makes the unpartitioned window safe at any
+    corpus size (same grain argument as CUSUM/KM)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.trunc("o_orderdate", "month").alias("month")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    prev12 = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        "n_orders",
+        F.round(F.col("revenue") - prev, 2).alias("mom_change"),
+        F.round((F.col("revenue") / F.nullif(prev, F.lit(0)) - 1) * 100, 4).alias(
+            "mom_pct"
+        ),
+        F.round(
+            (F.col("revenue") / F.nullif(prev12, F.lit(0)) - 1) * 100, 4
+        ).alias("yoy_pct"),
+    ).orderBy("month")
+
+
+@register(
+    "revenue_waterfall",
+    oracle="""
+    WITH parts AS (
+        SELECT ROUND(SUM(l_extendedprice), 2) AS gross,
+               ROUND(SUM(l_extendedprice * l_discount), 2) AS discount_given,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS net,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * l_tax), 2)
+                   AS tax_collected,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS charged
+        FROM lineitem
+    )
+    SELECT step, CAST(ord AS BIGINT) AS ord, amount
+    FROM parts, LATERAL (VALUES
+        ('gross_revenue', 1, gross),
+        ('less_discounts', 2, -discount_given),
+        ('net_revenue', 3, net),
+        ('plus_tax', 4, tax_collected),
+        ('total_charged', 5, charged)
+    ) AS t(step, ord, amount)
+    ORDER BY ord
+    """,
+)
+def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue decomposition waterfall: gross extended price, discounts
+    given, net revenue, tax collected, total charged -- the five-step
+    bridge every finance review wants, emitted as ordered rows a chart
+    sink can consume directly.
+
+    Scale: ONE aggregate over lineitem (five conditional sums in the
+    same codegen span); the waterfall explode happens on the 1-row
+    result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = li.agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "discount_given"
+        ),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("net"),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * F.col("l_tax")
+            ),
+            2,
+        ).alias("tax_collected"),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("charged"),
+    )
+    steps = F.array(
+        F.struct(F.lit("gross_revenue").alias("step"), F.lit(1).alias("ord"),
+                 F.col("gross").alias("amount")),
+        F.struct(F.lit("less_discounts").alias("step"), F.lit(2).alias("ord"),
+                 (-F.col("discount_given")).alias("amount")),
+        F.struct(F.lit("net_revenue").alias("step"), F.lit(3).alias("ord"),
+                 F.col("net").alias("amount")),
+        F.struct(F.lit("plus_tax").alias("step"), F.lit(4).alias("ord"),
+                 F.col("tax_collected").alias("amount")),
+        F.struct(F.lit("total_charged").alias("step"), F.lit(5).alias("ord"),
+                 F.col("charged").alias("amount")),
+    )
+    return (
+        parts.select(F.explode(steps).alias("s"))
+        .select(
+            F.col("s.step").alias("step"),
+            F.col("s.ord").cast("bigint").alias("ord"),
+            F.col("s.amount").alias("amount"),
+        )
+        .orderBy("ord")
+    )
