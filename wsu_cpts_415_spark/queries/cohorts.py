@@ -383,3 +383,127 @@ def gini_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+@register(
+    "session_bounce_rate",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, CAST(ts AS DATE) AS d,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 60 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, d, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM gaps
+    ),
+    per_session AS (
+        SELECT user_id, sess_no,
+               MIN(d) AS start_day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sess_no
+    )
+    SELECT start_day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT)
+               AS n_bounces,
+           ROUND(COUNT(CASE WHEN n_events = 1 THEN 1 END) * 1.0
+                 / COUNT(*), 5) AS bounce_rate
+    FROM per_session
+    GROUP BY start_day
+    ORDER BY start_day
+    """,
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of sessions (60-minute gap rule,
+    same sessionization the session_windows operator pins) containing
+    exactly one event, by session start day -- the engagement metric
+    product teams watch first.
+
+    Scale: one user-partitioned window (the sessionizer's shuffle), a
+    per-session aggregate, then a calendar-grain rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        F.to_date("ts").alias("d"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            # microsecond-exact gap test: a long (seconds) cast would
+            # truncate and flip gaps in (3600, 3601) vs the INTERVAL
+            # comparison the oracle runs
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 3600 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = gaps.withColumn("sess_no", F.sum("is_new").over(w_run))
+    per_session = sess.groupBy("user_id", "sess_no").agg(
+        F.min("d").alias("start_day"), F.count("*").alias("n_events")
+    )
+    bounce = F.when(F.col("n_events") == 1, 1)
+    return (
+        per_session.groupBy("start_day")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.count(bounce).alias("n_bounces"),
+            F.round(F.count(bounce) / F.count("*"), 5).alias("bounce_rate"),
+        )
+        .orderBy("start_day")
+    )
+
+
+@register(
+    "activity_frequency_curve",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS active_days
+        FROM events GROUP BY user_id
+    )
+    SELECT active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM per_user), 5)
+               AS user_share
+    FROM per_user
+    GROUP BY active_days
+    ORDER BY active_days
+    """,
+)
+def activity_frequency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engagement-frequency ("smile") curve: how many users were
+    active on exactly N distinct days of the window -- a U-shape means
+    a tourist/core split, the first read on any engagement dashboard.
+
+    Scale: one user-keyed distinct-day aggregate, then a rollup on the
+    calendar-bounded active_days key space."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.countDistinct(F.to_date("ts")).alias("active_days")
+    )
+    tot = per_user.agg(F.count("*").alias("nu"))
+    return (
+        per_user.groupBy("active_days")
+        .agg(F.count("*").alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "active_days",
+            "n_users",
+            F.round(F.col("n_users") / F.col("nu"), 5).alias("user_share"),
+        )
+        .orderBy("active_days")
+    )
