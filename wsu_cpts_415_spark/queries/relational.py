@@ -298,3 +298,57 @@ def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ord")
     )
+
+
+@register(
+    "order_gap_histogram",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               CAST(CAST(o_orderdate AS DATE)
+                    - LAG(CAST(o_orderdate AS DATE)) OVER (
+                          PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey)
+                    AS BIGINT) AS gap_days
+        FROM orders
+    )
+    SELECT CAST(FLOOR(gap_days / 30.0) AS BIGINT) AS gap_bucket_months,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY gap_bucket_months
+    ORDER BY gap_bucket_months
+    """,
+)
+def order_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cycle analysis: the distribution of day-gaps between a
+    customer's consecutive orders, bucketed by month -- the input to
+    replenishment forecasting and churn-risk cutoffs ("customers whose
+    gap exceeds their historical p90 are churning").
+
+    Scale: one customer-partitioned window (lag over each customer's
+    order history), then a rollup on the bounded month-bucket key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        )
+        .cast("bigint")
+        .alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy(
+            F.floor(F.col("gap_days") / 30.0).cast("bigint").alias(
+                "gap_bucket_months"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_days").alias("min_days"),
+            F.max("gap_days").alias("max_days"),
+        )
+        .orderBy("gap_bucket_months")
+    )
