@@ -352,3 +352,57 @@ def order_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_bucket_months")
     )
+
+
+@register(
+    "fulfillment_delay_stats",
+    oracle="""
+    WITH delays AS (
+        SELECT o.o_orderpriority,
+               CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+                    AS BIGINT) AS delay_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(AVG(delay_days), 4) AS avg_delay,
+           ROUND(quantile_cont(delay_days, 0.5), 4) AS p50_delay,
+           ROUND(quantile_cont(delay_days, 0.9), 4) AS p90_delay,
+           CAST(MAX(delay_days) AS BIGINT) AS max_delay
+    FROM delays
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def fulfillment_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA view: days from order placement to line shipment,
+    summarized per order priority (mean, exact p50/p90, worst case) --
+    does the priority field actually buy faster shipping?
+
+    Scale: the orders side of the join is the dimension here and
+    BROADCASTS (priority + date only, column-pruned); delays aggregate
+    per priority with exact percentile aggregates on the bounded
+    priority key."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delays = li.join(
+        F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("bigint")
+        .alias("delay_days"),
+    )
+    return (
+        delays.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.avg("delay_days"), 4).alias("avg_delay"),
+            F.round(F.expr("percentile(delay_days, 0.5)"), 4).alias("p50_delay"),
+            F.round(F.expr("percentile(delay_days, 0.9)"), 4).alias("p90_delay"),
+            F.max("delay_days").alias("max_delay"),
+        )
+        .orderBy("o_orderpriority")
+    )
