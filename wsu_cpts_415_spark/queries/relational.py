@@ -379,16 +379,18 @@ def fulfillment_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     summarized per order priority (mean, exact p50/p90, worst case) --
     does the priority field actually buy faster shipping?
 
-    Scale: the orders side of the join is the dimension here and
-    BROADCASTS (priority + date only, column-pruned); delays aggregate
-    per priority with exact percentile aggregates on the bounded
-    priority key."""
+    Scale: a fact-fact equi-join on orderkey -- at 100 TB this is the
+    bucketed co-located join (io/bucketing.py: both tables bucketed by
+    orderkey, zero-Exchange plan) or a plain co-partitioned SMJ; the
+    pruned projections (3 and 2 columns) keep the shuffled width
+    minimal, and Catalyst may still broadcast at small SFs.  Delays
+    aggregate on the bounded priority key with exact percentiles."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     delays = li.join(
-        F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"]
+        orders, li["l_orderkey"] == orders["o_orderkey"]
     ).select(
         "o_orderpriority",
         F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
