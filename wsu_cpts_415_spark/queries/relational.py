@@ -408,3 +408,94 @@ def fulfillment_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "copurchase_part_pairs",
+    oracle="""
+    WITH lines AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM lines
+    ),
+    item_freq AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_orders_with
+        FROM lines GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM lines a JOIN lines b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+        HAVING COUNT(*) >= 3
+    )
+    SELECT part_a, part_b, n_both,
+           ROUND(n_both * 1.0 / n, 6) AS support,
+           ROUND((n_both * 1.0 / n)
+                 / ((fa.n_orders_with * 1.0 / n)
+                    * (fb.n_orders_with * 1.0 / n)), 4) AS lift
+    FROM pairs, n_orders,
+         item_freq fa, item_freq fb
+    WHERE fa.l_partkey = part_a AND fb.l_partkey = part_b
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining on actual purchase lines: part pairs that
+    appear in the same order at least 3 times, ranked by lift over
+    their independent order frequencies -- the classic association-rule
+    candidate list (top 20, fully tie-broken).
+
+    Scale: the self-join is CO-PARTITIONED on l_orderkey (pairs only
+    form within an order, so the shuffle key is the order key and pair
+    blowup is bounded by lines-per-order squared, a per-task constant);
+    item frequencies broadcast; the final ranking is
+    TakeOrderedAndProject over the support-filtered pair sliver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = lines.agg(F.countDistinct("l_orderkey").alias("n"))
+    item_freq = lines.groupBy("l_partkey").agg(
+        F.count("*").alias("n_orders_with")
+    )
+    a = lines.alias("a")
+    b = lines.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    fa = item_freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_orders_with").alias("na")
+    )
+    fb = item_freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_orders_with").alias("nb")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n"), 6).alias("support"),
+            F.round(
+                (F.col("n_both") / F.col("n"))
+                / ((F.col("na") / F.col("n")) * (F.col("nb") / F.col("n"))),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+    )
