@@ -499,3 +499,145 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "return_rate_by_brand",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS BIGINT)
+               AS n_returned,
+           ROUND(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) * 1.0
+                 / COUNT(*), 5) AS return_rate,
+           ROUND(SUM(CASE WHEN l.l_returnflag = 'R'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END), 2) AS returned_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate league table per brand with the revenue at stake --
+    the quality-escalation report.  Scale: part dim broadcasts, one
+    fact scan, rollup on the bounded brand key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ret = F.when(F.col("l_returnflag") == "R", 1)
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count(ret).alias("n_returned"),
+            F.round(F.count(ret) / F.count("*"), 5).alias("return_rate"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("l_returnflag") == "R",
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("returned_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH by_type AS (
+        SELECT p.p_type, l.l_suppkey,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_type, l.l_suppkey
+    ),
+    tot AS (
+        SELECT p_type, SUM(rev) AS type_rev FROM by_type GROUP BY p_type
+    )
+    SELECT b.p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(MAX(t.type_rev), 2) AS type_revenue,
+           ROUND(SUM(POWER(b.rev / t.type_rev, 2)), 6) AS hhi
+    FROM by_type b JOIN tot t ON b.p_type = t.p_type
+    GROUP BY b.p_type
+    ORDER BY b.p_type
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration: the Herfindahl-Hirschman index of
+    supplier revenue shares within each part type (1/n = perfectly
+    split, 1.0 = single-sourced) -- the procurement-risk screen.
+
+    Scale: one fact scan to the (type, supplier) grain, a |types|-row
+    broadcast of totals, rollup on the bounded type key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    by_type = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+    tot = by_type.groupBy(F.col("p_type").alias("t_type")).agg(
+        F.sum("rev").alias("type_rev")
+    )
+    return (
+        by_type.join(
+            F.broadcast(tot), by_type["p_type"] == tot["t_type"]
+        )
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.max("type_rev"), 2).alias("type_revenue"),
+            F.round(
+                F.sum(F.pow(F.col("rev") / F.col("type_rev"), 2)), 6
+            ).alias("hhi"),
+        )
+        .orderBy("p_type")
+    )
+
+
+@register(
+    "discount_effectiveness",
+    oracle="""
+    SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(AVG(l_quantity), 4) AS avg_quantity,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS net_revenue,
+           ROUND(SUM(l_extendedprice * l_discount), 2) AS discount_cost
+    FROM lineitem
+    GROUP BY discount_pct
+    ORDER BY discount_pct
+    """,
+)
+def discount_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-elasticity view: average quantity and the net-revenue /
+    discount-cost tradeoff per discount percentage band -- does a
+    deeper discount actually move more units (the q6 what-if, as a
+    report).  Scale: single scan, rollup on ~11 discount bands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.round(F.col("l_discount") * 100)
+            .cast("bigint")
+            .alias("discount_pct")
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_quantity"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("net_revenue"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("discount_cost"),
+        )
+        .orderBy("discount_pct")
+    )
