@@ -641,3 +641,88 @@ def discount_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("discount_pct")
     )
+
+
+@register(
+    "nation_trade_balance",
+    oracle="""
+    WITH supply_side AS (
+        SELECT n.n_name AS nation,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS supplied
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    demand_side AS (
+        SELECT n.n_name AS nation,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS consumed
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT COALESCE(s.nation, d.nation) AS nation,
+           ROUND(COALESCE(s.supplied, 0), 2) AS supplied_revenue,
+           ROUND(COALESCE(d.consumed, 0), 2) AS consumed_revenue,
+           ROUND(COALESCE(s.supplied, 0) - COALESCE(d.consumed, 0), 2)
+               AS trade_balance
+    FROM supply_side s FULL JOIN demand_side d ON s.nation = d.nation
+    ORDER BY nation
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided national ledger: revenue each nation SUPPLIES (via its
+    suppliers' line items) vs CONSUMES (via its customers' orders), and
+    the balance -- the q7 volume-shipping view folded into one
+    per-nation report.
+
+    Scale: two independent star rollups over the same fact scan shape
+    (dims broadcast, one fact shuffle each onto the 25-nation key),
+    then a full-outer join of two 25-row tables."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net")
+    supply = (
+        li.select("l_suppkey", net)
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("s_nation"))
+        .agg(F.sum("net").alias("supplied"))
+    )
+    demand = (
+        li.select("l_orderkey", net)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("d_nation"))
+        .agg(F.sum("net").alias("consumed"))
+    )
+    return (
+        supply.join(
+            demand, supply["s_nation"] == demand["d_nation"], "full_outer"
+        )
+        .select(
+            F.coalesce("s_nation", "d_nation").alias("nation"),
+            F.round(F.coalesce("supplied", F.lit(0.0)), 2).alias(
+                "supplied_revenue"
+            ),
+            F.round(F.coalesce("consumed", F.lit(0.0)), 2).alias(
+                "consumed_revenue"
+            ),
+            F.round(
+                F.coalesce("supplied", F.lit(0.0))
+                - F.coalesce("consumed", F.lit(0.0)),
+                2,
+            ).alias("trade_balance"),
+        )
+        .orderBy("nation")
+    )
