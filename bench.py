@@ -158,6 +158,10 @@ HEADLINE = [
     "variant_shred_extract",
     "funnel_within_window",
     "events_heatmap_hour_dow",
+    "monthly_revenue_growth",
+    "fulfillment_delay_stats",
+    "copurchase_part_pairs",
+    "discount_effectiveness",
     "markov_stationary_dist",
     "basket_lift_pairs",
     "cuped_adjusted_metric",
