@@ -365,3 +365,105 @@ def mad_outliers_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "doc_id")
     )
+
+
+@register(
+    "psi_value_drift",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi,
+               epoch_us(MIN(ts))
+                   + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2 AS mid_us
+        FROM events
+    ),
+    binned AS (
+        SELECT CASE WHEN epoch_us(ts) < mid_us THEN 'ref' ELSE 'cur' END
+                   AS period,
+               LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 10.0)) AS BIGINT),
+                     9) AS bin
+        FROM events, bounds
+    ),
+    dist AS (
+        SELECT bin,
+               COUNT(CASE WHEN period = 'ref' THEN 1 END) AS n_ref,
+               COUNT(CASE WHEN period = 'cur' THEN 1 END) AS n_cur
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM dist
+    )
+    SELECT bin,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND(((n_cur + 1.0) / (t_cur + 10))
+                 - ((n_ref + 1.0) / (t_ref + 10)), 6) AS share_delta,
+           ROUND((((n_cur + 1.0) / (t_cur + 10))
+                  - ((n_ref + 1.0) / (t_ref + 10)))
+                 * LN(((n_cur + 1.0) / (t_cur + 10))
+                      / ((n_ref + 1.0) / (t_ref + 10))), 6) AS psi_part
+    FROM dist, tot
+    ORDER BY bin
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the event-value distribution
+    between the first and second half of the observation window: the
+    standard model-monitoring drift metric, emitted per bin so the
+    drifting bins are visible (sum of psi_part > 0.2 = act).  Bins are
+    fixed-width over the global range, NOT quantiles -- bin edges must
+    not move between periods or PSI measures the binning, not the data.
+
+    Shares are Laplace-smoothed ((n+1)/(t+10)) so an empty bin in one
+    period contributes a finite part instead of an infinity (ANSI Spark
+    would throw on the raw ratio; DuckDB would yield inf -- smoothing
+    is also what production PSI does).  The midpoint is integer epoch
+    MICROSECONDS on both sides: halving a timestamp INTERVAL
+    integer-divides its days field in DuckDB, shifting the split by up
+    to half a day.
+
+    Scale: one scan, a 2-row bounds broadcast, rollup onto 10 bins."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        (
+            F.unix_micros(F.min("ts"))
+            + F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 2
+            ).cast("bigint")
+        ).alias("mid_us"),
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.unix_micros("ts") < F.col("mid_us"), "ref")
+        .otherwise("cur")
+        .alias("period"),
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 10.0)
+            ).cast("bigint"),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    dist = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("period") == "ref", 1)).alias("n_ref"),
+        F.count(F.when(F.col("period") == "cur", 1)).alias("n_cur"),
+    )
+    tot = dist.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("t_ref") + 10)
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("t_cur") + 10)
+    return (
+        dist.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round(p_cur - p_ref, 6).alias("share_delta"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+                "psi_part"
+            ),
+        )
+        .orderBy("bin")
+    )
