@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from wsu_cpts_415_spark.io.tables import load_table
 from wsu_cpts_415_spark.registry import register
@@ -466,4 +467,127 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("bin")
+    )
+
+
+@register(
+    "bayes_smoothed_dup_rates",
+    oracle="""
+    WITH flags AS (
+        SELECT source,
+               CASE WHEN COUNT(*) OVER (PARTITION BY md5(text)) > 1
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM documents
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(is_dup) AS BIGINT) AS n_dups
+        FROM flags GROUP BY source
+    ),
+    prior AS (
+        SELECT SUM(n_dups) * 1.0 / SUM(n_docs) AS p0 FROM per_source
+    )
+    SELECT source, n_docs, n_dups,
+           ROUND(n_dups * 1.0 / n_docs, 5) AS raw_rate,
+           ROUND((n_dups + 20 * p0) / (n_docs + 20), 5) AS smoothed_rate,
+           ROUND((n_dups + 20 * p0) / (n_docs + 20)
+                 - n_dups * 1.0 / n_docs, 5) AS shrinkage
+    FROM per_source, prior
+    ORDER BY source
+    """,
+)
+def bayes_smoothed_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes rate shrinkage (the m-estimate, m=20): per-source
+    duplicate rates pulled toward the corpus prior, so a source with 4
+    documents can't top the dedup league on noise -- the standard
+    correction before ranking small groups by any rate.
+
+    Scale: the dup flag joins on the md5 digest partition (16-byte
+    window key, no text on the shuffle); sources collapse to one row
+    each; the prior is a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    flags = docs.select(
+        "source",
+        F.when(F.count("*").over(w) > 1, 1).otherwise(0).alias("is_dup"),
+    )
+    per_source = flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("is_dup").alias("n_dups")
+    )
+    prior = per_source.agg(
+        (F.sum("n_dups") / F.sum("n_docs")).alias("p0")
+    )
+    raw = F.col("n_dups") / F.col("n_docs")
+    smoothed = (F.col("n_dups") + 20 * F.col("p0")) / (F.col("n_docs") + 20)
+    return (
+        per_source.crossJoin(F.broadcast(prior))
+        .select(
+            "source",
+            "n_docs",
+            "n_dups",
+            F.round(raw, 5).alias("raw_rate"),
+            F.round(smoothed, 5).alias("smoothed_rate"),
+            F.round(smoothed - raw, 5).alias("shrinkage"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "vocab_growth_curve",
+    oracle="""
+    WITH toks AS (
+        SELECT CAST(doc_id % 10 AS BIGINT) AS grp, t.tok
+        FROM documents, LATERAL UNNEST(string_split(text, ' ')) AS t(tok)
+    ),
+    first_seen AS (
+        SELECT tok, MIN(grp) AS first_grp FROM toks GROUP BY tok
+    ),
+    new_types AS (
+        SELECT first_grp AS grp, CAST(COUNT(*) AS BIGINT) AS new_types
+        FROM first_seen GROUP BY first_grp
+    ),
+    tokens_per AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY grp
+    )
+    SELECT t.grp,
+           CAST(SUM(t.n_tokens) OVER (ORDER BY t.grp
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(n.new_types, 0)) OVER (ORDER BY t.grp
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+    FROM tokens_per t LEFT JOIN new_types n ON t.grp = n.grp
+    ORDER BY t.grp
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct token types vs
+    cumulative tokens as the corpus is consumed in 10 deterministic
+    slices (doc_id mod) -- sublinear growth says the vocabulary is
+    saturating, the signal tokenizer-budget planning reads.
+
+    Scale: the curve needs no ordered scan -- each type's FIRST slice
+    is a min-aggregate over the token stream, so the cumulative counts
+    come from two bounded (10-row) rollups and a tiny window.  One
+    token-grain shuffle total."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 10).cast("bigint").alias("grp"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("grp").alias("first_grp"))
+    new_types = first_seen.groupBy(F.col("first_grp").alias("grp")).agg(
+        F.count("*").alias("new_types")
+    )
+    tokens_per = toks.groupBy("grp").agg(F.count("*").alias("n_tokens"))
+    w = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tokens_per.join(new_types, "grp", "left")
+        .select(
+            "grp",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("new_types", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+        .orderBy("grp")
     )
