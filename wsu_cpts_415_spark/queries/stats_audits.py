@@ -591,3 +591,112 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "embedding_norm_qc",
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id, label,
+               SQRT(list_aggregate(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                   AS l2
+        FROM embeddings
+    ),
+    med AS (SELECT quantile_cont(l2, 0.5) AS m FROM norms),
+    mad AS (
+        SELECT quantile_cont(ABS(l2 - m), 0.5) AS mad FROM norms, med
+    )
+    SELECT vec_id, label,
+           ROUND(l2, 5) AS l2,
+           ROUND(0.6745 * (l2 - m) / mad, 4) AS robust_z
+    FROM norms, med, mad
+    WHERE ABS(0.6745 * (l2 - m) / mad) > 3.5
+    ORDER BY vec_id
+    """,
+)
+def embedding_norm_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store hygiene: embeddings whose L2 norm is a robust
+    outlier (modified z past 3.5 on the norm distribution) -- the
+    degenerate/corrupt vectors that poison cosine ANN (a zero-norm
+    vector matches everything; a huge-norm one dominates dot products).
+
+    Scale: norms are per-row folds (no shuffle); the median and MAD are
+    exact percentile aggregates broadcast back as single rows; the
+    filter is row-local."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id",
+        "label",
+        F.sqrt(
+            F.expr(
+                "aggregate(embedding, cast(0.0 as double),"
+                " (acc, x) -> acc + cast(x as double) * cast(x as double))"
+            )
+        ).alias("l2"),
+    )
+    med = norms.agg(F.expr("percentile(l2, 0.5)").alias("m"))
+    mad = (
+        norms.crossJoin(F.broadcast(med))
+        .agg(F.expr("percentile(abs(l2 - m), 0.5)").alias("mad"))
+    )
+    rz = 0.6745 * (F.col("l2") - F.col("m")) / F.col("mad")
+    return (
+        norms.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .filter(F.abs(rz) > 3.5)
+        .select(
+            "vec_id",
+            "label",
+            F.round("l2", 5).alias("l2"),
+            F.round(rz, 4).alias("robust_z"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "simpson_diversity_by_source",
+    oracle="""
+    WITH counts AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+        SELECT source, SUM(n) AS src_n FROM counts GROUP BY source
+    )
+    SELECT c.source,
+           CAST(MAX(t.src_n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(1 - SUM(POWER(c.n * 1.0 / t.src_n, 2)), 6)
+               AS simpson_diversity
+    FROM counts c JOIN tot t ON c.source = t.source
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+)
+def simpson_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language diversity per source via the Simpson index (1 - sum of
+    squared shares: the probability two random docs differ in
+    language) -- the one-number mixture check next to the full MI and
+    chi-square drift screens.
+
+    Scale: a (source, lang)-bounded rollup, per-source totals broadcast
+    back, final aggregate on |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    tot = counts.groupBy(F.col("source").alias("t_source")).agg(
+        F.sum("n").alias("src_n")
+    )
+    return (
+        counts.join(F.broadcast(tot), counts["source"] == tot["t_source"])
+        .groupBy("source")
+        .agg(
+            F.max("src_n").cast("bigint").alias("n_docs"),
+            F.count("*").alias("n_langs"),
+            F.round(
+                1 - F.sum(F.pow(F.col("n") / F.col("src_n"), 2)), 6
+            ).alias("simpson_diversity"),
+        )
+        .orderBy("source")
+    )
