@@ -700,3 +700,56 @@ def simpson_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "effective_sample_size",
+    oracle="""
+    WITH w AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS wt
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(wt) AS BIGINT) AS total_weight,
+           ROUND(POWER(SUM(wt), 2) * 1.0 / SUM(wt * wt), 4) AS ess,
+           ROUND(POWER(SUM(wt), 2) * 1.0 / SUM(wt * wt) / COUNT(*), 6)
+               AS ess_ratio
+    FROM w
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size under token-count weighting, per
+    language: (sum w)^2 / sum w^2 -- how many equal-weight documents
+    the weighted corpus is actually worth.  ess_ratio near 1 means
+    lengths are uniform; a low ratio warns that a few long documents
+    dominate any length-weighted statistic (loss means, mixture
+    shares), the diagnostic importance-sampling pipelines (DSIR,
+    quality weighting) must watch.
+
+    Scale: integer sufficient statistics (sum w, sum w^2) in one
+    partial-aggregated pass -- exact regardless of partition order."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "lang", F.size(F.split("text", " ")).cast("bigint").alias("wt")
+    )
+    return (
+        w.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("wt").alias("total_weight"),
+            F.round(
+                F.pow(F.sum("wt"), 2) / F.sum(F.col("wt") * F.col("wt")), 4
+            ).alias("ess"),
+            F.round(
+                F.pow(F.sum("wt"), 2)
+                / F.sum(F.col("wt") * F.col("wt"))
+                / F.count("*"),
+                6,
+            ).alias("ess_ratio"),
+        )
+        .orderBy("lang")
+    )

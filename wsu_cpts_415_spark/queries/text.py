@@ -1027,3 +1027,62 @@ def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "calibration_ece",
+    oracle=f"""
+    WITH {QUALITY_DUCK_CTES},
+    bins AS (
+        SELECT CAST(LEAST(9, FLOOR(quality * 10)) AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               AVG(quality) AS avg_conf,
+               AVG(CASE WHEN unique_ratio >= 0.8 THEN 1.0 ELSE 0.0 END)
+                   AS emp_rate
+        FROM qual GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(n_docs) AS n FROM bins)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           ROUND(SUM(n_docs * ABS(avg_conf - emp_rate)) / MAX(n), 6)
+               AS ece,
+           ROUND(MAX(ABS(avg_conf - emp_rate)), 6) AS mce
+    FROM bins, tot
+    """,
+)
+def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected and maximum calibration error of the quality score: the
+    bin-weighted (ECE) and worst-bin (MCE) gap between mean score and
+    the empirical goodness rate -- the scalar summary of the
+    reliability diagram (quality_calibration_curve), the number a model
+    card quotes.
+
+    Scale: identical shape to the curve (fixed-width bins, 10-key
+    aggregate) plus a 1-row reduction."""
+    from wsu_cpts_415_spark.queries.text import quality_score as _qscore
+
+    scored = _qscore(spark, sf_dir)
+    bins = (
+        scored.select(
+            F.least(F.lit(9), F.floor(F.col("quality") * 10))
+            .cast("int")
+            .alias("bucket"),
+            "quality",
+            (F.col("unique_ratio") >= 0.8).cast("double").alias("diverse"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg("quality").alias("avg_conf"),
+            F.avg("diverse").alias("emp_rate"),
+        )
+    )
+    gap = F.abs(F.col("avg_conf") - F.col("emp_rate"))
+    return bins.agg(
+        F.count("*").alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        F.round(
+            F.sum(F.col("n_docs") * gap) / F.sum("n_docs"), 6
+        ).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+    )
