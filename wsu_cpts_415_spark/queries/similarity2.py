@@ -596,3 +596,56 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@register(
+    "lsh_tuning_curves",
+    oracle="""
+    WITH configs AS (
+        SELECT * FROM (VALUES (2, 4), (4, 2), (8, 1)) AS c(n_bands, rows_per_band)
+    ),
+    grid AS (
+        SELECT CAST(s AS BIGINT) AS sim_pct
+        FROM UNNEST(generate_series(10, 90, 10)) AS t(s)
+    )
+    SELECT c.n_bands, c.rows_per_band, g.sim_pct,
+           ROUND(1 - POWER(1 - POWER(g.sim_pct / 100.0, c.rows_per_band),
+                           c.n_bands), 6) AS collision_prob
+    FROM configs c CROSS JOIN grid g
+    ORDER BY c.n_bands, g.sim_pct
+    """,
+)
+def lsh_tuning_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH s-curve planning table: candidate-collision
+    probability 1-(1-s^r)^b over a Jaccard grid for the (bands, rows)
+    splits of an 8-hash signature -- the tuning artifact behind this
+    engine's b=4, r=2 choice (steep rise around the 0.5 near-dup
+    threshold).  Pure closed-form math evaluated identically by both
+    engines; no data is read, which is exactly the point: band tuning
+    is decided BEFORE the corpus-sized job runs.
+
+    Scale: 27 rows of arithmetic."""
+    configs = spark.createDataFrame(
+        [(2, 4), (4, 2), (8, 1)], "n_bands int, rows_per_band int"
+    )
+    grid = spark.range(1, 10).select(
+        (F.col("id") * 10).cast("bigint").alias("sim_pct")
+    )
+    return (
+        configs.crossJoin(grid)
+        .select(
+            "n_bands",
+            "rows_per_band",
+            "sim_pct",
+            F.round(
+                1
+                - F.pow(
+                    1
+                    - F.pow(F.col("sim_pct") / 100.0, F.col("rows_per_band")),
+                    F.col("n_bands"),
+                ),
+                6,
+            ).alias("collision_prob"),
+        )
+        .orderBy("n_bands", "sim_pct")
+    )
