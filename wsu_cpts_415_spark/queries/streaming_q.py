@@ -330,3 +330,48 @@ def streaming_seasonal_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_streaming_seasonal",
     )
     return out.orderBy("d")
+
+
+@register(
+    "streaming_cep_error_after_purchase",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_purchase
+        FROM events
+    )
+    SELECT user_id,
+           date_trunc('microseconds', ts) AS error_ts,
+           date_trunc('microseconds', last_purchase) AS purchase_ts,
+           ROUND(EXTRACT(epoch FROM ts - last_purchase), 4) AS gap_seconds
+    FROM ordered
+    WHERE event_type = 'error'
+      AND last_purchase IS NOT NULL
+      AND ts - last_purchase <= INTERVAL 10 MINUTE
+    ORDER BY user_id, error_ts
+    """,
+)
+def streaming_cep_error_after_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Complex event processing through a REAL streaming run: per user,
+    every 'error' within 10 minutes of the latest 'purchase', detected
+    by an applyInPandasWithState kernel holding ONE scalar of state per
+    user.  The oracle is the batch running-max formulation -- bounded
+    replay must reproduce the alert list exactly.  This is the CEP
+    surface (match-recognize-style rules) the engine's stateful
+    operator carries; swap the kernel body for any other rule.
+
+    Scale: state is O(users) scalars; the kernel sees Arrow batches,
+    never Python rows; alerts stream out in update mode."""
+    from wsu_cpts_415_spark.streaming.jobs import cep_error_after_purchase
+
+    out = run_available_now(
+        cep_error_after_purchase(read_events_stream(spark, sf_dir)),
+        "q_streaming_cep",
+        output_mode="update",
+    )
+    return out.orderBy("user_id", "error_ts")

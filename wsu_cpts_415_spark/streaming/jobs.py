@@ -245,3 +245,65 @@ def seasonal_alerts(
             F.round(F.col("r") / F.col("s"), 4).alias("z"),
         )
     )
+
+
+_CEP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("error_ts", T.TimestampType()),
+        T.StructField("purchase_ts", T.TimestampType()),
+        T.StructField("gap_seconds", T.DoubleType()),
+    ]
+)
+
+_CEP_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_purchase_us", T.LongType())]
+)
+
+
+def _detect_error_after_purchase(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """CEP kernel: per user, emit every 'error' event that lands within
+    10 minutes of the most recent 'purchase'.  State is ONE integer per
+    key (the last purchase timestamp) -- the bounded-state property
+    every CEP rule needs.  Events are processed in event-time order
+    within the batch (sorted here; across batches the file-source
+    replay preserves arrival order)."""
+    (last_purchase_us,) = state.get if state.exists else (None,)
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if etype == "purchase":
+                last_purchase_us = ts_us
+            elif etype == "error" and last_purchase_us is not None:
+                gap = (ts_us - last_purchase_us) / 1_000_000.0
+                if 0 <= gap <= 600:
+                    out.append(
+                        (
+                            key[0],
+                            pd.Timestamp(ts),
+                            pd.Timestamp(last_purchase_us * 1000),
+                            round(gap, 4),
+                        )
+                    )
+    state.update((last_purchase_us,))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "error_ts", "purchase_ts", "gap_seconds"]
+        )
+
+
+def cep_error_after_purchase(events: DataFrame) -> DataFrame:
+    """Complex-event-processing operator: the 'error within 10 minutes
+    of a purchase' alert stream, via applyInPandasWithState (update
+    mode, one scalar of state per user)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _detect_error_after_purchase,
+        outputStructType=_CEP_OUT_SCHEMA,
+        stateStructType=_CEP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
