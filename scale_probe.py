@@ -185,10 +185,28 @@ def build(spark) -> None:
         cols = df.columns
         # events.ts is written as a plain timestamp (micros); the loader
         # sniffs the footer and reads it natively (io/tables.py)
-        reps.select(cols).write.mode("overwrite").parquet(out)
+        # repartition before the write: the replicate is a broadcast
+        # crossJoin over the (often single-file) source, so without it
+        # one or two tasks would serialize the N-fold write -- at N=100
+        # that single task also GC-thrashes on the 100x row batch
+        n_out = min(64, max(1, N * 2))
+        reps.select(cols).repartition(n_out).write.mode("overwrite").parquet(out)
 
 
 def main() -> None:
+    # optional subset knob: SPARK_GRAFT_PROBE_QUERIES="q1,flagship,..."
+    # (comma list) trims the run -- used for the x100 probe, where the
+    # full 70+ list would accumulate >50 GB of shuffle spill in one
+    # session on the shuffle-heaviest shapes
+    subset = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
+    global PROBE
+    if subset:
+        wanted = [n.strip() for n in subset.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in PROBE]
+        if unknown:
+            raise SystemExit(f"unknown probe queries: {unknown}")
+        PROBE = wanted
+
     spark = get_spark(app_name="scale-probe")
     t0 = time.perf_counter()
     build(spark)
