@@ -1,0 +1,112 @@
+"""Exact global ranks/NTILEs with no single-partition window.
+
+Generalizes the range-partitioned percent_rank formulation proven in
+``pipelines/trending.py:_global_percentile_scalable`` (the fix for the
+reference's W2 scale hazard, trending_predictor.py:171) into a reusable
+kernel so every user-grain "global window" query in the registry can be
+row-count-routed onto it:
+
+  * bucket rows by the sort value against boundary LITERALS frozen from
+    one ``approx_percentile`` action (never ``repartitionByRange``,
+    whose re-sampled boundaries could desynchronize plan passes);
+    strict comparison means tied sort values always share a bucket, so
+    tie groups never straddle a boundary;
+  * rank locally inside each bucket (ordered by the sort value plus the
+    caller's total-order tie-breaks);
+  * add the count of rows in all preceding buckets, computed INSIDE the
+    DAG by a triangular join over the npart-row bucket-count table
+    (broadcast, bounded metadata -- no driver action, no global sort).
+
+Boundary quality affects only balance, never correctness: any bucket
+assignment that is a monotone function of the sort value yields the
+same global row_number.  NTILE is then a closed-form function of the
+global row_number and the (action-supplied) total row count, matching
+SQL NTILE semantics bit-for-bit: the first ``n % k`` tiles get
+``n // k + 1`` rows, the rest ``n // k``.
+
+At 100 TB the per-user slivers these queries window over are billions
+of rows; this kernel keeps them hash-partitioned end to end while the
+exact single-partition window stays available below the routing bound
+(and is proven value-identical by forcing both paths in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Above this row count the registered queries route to the
+# range-partitioned formulation; below it they keep the plain window
+# (same bound philosophy as pipelines/trending.SCALABLE_PERCENTILE_ROWS).
+SCALABLE_RANK_ROWS = 2_000
+
+
+def rank_bounds(df: DataFrame, cols: list[str], npart: int = 64) -> dict:
+    """ONE action returning the routing row count plus ``npart - 1``
+    approximate bucket boundaries for each named sort column.  The
+    caller persists ``df`` first if it feeds multiple passes."""
+    fracs = ", ".join(str(i / npart) for i in range(1, npart))
+    aggs = [F.count("*").alias("_n")] + [
+        F.expr(f"approx_percentile({c}, array({fracs}), 1000)").alias(c)
+        for c in cols
+    ]
+    row = df.agg(*aggs).first()
+    return {"n": row["_n"], "bounds": {c: row[c] for c in cols}, "npart": npart}
+
+
+def global_row_number_scalable(
+    df: DataFrame,
+    value_col: str,
+    tiebreaks: list[Column],
+    bounds: list,
+    *,
+    descending: bool = False,
+    out_col: str = "_rn",
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY value [DESC],
+    tiebreaks)`` without an unpartitioned window.
+
+    ``bounds`` are frozen boundary values for ``value_col`` (nulls from
+    approx_percentile on constant columns are dropped -- fewer buckets,
+    still correct).  The tie-break columns must complete a total order.
+    """
+    vals = [float(b) for b in bounds if b is not None]
+    v = F.col(value_col)
+    if descending:
+        # bucket 0 holds the top values: count boundaries above
+        bounds_arr = F.array(*[F.lit(b) for b in vals])
+        pid = F.size(F.filter(bounds_arr, lambda b: b > v))
+        order = [F.desc(value_col), *tiebreaks]
+    else:
+        bounds_arr = F.array(*[F.lit(b) for b in vals])
+        pid = F.size(F.filter(bounds_arr, lambda b: b < v))
+        order = [F.asc(value_col), *tiebreaks]
+    parts = df.withColumn("_pid", pid)
+    bcounts = parts.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    a, b = bcounts.alias("a"), bcounts.alias("b")
+    offsets = (
+        a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
+    )
+    local_w = Window.partitionBy("_pid").orderBy(*order)
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.row_number().over(local_w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
+def ntile_from_rn(rn: Column, n: int, k: int) -> Column:
+    """SQL ``NTILE(k)`` as a closed-form expression over the global
+    row_number ``rn`` given total row count ``n``: tiles 1..(n % k) get
+    ``n // k + 1`` rows, the rest get ``n // k`` -- identical to the
+    window function on every engine."""
+    q, r = divmod(n, k)
+    head = r * (q + 1)
+    if q == 0:  # fewer rows than tiles: tile == row number
+        return rn.cast("int")
+    tile = F.when(rn <= head, F.floor((rn - 1) / (q + 1)) + 1).otherwise(
+        r + F.floor((rn - 1 - head) / q) + 1
+    )
+    return tile.cast("int")

@@ -22,6 +22,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.ops.scalable_rank import (
+    SCALABLE_RANK_ROWS,
+    global_row_number_scalable,
+    ntile_from_rn,
+    rank_bounds,
+)
+from wsu_cpts_415_spark.ops.staging import staged, staged_model
 from wsu_cpts_415_spark.registry import register
 
 
@@ -150,7 +157,11 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id
     """,
 )
-def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rfm_segmentation(
+    spark: SparkSession,
+    sf_dir: str,
+    scalable_rows: int = SCALABLE_RANK_ROWS,
+) -> DataFrame:
     """RFM (recency / frequency / monetary) quintile segmentation over
     purchase events: per-user days-since-last-purchase anchored at the
     dataset's max timestamp (reproducible -- no wall clock), purchase
@@ -158,37 +169,79 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break so both engines cut identical quintiles; rfm_code packs
     the three digits.
 
-    Scale: one filtered aggregate over users, then three windows over
-    the per-USER table (bounded cardinality, same posture as the
-    heavy-hitter and cohort queries -- the event stream itself is never
-    windowed)."""
+    Scale: one filtered aggregate over users; above ``scalable_rows``
+    the three NTILEs come from the range-partitioned exact global rank
+    (``ops/scalable_rank.py`` -- closed-form NTILE over the bucketed
+    row_number, no single-partition window anywhere), below it from the
+    plain windows; both paths are value-identical
+    (``tests/test_scalable_rank.py`` forces both at fixture scale)."""
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase")
     anchor = purchases.agg(F.max("ts").alias("max_ts"))
-    base = (
-        purchases.groupBy("user_id")
-        .agg(
-            F.max("ts").alias("last_ts"),
-            F.count("*").alias("frequency"),
-            F.round(F.sum("value"), 4).alias("monetary"),
+
+    def build_base() -> DataFrame:
+        return (
+            purchases.groupBy("user_id")
+            .agg(
+                F.max("ts").alias("last_ts"),
+                F.count("*").alias("frequency"),
+                F.round(F.sum("value"), 4).alias("monetary"),
+            )
+            .crossJoin(F.broadcast(anchor))
+            .select(
+                "user_id",
+                F.datediff(F.to_date("max_ts"), F.to_date("last_ts"))
+                .cast("bigint")
+                .alias("recency_days"),
+                "frequency",
+                "monetary",
+            )
         )
-        .crossJoin(F.broadcast(anchor))
-        .select(
+
+    # the user-grain base feeds a routing action plus (on the scalable
+    # path) three rank passes -- stage it once, session-released via
+    # clear_staged()
+    base = staged(spark, "rfm_base", sf_dir, build_base)
+    stats = staged_model(
+        spark,
+        "rfm_bounds",
+        sf_dir,
+        lambda: rank_bounds(base, ["recency_days", "frequency", "monetary"]),
+    )
+    n = stats["n"]
+    if n > scalable_rows:
+        df = global_row_number_scalable(
+            base,
+            "recency_days",
+            [F.asc("user_id")],
+            stats["bounds"]["recency_days"],
+            descending=True,
+            out_col="_rn_r",
+        )
+        df = global_row_number_scalable(
+            df, "frequency", [F.asc("user_id")], stats["bounds"]["frequency"],
+            out_col="_rn_f",
+        )
+        df = global_row_number_scalable(
+            df, "monetary", [F.asc("user_id")], stats["bounds"]["monetary"],
+            out_col="_rn_m",
+        )
+        scored = df.select(
             "user_id",
-            F.datediff(F.to_date("max_ts"), F.to_date("last_ts"))
-            .cast("bigint")
-            .alias("recency_days"),
+            "recency_days",
             "frequency",
             "monetary",
+            ntile_from_rn(F.col("_rn_r"), n, 5).alias("r"),
+            ntile_from_rn(F.col("_rn_f"), n, 5).alias("f"),
+            ntile_from_rn(F.col("_rn_m"), n, 5).alias("m"),
         )
-    )
-    r = F.ntile(5).over(
-        Window.orderBy(F.col("recency_days").desc(), "user_id")
-    )
-    f = F.ntile(5).over(Window.orderBy("frequency", "user_id"))
-    m = F.ntile(5).over(Window.orderBy("monetary", "user_id"))
-    return (
-        base.select(
+    else:
+        r = F.ntile(5).over(
+            Window.orderBy(F.col("recency_days").desc(), "user_id")
+        )
+        f = F.ntile(5).over(Window.orderBy("frequency", "user_id"))
+        m = F.ntile(5).over(Window.orderBy("monetary", "user_id"))
+        scored = base.select(
             "user_id",
             "recency_days",
             "frequency",
@@ -197,11 +250,9 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.alias("f"),
             m.alias("m"),
         )
-        .withColumn(
-            "rfm_code", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int")
-        )
-        .orderBy("user_id")
-    )
+    return scored.withColumn(
+        "rfm_code", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int")
+    ).orderBy("user_id")
 
 
 @register(
@@ -296,25 +347,51 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY decile
     """,
 )
-def value_concentration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def value_concentration_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    scalable_rows: int = SCALABLE_RANK_ROWS,
+) -> DataFrame:
     """Pareto concentration curve: users ranked by lifetime value into
     top-down deciles, with each decile's share and the cumulative share
     -- the "does 20% of the base carry 80% of the value" report.
 
-    Scale: events collapse to one row per user BEFORE any ranking; the
-    global ntile runs over that user-grain sliver (the same bounded
-    shape as heavy_hitters_skew / kaplan_meier), and the final curve is
-    10 rows.  For a billion-user sliver the production decile boundary
-    comes from approx quantiles + bucket join; this exact form is the
-    oracle-checkable semantics."""
+    Scale: events collapse to one row per user BEFORE any ranking; above
+    ``scalable_rows`` the decile comes from the range-partitioned exact
+    global rank + closed-form NTILE (``ops/scalable_rank.py``) so the
+    user-grain sliver is never sorted in one partition; below it the
+    plain window.  Both paths are value-identical, and the final curve
+    is 10 rows either way."""
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("total"))
-    binned = per_user.select(
-        "total",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("total").desc(), "user_id"))
-        .alias("decile"),
+    per_user = staged(
+        spark,
+        "per_user_value",
+        sf_dir,
+        lambda: ev.groupBy("user_id").agg(F.sum("value").alias("total")),
     )
+    stats = staged_model(
+        spark,
+        "per_user_value_bounds",
+        sf_dir,
+        lambda: rank_bounds(per_user, ["total"]),
+    )
+    n = stats["n"]
+    if n > scalable_rows:
+        binned = global_row_number_scalable(
+            per_user,
+            "total",
+            [F.asc("user_id")],
+            stats["bounds"]["total"],
+            descending=True,
+            out_col="_rn",
+        ).select("total", ntile_from_rn(F.col("_rn"), n, 10).alias("decile"))
+    else:
+        binned = per_user.select(
+            "total",
+            F.ntile(10)
+            .over(Window.orderBy(F.col("total").desc(), "user_id"))
+            .alias("decile"),
+        )
     tot = per_user.agg(F.sum("total").alias("grand"))
     per_decile = (
         binned.groupBy("decile")
@@ -352,21 +429,44 @@ def value_concentration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked
     """,
 )
-def gini_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+def gini_user_value(
+    spark: SparkSession,
+    sf_dir: str,
+    scalable_rows: int = SCALABLE_RANK_ROWS,
+) -> DataFrame:
     """Gini coefficient of per-user value: the single-number inequality
     summary behind the concentration curve, via the rank formula
     G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending-ranked users
     (ties broken by user_id so both engines rank identically).
 
-    Scale: the rank runs over the per-user sliver (one row per user,
-    same grain as the curve); everything after is one aggregate."""
+    Scale: the rank runs over the per-user sliver; above
+    ``scalable_rows`` it is the range-partitioned exact global
+    row_number (``ops/scalable_rank.py`` -- no single-partition sort),
+    below it the plain window; everything after is one aggregate."""
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("total"))
-    w = Window.orderBy("total", "user_id")
-    ranked = per_user.select(
-        "total",
-        F.row_number().over(w).alias("rnk"),
+    per_user = staged(
+        spark,
+        "per_user_value",
+        sf_dir,
+        lambda: ev.groupBy("user_id").agg(F.sum("value").alias("total")),
     )
+    stats = staged_model(
+        spark,
+        "per_user_value_bounds",
+        sf_dir,
+        lambda: rank_bounds(per_user, ["total"]),
+    )
+    if stats["n"] > scalable_rows:
+        ranked = global_row_number_scalable(
+            per_user, "total", [F.asc("user_id")], stats["bounds"]["total"],
+            out_col="rnk",
+        ).select("total", "rnk")
+    else:
+        w = Window.orderBy("total", "user_id")
+        ranked = per_user.select(
+            "total",
+            F.row_number().over(w).alias("rnk"),
+        )
     stats = per_user.agg(
         F.count("*").alias("n"), F.sum("total").alias("s")
     )
