@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 from wsu_cpts_415_spark.io.tables import load_table
 from wsu_cpts_415_spark.pipelines.multimodal import (
     attach_payloads,
+    attach_real_payloads,
     decode_and_featurize,
+    decode_real,
     resize_plan,
     sample_frames,
 )
@@ -205,3 +207,74 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+@register(
+    "multimodal_decode_real",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS media_type
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, media_type,
+               CASE media_type
+                   WHEN 'image' THEN 16 + doc_id % 2048
+                   WHEN 'audio' THEN 8000 + (doc_id % 8) * 4000
+                   ELSE 128 + (doc_id % 16) * 16 END AS width,
+               CASE media_type
+                   WHEN 'image' THEN 16 + (doc_id * 7) % 2048
+                   WHEN 'audio' THEN 1 + doc_id % 2
+                   ELSE 96 + (doc_id % 12) * 16 END AS height,
+               CASE media_type
+                   WHEN 'image' THEN 1
+                   WHEN 'audio' THEN 16 + doc_id % 64
+                   ELSE 1 + doc_id % 24 END AS n_frames
+        FROM base
+    ),
+    sized AS (
+        SELECT doc_id, media_type, width, height, n_frames,
+               CASE media_type
+                   WHEN 'image' THEN 33
+                   WHEN 'audio' THEN 44 + n_frames * 2 * height
+                   ELSE LENGTH('YUV4MPEG2 W' || CAST(width AS VARCHAR)
+                               || ' H' || CAST(height AS VARCHAR)
+                               || ' F25:1 Ip A1:1') + 1 + n_frames * 6
+               END AS n_bytes
+        FROM dims
+    )
+    SELECT doc_id, media_type,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           array_to_string(list_transform(
+               [width, height, n_frames, n_bytes],
+               v -> printf('%.6f', ROUND((v % 997) / 997.0, 6))), ',')
+               AS features
+    FROM sized
+    ORDER BY doc_id
+    """,
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-format decode round-trip: JVM-side synthesis of genuine PNG /
+    RIFF-WAVE / YUV4MPEG2 byte streams (header fields a pure function of
+    doc_id), then the library-free header decoder parses them back inside
+    the same Arrow-batched mapInPandas path the fake kernel uses
+    (pipelines/multimodal.py:decode_real).  The oracle recomputes every
+    parsed field from doc_id arithmetic, so any synthesis/parse
+    disagreement (endianness, chunk walk, frame count) hash-fails.
+
+    Scale: identical posture to multimodal_decode_features -- payload
+    bytes stay on the executor, zero shuffles before the presentation
+    sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_and_featurize(attach_real_payloads(docs), kernel=decode_real)
+    return decoded.withColumn(
+        "features",
+        F.array_join(
+            F.transform("features", lambda x: F.format_string("%.6f", x)), ","
+        ),
+    ).orderBy("doc_id")
