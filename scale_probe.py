@@ -55,8 +55,21 @@ from wsu_cpts_415_spark.session import get_spark
 
 N = int(os.environ.get("SPARK_GRAFT_PROBE_N", "10"))
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = f"/tmp/spark_graft_probe/x{N}"
+DST = f"/tmp/spark_graft_probe/v2_x{N}"
 OFF = 10**9
+
+# Per-token perturbation rate for document text in replicas > 0 (seeded,
+# deterministic).  Replicas become same-topic REWRITES of the base doc
+# rather than verbatim copies: intra-replica near-dup structure is
+# preserved exactly (the rewrite is a per-replica bijection on tokens),
+# while cross-replica shingle Jaccard drops to ~0.01 -- far below the
+# LSH s-curve threshold (~0.5 at 4 bands x 2 rows) -- so the TRUE
+# near-dup pair count grows ~N-linearly and the LSH family can be
+# measured at x100 instead of exempted (round-4 verdict item 3).  At 50%
+# the replicas are distant paraphrase-cousins, not near-dups: that is
+# the point -- if replicas WERE near-dups, quadratic pair growth would
+# be the correct answer and no probe design could avoid it.
+TEXT_PERTURB_PCT = 50
 
 # key -> per-replica offset; int32 dim keys get a small offset (values
 # max out in the hundreds) so they never overflow, bigint keys get 10^9
@@ -90,6 +103,8 @@ PROBE = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
+    "simhash_hamming_pairs",
+    "incremental_neardup_check",
     "cosine_topk_bruteforce",
     "ann_lsh_bucketed",
     "quality_score",
@@ -182,6 +197,29 @@ def build(spark) -> None:
         for k, off in keys.items():
             dt = dict(df.dtypes)[k]
             reps = reps.withColumn(k, (F.col(k) + F.col("_rep") * off).cast(dt))
+        if table == "documents":
+            # seeded token-level rewrite (see TEXT_PERTURB_PCT note)
+            toks = F.split(F.col("text"), " ")
+            rewritten = F.transform(
+                toks,
+                lambda t: F.when(
+                    F.pmod(F.xxhash64(t, F.col("_rep")), F.lit(100))
+                    < TEXT_PERTURB_PCT,
+                    F.concat(
+                        t,
+                        F.lit("r"),
+                        F.pmod(
+                            F.xxhash64(t, F.col("_rep"), F.lit(7)), F.lit(997)
+                        ).cast("string"),
+                    ),
+                ).otherwise(t),
+            )
+            reps = reps.withColumn(
+                "text",
+                F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                    F.array_join(rewritten, " ")
+                ),
+            )
         cols = df.columns
         # events.ts is written as a plain timestamp (micros); the loader
         # sniffs the footer and reads it natively (io/tables.py)

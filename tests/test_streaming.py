@@ -4,6 +4,8 @@ and the custom stateful operator's final state matches a batch groupBy."""
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import SF_SMOKE
 from wsu_cpts_415_spark.io.tables import load_table
 from wsu_cpts_415_spark.streaming.jobs import (
@@ -217,3 +219,75 @@ def test_session_aggregates_under_rocksdb_state_store(spark, tmp_path):
     ).collect()
     assert sorted(map(tuple, rocks)) == sorted(map(tuple, default))
     assert len(rocks) > 0
+
+
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_rollup_survives_midbatch_kill(spark, tmp_path, provider):
+    """Failure injection: the query dies AFTER the sink body ran but
+    BEFORE the checkpoint committed the batch -- the exact window where
+    an append-based sink double-applies on replay.  Restarting from the
+    checkpoint must replay the batch into the same _batch partition
+    (idempotent overwrite), leaving the events store duplicate-free and
+    the rollup equal to the batch recompute.  Runs under both the
+    default HDFS-backed state store and RocksDB."""
+    from pyspark.sql import functions as F
+
+    from wsu_cpts_415_spark.streaming.jobs import (
+        read_events_stream,
+        stream_maintain_rollup,
+    )
+
+    events_dir = str(tmp_path / "events_store")
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    if provider == "rocksdb":
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    boom = {"armed": True}
+
+    def injector(batch_id: int) -> None:
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected mid-batch failure")
+
+    try:
+        with pytest.raises(Exception, match="injected"):
+            stream_maintain_rollup(
+                read_events_stream(spark, SF_SMOKE),
+                events_dir,
+                rollup_dir,
+                ckpt,
+                on_batch_end=injector,
+            )
+        # the sink body DID run before the kill: data landed, batch uncommitted
+        assert spark.read.parquet(events_dir).count() > 0
+        # restart from the checkpoint: the uncommitted batch replays
+        stream_maintain_rollup(
+            read_events_stream(spark, SF_SMOKE), events_dir, rollup_dir, ckpt
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    src = load_table(spark, SF_SMOKE, "events")
+    stored = spark.read.parquet(events_dir)
+    assert stored.count() == src.count(), "replayed batch was double-applied"
+    got = sorted(tuple(r) for r in spark.read.parquet(rollup_dir).collect())
+    want = sorted(
+        tuple(r)
+        for r in src.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .collect()
+    )
+    assert got == want

@@ -162,16 +162,24 @@ def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "compl
 def stream_to_parquet(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:
-    """Streaming -> storage via foreachBatch: each micro-batch lands as an
-    append into a parquet directory, with exactly-once bookkeeping from
-    the checkpoint (the batch id dedupes replays after failure).  This is
-    the S9-sink analog for streams; swap the body for MERGE INTO on a
-    lakehouse table format."""
+    """Streaming -> storage via foreachBatch: each micro-batch lands in
+    its own ``_batch_id=<n>`` partition via DYNAMIC partition overwrite,
+    so a batch replayed after a mid-batch failure overwrites its own
+    partition instead of appending a duplicate -- foreachBatch is
+    at-least-once, and idempotent-by-batch-id is what upgrades it to
+    exactly-once (a plain append would double-apply on replay; the
+    failure-injection test in tests/test_streaming.py proves the
+    difference).  This is the S9-sink analog for streams; swap the body
+    for MERGE INTO on a lakehouse table format."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn(
-            "_batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(out_dir)
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(_sink)
@@ -182,25 +190,55 @@ def stream_to_parquet(
     q.awaitTermination()
 
 
-def stream_maintain_rollup(
-    stream_df: DataFrame, events_dir: str, rollup_dir: str, checkpoint_dir: str
+def apply_rollup_batch(
+    batch_df: DataFrame, batch_id: int, events_dir: str, rollup_dir: str
 ) -> None:
-    """Streaming continuous-aggregate maintenance: each micro-batch is
-    appended to the events store, then only its touched days are
-    re-rolled and upserted (io.maintenance.refresh_daily_rollup).  The
-    streaming face of the hypertable-rollup pattern -- state lives in
-    the store, not the stream, so the rollup survives restarts with
-    exactly-once semantics from the checkpoint's batch-id bookkeeping."""
+    """Idempotent per-batch body of the rollup maintainer: land the batch
+    in its own ``_batch=<n>`` events-store partition (dynamic overwrite:
+    a replay rewrites the same partition, never duplicates it -- and
+    wipes any partial files a crashed write left there), then re-roll
+    only the days the batch touches from the FULL store.  Both steps are
+    replay-idempotent: the day recompute reads the store, so applying
+    the same batch twice converges to the same rollup rows."""
     from wsu_cpts_415_spark.io.maintenance import refresh_daily_rollup
 
+    spark = batch_df.sparkSession
+    batch_df.persist()
+    try:
+        (
+            batch_df.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(events_dir)
+        )
+        refresh_daily_rollup(spark, events_dir, rollup_dir, batch_df)
+    finally:
+        batch_df.unpersist()
+
+
+def stream_maintain_rollup(
+    stream_df: DataFrame,
+    events_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    on_batch_end=None,
+) -> None:
+    """Streaming continuous-aggregate maintenance: each micro-batch lands
+    in the events store and only its touched days are re-rolled and
+    upserted (io.maintenance.refresh_daily_rollup).  The streaming face
+    of the hypertable-rollup pattern -- state lives in the store, not
+    the stream, and exactly-once comes from the idempotent-by-batch-id
+    sink (apply_rollup_batch) under the checkpoint's replay bookkeeping.
+
+    ``on_batch_end(batch_id)`` fires after the sink body and BEFORE the
+    checkpoint commits the batch -- the failure-injection seam (raise
+    there to simulate dying mid-commit) and a metrics hook."""
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_df.persist()
-        try:
-            batch_df.write.mode("append").parquet(events_dir)
-            refresh_daily_rollup(spark, events_dir, rollup_dir, batch_df)
-        finally:
-            batch_df.unpersist()
+        apply_rollup_batch(batch_df, batch_id, events_dir, rollup_dir)
+        if on_batch_end is not None:
+            on_batch_end(batch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(_sink)
