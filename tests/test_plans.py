@@ -648,3 +648,29 @@ def test_training_manifest_is_two_exchanges(spark, qs):
     plan = fmt_plan(qs["training_manifest_pipeline"].fn(spark, SF_ORACLE))
     assert "SortMergeJoin" not in plan
     assert plan.count("hashpartitioning(") <= 3  # digest, digest-join, rollup
+
+
+def test_incremental_check_bucketed_corpus_never_shuffles(spark, qs):
+    """The bucketed standing-corpus layout makes the incremental dedup
+    check's shuffle profile flat in corpus size: both standing scans
+    (band table on its LSH key, shingle store on doc_id) ride their
+    bucketed layout -- the only hash exchanges in the plan are over the
+    batch-sized candidate set and the presentation sort."""
+    plan = fmt_plan(qs["incremental_neardup_check_bucketed"].fn(spark, SF_ORACLE))
+    assert plan.count("Bucketed: true") == 2, plan[:500]
+    non_broadcast_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+        and ln.strip().startswith(("+", ":", "(", "*"))
+    ]
+    # adaptive formatting repeats node names; count distinct ids instead
+    import re
+
+    ids = {
+        m.group(1)
+        for ln in non_broadcast_exchanges
+        for m in [re.search(r"Exchange \((\d+)\)", ln)]
+        if m
+    }
+    assert len(ids) <= 2, f"unexpected corpus-side exchange: {sorted(ids)}"

@@ -87,9 +87,7 @@ def dedup_survivorship_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "incremental_neardup_check",
-    oracle=f"""
+INC_CHECK_ORACLE = f"""
     WITH {LSH_PAIRS_DUCK_CTES},
     bucketed AS (
         SELECT doc_id, {_DUCK_BUCKET.format(m=100)} AS bucket
@@ -122,8 +120,10 @@ def dedup_survivorship_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT new_doc, old_doc, jaccard
     FROM verified
     ORDER BY new_doc, old_doc
-    """,
-)
+    """
+
+
+@register("incremental_neardup_check", oracle=INC_CHECK_ORACLE)
 def incremental_neardup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time dedup: the arriving batch (md5 bucket >=
     {NEW_BATCH_BUCKET}, ~10% of the corpus standing in for a day's
@@ -168,6 +168,115 @@ def incremental_neardup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.size("sb.shingles")
                     - inter
                 ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("new_doc", "old_doc")
+    )
+
+
+def _inc_bucketed_layout(spark: SparkSession, sf_dir: str) -> dict:
+    """Write-once-per-(session, dataset) BUCKETED standing-corpus layout
+    for the incremental check: band table bucketed+sorted on the LSH
+    join key (b, h1, h2), shingle table bucketed on doc_id.  The batch
+    band table is written with the SAME bucketing so the band join is
+    co-located.  At production scale this write runs in the nightly
+    corpus-maintenance job; per-batch ingest then joins against it with
+    ZERO Exchange on the corpus side regardless of corpus size
+    (tests/test_plans.py gate)."""
+    import hashlib as _hl
+
+    from wsu_cpts_415_spark.io.bucketing import write_bucketed
+    from wsu_cpts_415_spark.ops.staging import staged_model
+
+    def build() -> dict:
+        import shutil
+
+        suffix = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+        names = {
+            "std_bands": f"inc_std_bands_{suffix}",
+            "new_bands": f"inc_new_bands_{suffix}",
+            "std_shingles": f"inc_std_shingles_{suffix}",
+        }
+        # the default in-memory catalog forgets managed tables between
+        # sessions but their warehouse dirs survive; clear both so the
+        # overwrite below never hits LOCATION_ALREADY_EXISTS
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+        bucket = F.expr(_SPARK_BUCKET.format(m=100))
+        bands = _bands_staged(spark, sf_dir).withColumn("bucket", bucket)
+        write_bucketed(
+            bands.filter(F.col("bucket") < NEW_BATCH_BUCKET)
+            .select("doc_id", "b", "h1", "h2"),
+            names["std_bands"],
+            ["b", "h1", "h2"],
+        )
+        write_bucketed(
+            bands.filter(F.col("bucket") >= NEW_BATCH_BUCKET)
+            .select("doc_id", "b", "h1", "h2"),
+            names["new_bands"],
+            ["b", "h1", "h2"],
+        )
+        sh = _hashed_staged(spark, sf_dir).withColumn("bucket", bucket)
+        write_bucketed(
+            sh.filter(F.col("bucket") < NEW_BATCH_BUCKET)
+            .select("doc_id", "shingles"),
+            names["std_shingles"],
+            ["doc_id"],
+        )
+        return names
+
+    return staged_model(spark, "inc_bucketed_layout", sf_dir, build)
+
+
+@register("incremental_neardup_check_bucketed", oracle=INC_CHECK_ORACLE)
+def incremental_neardup_check_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental check over the BUCKETED standing-corpus layout
+    (same semantics and oracle as incremental_neardup_check; different
+    physical strategy).  The broadcast-asymmetric form bounds per-batch
+    cost when the batch is sliver-sized; this form additionally survives
+    LARGE batches: the band join is bucket-co-located (no broadcast
+    bound, no Exchange on either band side) and candidate verification
+    joins the doc_id-bucketed shingle store, so the corpus is never
+    shuffled no matter how big the batch or the corpus grows -- the
+    shuffle profile is flat in corpus size (SHUFFLES.md)."""
+    names = _inc_bucketed_layout(spark, sf_dir)
+    std_b = spark.table(names["std_bands"]).withColumnRenamed(
+        "doc_id", "old_doc"
+    )
+    new_b = spark.table(names["new_bands"]).withColumnRenamed(
+        "doc_id", "new_doc"
+    )
+    cand = (
+        std_b.join(new_b, ["b", "h1", "h2"])
+        .select("new_doc", "old_doc")
+        .dropDuplicates(["new_doc", "old_doc"])
+    )
+    bucket = F.expr(_SPARK_BUCKET.format(m=100))
+    new_sh = (
+        _hashed_staged(spark, sf_dir)
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") >= NEW_BATCH_BUCKET)
+        .select("doc_id", "shingles")
+        .alias("sa")
+    )
+    std_sh = spark.table(names["std_shingles"]).alias("sb")
+    inter = F.size(F.array_intersect("sa.shingles", "sb.shingles"))
+    return (
+        cand.join(F.broadcast(new_sh), F.col("new_doc") == F.col("sa.doc_id"))
+        .join(std_sh, F.col("old_doc") == F.col("sb.doc_id"))
+        .select(
+            "new_doc",
+            "old_doc",
+            F.round(
+                inter.cast("double")
+                / (F.size("sa.shingles") + F.size("sb.shingles") - inter),
                 6,
             ).alias("jaccard"),
         )
