@@ -93,3 +93,41 @@ def test_scalable_plans_have_no_unpartitioned_window(spark):
             assert any(a in ln for a in allowed), (
                 f"{fn.__name__}: unpartitioned window spec: {ln.strip()}"
             )
+
+
+def test_tiefree_rank_occupies_exact_rank_ranges(spark):
+    """Salted tie-free rank: every value group occupies exactly its
+    consecutive global rank range (start+1 .. start+group_size), ranks
+    are a permutation of 1..n, and no window in the plan is
+    unpartitioned."""
+    from wsu_cpts_415_spark.ops.scalable_rank import tiefree_global_row_number
+
+    rows = [(f"tok{i}", (i % 7) + 1) for i in range(700)]  # heavy ties
+    df = spark.createDataFrame(rows, ["tok", "f"]).repartition(8)
+    got = tiefree_global_row_number(
+        df, "f", "tok", descending=True, out_col="r", nbuckets=16
+    ).collect()
+    n = len(rows)
+    assert sorted(r["r"] for r in got) == list(range(1, n + 1))
+    by_f = {}
+    for r in got:
+        by_f.setdefault(r["f"], []).append(r["r"])
+    start = 0
+    for f in sorted(by_f, reverse=True):
+        ranks = sorted(by_f[f])
+        assert ranks == list(range(start + 1, start + len(ranks) + 1)), f
+        start += len(ranks)
+    plan = fmt_plan(
+        tiefree_global_row_number(df, "f", "tok", descending=True, out_col="r")
+    )
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln:
+            assert "_pid" in ln, f"unpartitioned window: {ln.strip()}"
+
+
+def test_zipf_routing_is_invisible(spark):
+    from wsu_cpts_415_spark.queries.text import zipf_slope
+
+    scalable = zipf_slope(spark, SF_SMOKE, scalable_rows=0).collect()
+    exact = zipf_slope(spark, SF_SMOKE, scalable_rows=10**9).collect()
+    assert [tuple(r) for r in scalable] == [tuple(r) for r in exact]

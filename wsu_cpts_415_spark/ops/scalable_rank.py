@@ -110,3 +110,68 @@ def ntile_from_rn(rn: Column, n: int, k: int) -> Column:
         r + F.floor((rn - 1 - head) / q) + 1
     )
     return tile.cast("int")
+
+
+def tiefree_global_row_number(
+    df: DataFrame,
+    value_col: str,
+    salt_col: str,
+    *,
+    descending: bool = False,
+    nbuckets: int = 64,
+    out_col: str = "_rn",
+) -> DataFrame:
+    """Global row_number over ``value_col`` where the TIE ORDER IS FREE:
+    the caller guarantees downstream results are invariant to which tied
+    row gets which of the tie group's consecutive ranks (true for any
+    aggregate over (rank, value) pairs, e.g. the Zipf log-log fit).
+
+    That freedom removes the skew limit of range bucketing: tied rows
+    are split across ``nbuckets`` hash buckets of ``salt_col``, so even
+    a tie group holding half the table (the Zipf f=1 tail) never lands
+    in one partition.  rank = (rows in strictly-earlier value groups)
+    + (rows of the same value in lower buckets) + local row_number
+    within (value, bucket).  The two offset tables are value-grain and
+    (value x bucket)-grain -- tiny next to the data, and the joins ride
+    the window's own (value, bucket) partitioning."""
+    v = F.col(value_col)
+    parts = df.withColumn(
+        "_pid", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(nbuckets))
+    )
+    gc = parts.groupBy(value_col, "_pid").agg(F.count("*").alias("_cnt"))
+    vc = gc.groupBy(value_col).agg(F.sum("_cnt").alias("_vcnt"))
+    a, b = vc.alias("a"), vc.alias("b")
+    before = (
+        F.col(f"b.{value_col}") > F.col(f"a.{value_col}")
+        if descending
+        else F.col(f"b.{value_col}") < F.col(f"a.{value_col}")
+    )
+    starts = (
+        a.join(b, before, "left")
+        .groupBy(F.col(f"a.{value_col}").alias(value_col))
+        .agg(F.coalesce(F.sum("b._vcnt"), F.lit(0)).alias("_start"))
+    )
+    g1, g2 = gc.alias("g1"), gc.alias("g2")
+    poff = (
+        g1.join(
+            g2,
+            (F.col(f"g2.{value_col}") == F.col(f"g1.{value_col}"))
+            & (F.col("g2._pid") < F.col("g1._pid")),
+            "left",
+        )
+        .groupBy(
+            F.col(f"g1.{value_col}").alias(value_col),
+            F.col("g1._pid").alias("_pid"),
+        )
+        .agg(F.coalesce(F.sum("g2._cnt"), F.lit(0)).alias("_poff"))
+    )
+    local_w = Window.partitionBy(value_col, "_pid").orderBy(salt_col)
+    return (
+        parts.join(poff, [value_col, "_pid"])
+        .join(starts, value_col)
+        .withColumn(
+            out_col,
+            F.row_number().over(local_w) + F.col("_poff") + F.col("_start"),
+        )
+        .drop("_pid", "_poff", "_start")
+    )

@@ -65,12 +65,25 @@ def staged_model(
     return _MODEL_CACHE[key]
 
 
+_TRACKED: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """Register an externally-persisted DataFrame (e.g. the trending
+    scored layer) with the session release path so clear_staged() can
+    unpersist it -- keeps total cached storage bounded over long runs
+    (the 259-query conformance sweep asserts this)."""
+    _TRACKED.append(df)
+    return df
+
+
 def clear_staged() -> None:
     """Unpersist and drop every cache entry (tests; memory pressure)."""
-    for df in _CACHE.values():
+    for df in list(_CACHE.values()) + _TRACKED:
         try:
             df.unpersist()
         except Exception:
             pass
     _CACHE.clear()
     _MODEL_CACHE.clear()
+    _TRACKED.clear()

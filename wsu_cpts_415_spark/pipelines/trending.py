@@ -196,8 +196,14 @@ def trending_rankings(
     # the scored table once instead of re-deriving it per pass -- the
     # same scored-layer materialization a 100 TB pipeline would do.
     # Spark's cache manager dedupes by logical plan, so repeated calls
-    # reuse one entry per dataset.
-    scored = trending_scores(videos).persist(StorageLevel.MEMORY_AND_DISK)
+    # reuse one entry per dataset -- gate on storageLevel so the reuse
+    # path doesn't re-ask (the CacheManager "already cached" warn seen
+    # in BENCH_r03's tail), and release via ops.staging.clear_staged.
+    from wsu_cpts_415_spark.ops.staging import track_persist
+
+    scored = trending_scores(videos)
+    if scored.storageLevel == StorageLevel.NONE:
+        scored = track_persist(scored.persist(StorageLevel.MEMORY_AND_DISK))
     npart = 64
     fracs = ", ".join(str(i / npart) for i in range(1, npart))
     # ONE action materializes the stage and returns both the routing row

@@ -18,6 +18,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.ops.scalable_rank import (
+    SCALABLE_RANK_ROWS,
+    tiefree_global_row_number,
+)
 from wsu_cpts_415_spark.registry import register
 
 # A deterministic "stopword" list drawn from the fixture vocabulary
@@ -812,16 +816,24 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pts
     """,
 )
-def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zipf_slope(
+    spark: SparkSession,
+    sf_dir: str,
+    scalable_rows: int = SCALABLE_RANK_ROWS,
+) -> DataFrame:
     """Corpus Zipf fit: least-squares slope of log-frequency vs log-rank
     over the whole vocabulary -- natural text sits near -1; synthetic,
     boilerplate-heavy, or template-generated corpora drift away, making
     this a one-number corpus-health check.
 
     Scale: token counting is the standard map-side-combined aggregate;
-    the rank window runs over the VOCABULARY (bounded, ~O(1M) for web
-    corpora -- it fits one partition at any corpus size; beyond that the
-    rank-by-offset technique of percent_rank_scalable applies); the
+    above ``scalable_rows`` the vocabulary rank comes from the TIE-FREE
+    salted formulation (ops/scalable_rank.py:tiefree_global_row_number)
+    -- valid because the regression aggregate is invariant to which
+    tied token gets which of its tie group's consecutive ranks, and
+    necessary because range bucketing cannot split the Zipf tail's
+    giant tie groups (half the vocab sits at f=1); below the bound the
+    plain window.  Both paths give identical slope/intercept; the
     regression is a single covariance aggregate, one row out."""
     docs = load_table(spark, sf_dir, "documents")
     freq = (
@@ -829,13 +841,18 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("f"))
     )
-    ranked = freq.select(
-        "f",
-        F.row_number()
-        .over(Window.orderBy(F.col("f").desc(), "tok"))
-        .cast("bigint")
-        .alias("r"),
-    )
+    if freq.count() > scalable_rows:
+        ranked = tiefree_global_row_number(
+            freq, "f", "tok", descending=True, out_col="r"
+        ).select("f", F.col("r").cast("bigint").alias("r"))
+    else:
+        ranked = freq.select(
+            "f",
+            F.row_number()
+            .over(Window.orderBy(F.col("f").desc(), "tok"))
+            .cast("bigint")
+            .alias("r"),
+        )
     pts = ranked.select(F.log("r").alias("x"), F.log("f").alias("y"))
     slope = F.covar_pop("x", "y") / F.var_pop("x")
     return pts.agg(

@@ -60,9 +60,12 @@ def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def percent_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 global percent_rank (trending_predictor.py:167,188).
 
-    Kept ONLY for a bounded table (supplier): an unpartitioned window
-    collapses to one partition.  The scalable variant for fact tables is
-    ``percent_rank_scalable`` below (rank via distributed sort / (n-1))."""
+    .. warning:: PARITY DEMO -- DO NOT LIFT INTO A PIPELINE.  This is
+       the reference's single-partition window kept verbatim as the
+       "before" half of a demonstration pair, valid only on a bounded
+       dimension table (supplier).  Fact-table percentiles must use
+       ``percent_rank_scalable`` below, the routed formulation in
+       ``pipelines/trending.py``, or ``ops/scalable_rank.py``."""
     supplier = load_table(spark, sf_dir, "supplier")
     w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
     return supplier.select(
