@@ -210,30 +210,30 @@ def rfm_segmentation(
     )
     n = stats["n"]
     if n > scalable_rows:
-        df = global_row_number_scalable(
-            base,
-            "recency_days",
-            [F.asc("user_id")],
-            stats["bounds"]["recency_days"],
-            descending=True,
-            out_col="_rn_r",
-        )
-        df = global_row_number_scalable(
-            df, "frequency", [F.asc("user_id")], stats["bounds"]["frequency"],
-            out_col="_rn_f",
-        )
-        df = global_row_number_scalable(
-            df, "monetary", [F.asc("user_id")], stats["bounds"]["monetary"],
-            out_col="_rn_m",
-        )
-        scored = df.select(
-            "user_id",
-            "recency_days",
-            "frequency",
-            "monetary",
-            ntile_from_rn(F.col("_rn_r"), n, 5).alias("r"),
-            ntile_from_rn(F.col("_rn_f"), n, 5).alias("f"),
-            ntile_from_rn(F.col("_rn_m"), n, 5).alias("m"),
+        # three INDEPENDENT rank passes off the persisted base, joined
+        # back slim on user_id -- chaining the passes instead would nest
+        # each pass's two base reads multiplicatively (measured 11.8x at
+        # sf1 before this restructure; ~2x after)
+        def tile(col: str, descending: bool, name: str) -> DataFrame:
+            return global_row_number_scalable(
+                base,
+                col,
+                [F.asc("user_id")],
+                stats["bounds"][col],
+                descending=descending,
+                out_col="_rn",
+            ).select(
+                "user_id", ntile_from_rn(F.col("_rn"), n, 5).alias(name)
+            )
+
+        scored = (
+            base.join(tile("recency_days", True, "r"), "user_id")
+            .join(tile("frequency", False, "f"), "user_id")
+            .join(tile("monetary", False, "m"), "user_id")
+            .select(
+                "user_id", "recency_days", "frequency", "monetary",
+                "r", "f", "m",
+            )
         )
     else:
         r = F.ntile(5).over(
