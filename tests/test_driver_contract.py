@@ -66,5 +66,5 @@ def test_bench_headline_names_are_registered():
     import bench
 
     qs = entry.queries()
-    missing = [n for n in bench.HEADLINE if n not in qs]
-    assert not missing, f"bench.py HEADLINE references unknown queries: {missing}"
+    missing = [n for n in bench.R4_HEADLINE if n not in qs]
+    assert not missing, f"bench.py R4_HEADLINE references unknown queries: {missing}"

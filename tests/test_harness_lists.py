@@ -15,9 +15,9 @@ def test_bench_headline_names_are_registered():
     from wsu_cpts_415_spark.registry import REGISTRY
     import wsu_cpts_415_spark.queries  # noqa: F401 populate
 
-    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
-    assert not missing, f"bench.HEADLINE references unknown queries: {missing}"
-    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate names"
+    missing = [n for n in bench.R4_HEADLINE if n not in REGISTRY]
+    assert not missing, f"bench.R4_HEADLINE references unknown queries: {missing}"
+    assert len(set(bench.R4_HEADLINE)) == len(bench.R4_HEADLINE), "duplicate names"
 
 
 def test_probe_names_are_registered():
@@ -43,4 +43,4 @@ def test_r3_fixed_subset_still_registered():
     # in the emitted subtotal set resolves (the set is a subset of
     # HEADLINE by construction, which the first test already covers).
     assert "r3_set" in src
-    assert all(n in REGISTRY for n in bench.HEADLINE)
+    assert all(n in REGISTRY for n in bench.R4_HEADLINE)

@@ -150,9 +150,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.queries:
             names = args.queries
         else:
-            import bench  # repo-root harness owns the headline list
-
-            names = bench.HEADLINE
+            # full registry since round 5 (bench runs everything too)
+            names = sorted(qs)
         audits = [audit(n, qs[n].fn(spark, args.sf_dir)) for n in names]
         md = render_markdown(audits, args.sf_dir)
         with open(args.out, "w") as f:
@@ -167,9 +166,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.queries:
             names = args.queries
         else:
-            import bench
-
-            names = sorted(bench.HEADLINE)
+            names = sorted(qs)
         lines = [
             "# SHUFFLES — measured data movement per query",
             "",

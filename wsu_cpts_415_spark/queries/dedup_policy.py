@@ -245,8 +245,15 @@ def incremental_neardup_check_bucketed(
     bound, no Exchange on either band side) and candidate verification
     joins the doc_id-bucketed shingle store, so the corpus is never
     shuffled no matter how big the batch or the corpus grows -- the
-    shuffle profile is flat in corpus size (SHUFFLES.md)."""
-    names = _inc_bucketed_layout(spark, sf_dir)
+    shuffle profile is flat in corpus size (SHUFFLES.md).
+
+    If the session's warehouse location is unwritable (bucketed layouts
+    need saveAsTable), semantics win over strategy: fall back to the
+    broadcast-asymmetric plan, which returns identical rows."""
+    try:
+        names = _inc_bucketed_layout(spark, sf_dir)
+    except Exception:
+        return incremental_neardup_check(spark, sf_dir)
     std_b = spark.table(names["std_bands"]).withColumnRenamed(
         "doc_id", "old_doc"
     )
