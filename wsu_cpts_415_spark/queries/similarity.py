@@ -580,3 +580,32 @@ def binary_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
         F.sha2(F.encode("text", "UTF-8"), 256).alias("payload_sha256"),
     ).orderBy("doc_id")
+
+
+def hashed_of(docs: DataFrame) -> DataFrame:
+    """Public DataFrame->DataFrame face of the shingle/base-hash
+    projection (no staging, no sf_dir) for callers that bring their own
+    document batches -- the streaming ingest gate."""
+    return _spark_hashed(docs)
+
+
+def bands_of(docs: DataFrame) -> DataFrame:
+    """Public DataFrame->DataFrame face of the slim LSH band table
+    (doc_id, b, h1, h2) for arbitrary document batches: same signature
+    math as the staged corpus table, so batch bands join standing bands
+    key-for-key."""
+    return (
+        _spark_hashed(docs)
+        .select("doc_id", F.expr(_spark_minhash_sig()).alias("sig"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(0, {N_BANDS - 1})")).alias("b"),
+            "sig",
+        )
+        .select(
+            "doc_id",
+            "b",
+            F.expr("element_at(sig, 2 * b + 1)").alias("h1"),
+            F.expr("element_at(sig, 2 * b + 2)").alias("h2"),
+        )
+    )

@@ -1,0 +1,228 @@
+"""Streaming crawl ingest with a dedup gate: the production composition
+of the incremental-check machinery (queries/dedup_policy.py) behind a
+Structured Streaming foreachBatch sink.
+
+Each micro-batch of arriving documents is gated BEFORE landing:
+
+  1. exact gate -- batch docs whose text digest already exists in the
+     standing digest store are dropped (within-batch exact dups keep the
+     min doc_id);
+  2. near-dup gate -- the batch's LSH band table joins the standing band
+     store (batch side broadcast: a per-batch sliver), collisions are
+     verified by exact shingle Jaccard, and docs at/above the threshold
+     are dropped; within-batch verified pairs drop the larger doc_id
+     (deterministic greedy);
+  3. survivors land in the accepted store AND their digests / bands /
+     shingles are appended to the standing stores, so batch N+1 dedups
+     against everything batch N admitted.
+
+Exactly-once: every store write is partitioned by batch id via dynamic
+partition overwrite (the idempotent-by-batch-id pattern proven in
+streaming/jobs.py) -- a batch replayed after a mid-commit crash rewrites
+its own partitions, so neither the corpus stores nor the accepted store
+can double-apply.
+
+Scale posture: per-batch cost is O(standing-store scan) + O(collisions),
+independent of the standing corpus's PAIR count; the standing stores are
+the parquet twins of the bucketed layout in
+queries/dedup_policy.py:_inc_bucketed_layout (at 100 TB they are written
+bucketed by the nightly maintenance job and the band join is
+bucket-co-located; here they are plain parquet because each batch's band
+table broadcasts).  Text never shuffles: the gates move digests, band
+keys, and shingle arrays only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.queries.similarity import bands_of, hashed_of
+
+JACCARD_THRESHOLD = 0.5  # the 4-band/2-row s-curve midpoint
+
+
+def _digests_of(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("digest"))
+
+
+def init_standing_stores(
+    spark: SparkSession, corpus_docs: DataFrame, store_dir: str
+) -> None:
+    """Materialize the standing digest / band / shingle stores from the
+    corpus (the nightly maintenance job's output).  Base data lands in
+    the _batch=-1 partition so batch appends stay idempotent."""
+    base = corpus_docs.withColumn("_batch", F.lit(-1))
+    _digests_of(base).withColumn("_batch", F.lit(-1)).write.mode(
+        "overwrite"
+    ).partitionBy("_batch").parquet(f"{store_dir}/digests")
+    bands_of(base).withColumn("_batch", F.lit(-1)).write.mode(
+        "overwrite"
+    ).partitionBy("_batch").parquet(f"{store_dir}/bands")
+    hashed_of(base).select("doc_id", "shingles").withColumn(
+        "_batch", F.lit(-1)
+    ).write.mode("overwrite").partitionBy("_batch").parquet(
+        f"{store_dir}/shingles"
+    )
+
+
+def gate_batch(
+    batch_df: DataFrame,
+    store_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Pure gating logic (no writes): return the surviving rows of
+    ``batch_df`` after the exact and near-dup gates against the standing
+    stores.  Deterministic for a given batch + store state."""
+    spark = batch_df.sparkSession
+    docs = batch_df
+    digests = _digests_of(docs)
+    # within-batch exact dedup: keep the min doc_id per digest
+    keep_exact = digests.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    std_digests = spark.read.parquet(f"{store_dir}/digests").select("digest")
+    fresh = keep_exact.join(std_digests, "digest", "left_anti")
+    survivors = docs.join(fresh.select("doc_id"), "doc_id")
+
+    # near-dup gate: batch bands vs standing bands + within-batch pairs
+    b_bands = bands_of(survivors)
+    b_sh = hashed_of(survivors).select("doc_id", "shingles")
+    std_bands = spark.read.parquet(f"{store_dir}/bands").select(
+        F.col("doc_id").alias("old_doc"), "b", "h1", "h2"
+    )
+    std_sh = spark.read.parquet(f"{store_dir}/shingles").select(
+        F.col("doc_id").alias("old_doc"), F.col("shingles").alias("old_shingles")
+    )
+    cand_corpus = (
+        std_bands.join(
+            F.broadcast(b_bands.withColumnRenamed("doc_id", "new_doc")),
+            ["b", "h1", "h2"],
+        )
+        .select("new_doc", "old_doc")
+        .dropDuplicates(["new_doc", "old_doc"])
+    )
+    inter_c = F.size(F.array_intersect("shingles", "old_shingles"))
+    rejected_vs_corpus = (
+        cand_corpus.join(
+            F.broadcast(b_sh.withColumnRenamed("doc_id", "new_doc")), "new_doc"
+        )
+        .join(std_sh, "old_doc")
+        .withColumn(
+            "jaccard",
+            inter_c.cast("double")
+            / (F.size("shingles") + F.size("old_shingles") - inter_c),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc")
+        .distinct()
+    )
+    # within-batch near-dups: LSH self-join on the (small) batch band
+    # table; the LARGER doc_id of each verified pair is dropped
+    a, c = b_bands.alias("a"), b_bands.alias("c")
+    cand_self = (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.h1") == F.col("c.h1"))
+            & (F.col("a.h2") == F.col("c.h2"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("keep_doc"),
+            F.col("c.doc_id").alias("drop_doc"),
+        )
+        .dropDuplicates(["keep_doc", "drop_doc"])
+    )
+    sa = b_sh.select(F.col("doc_id").alias("keep_doc"), F.col("shingles").alias("ka"))
+    sb = b_sh.select(F.col("doc_id").alias("drop_doc"), F.col("shingles").alias("kb"))
+    inter_s = F.size(F.array_intersect("ka", "kb"))
+    rejected_in_batch = (
+        cand_self.join(F.broadcast(sa), "keep_doc")
+        .join(F.broadcast(sb), "drop_doc")
+        .withColumn(
+            "jaccard",
+            inter_s.cast("double") / (F.size("ka") + F.size("kb") - inter_s),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("drop_doc").alias("new_doc"))
+        .distinct()
+    )
+    rejected = rejected_vs_corpus.unionByName(rejected_in_batch).distinct()
+    return survivors.join(
+        rejected.withColumnRenamed("new_doc", "doc_id"), "doc_id", "left_anti"
+    )
+
+
+def apply_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    accepted_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+) -> None:
+    """Idempotent per-batch body: gate, land survivors, extend the
+    standing stores -- every write into a _batch=<id> partition via
+    dynamic overwrite (replay rewrites, never duplicates).
+
+    Ordering is load-bearing: the gated batch lands in the accepted
+    store FIRST, and the standing-store appends are derived from the
+    LANDED files, not from the gate's lazy plan -- the gate's lineage
+    reads the standing stores, so writing a store mid-sequence
+    invalidates the cached gate plan and a re-execution would see the
+    batch's own rows as already-standing (gating everything out)."""
+    spark = batch_df.sparkSession
+    batch_df.persist()
+    accepted = gate_batch(batch_df, store_dir, threshold)
+    try:
+        opts = {"partitionOverwriteMode": "dynamic"}
+        (
+            accepted.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(**opts)
+            .partitionBy("_batch")
+            .parquet(accepted_dir)
+        )
+        landed = (
+            spark.read.parquet(accepted_dir)
+            .filter(F.col("_batch") == batch_id)
+            .drop("_batch")
+        )
+        for name, df in (
+            ("digests", _digests_of(landed)),
+            ("bands", bands_of(landed)),
+            ("shingles", hashed_of(landed).select("doc_id", "shingles")),
+        ):
+            (
+                df.withColumn("_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .options(**opts)
+                .partitionBy("_batch")
+                .parquet(f"{store_dir}/{name}")
+            )
+    finally:
+        batch_df.unpersist()
+
+
+def stream_ingest_with_dedup(
+    stream_docs: DataFrame,
+    store_dir: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    on_batch_end=None,
+) -> None:
+    """Run the gated ingest over a documents stream with
+    trigger(availableNow).  ``on_batch_end(batch_id)`` is the same
+    failure-injection seam as stream_maintain_rollup."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_ingest_batch(batch_df, batch_id, store_dir, accepted_dir, threshold)
+        if on_batch_end is not None:
+            on_batch_end(batch_id)
+
+    q = (
+        stream_docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
