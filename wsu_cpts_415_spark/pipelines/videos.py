@@ -159,7 +159,21 @@ def videos_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference mongo_loader.py:103-121).  Parity pipelines read this and
     flatten with nested-field projections exactly as the reference does
     (e.g. trending_predictor.py:49-60); Catalyst's nested-schema pruning
-    keeps the physical scan columnar either way."""
+    keeps the physical scan columnar either way.
+
+    Session-staged (ops/staging.py): the md5-derived graph-helper
+    expressions dominate the derivation and every parity consumer (two
+    SCC queries, trending, link analysis, correlation) re-derived them
+    per query -- the staged table is the local analog of the curated
+    videos layer a production pipeline would persist once."""
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    return staged(
+        spark, "videos_nested", sf_dir, lambda: _videos_nested_build(spark, sf_dir)
+    )
+
+
+def _videos_nested_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = videos_flat(spark, sf_dir)
     return flat.select(
         "id",
