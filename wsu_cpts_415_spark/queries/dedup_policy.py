@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from wsu_cpts_415_spark.io.tables import load_table
 from wsu_cpts_415_spark.queries.corpus_ops import _DUCK_BUCKET, _SPARK_BUCKET
 from wsu_cpts_415_spark.queries.graph_ops import (
     _NEARDUP_DUCK_CTES,
@@ -288,4 +289,120 @@ def incremental_neardup_check_bucketed(
             ).alias("jaccard"),
         )
         .orderBy("new_doc", "old_doc")
+    )
+
+
+@register(
+    "ingest_dedup_gate",
+    oracle=f"""
+    WITH {{LSH}},
+    bucketed AS (
+        SELECT doc_id, {{BUCKET}} AS bucket FROM documents
+    ),
+    batch AS (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN bucketed k ON k.doc_id = d.doc_id
+        WHERE k.bucket >= {{NEWB}}
+    ),
+    standing AS (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN bucketed k ON k.doc_id = d.doc_id
+        WHERE k.bucket < {{NEWB}}
+    ),
+    bdig AS (SELECT doc_id, md5(text) AS digest FROM batch),
+    sdig AS (SELECT DISTINCT md5(text) AS digest FROM standing),
+    keepx AS (SELECT MIN(doc_id) AS doc_id FROM bdig GROUP BY digest),
+    fresh AS (
+        SELECT kx.doc_id FROM keepx kx
+        JOIN bdig bd ON bd.doc_id = kx.doc_id
+        LEFT JOIN sdig sd ON sd.digest = bd.digest
+        WHERE sd.digest IS NULL
+    ),
+    nb AS (SELECT bb.* FROM bands bb JOIN fresh f ON f.doc_id = bb.doc_id),
+    ob AS (
+        SELECT bb.* FROM bands bb
+        JOIN bucketed k ON k.doc_id = bb.doc_id WHERE k.bucket < {{NEWB}}
+    ),
+    candc AS (
+        SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS old_doc
+        FROM nb n JOIN ob o ON n.b = o.b AND n.h1 = o.h1 AND n.h2 = o.h2
+    ),
+    rejc AS (
+        SELECT DISTINCT c.new_doc
+        FROM candc c
+        JOIN sh sa ON sa.doc_id = c.new_doc
+        JOIN sh so ON so.doc_id = c.old_doc
+        WHERE CAST(len(list_intersect(sa.shingles, so.shingles)) AS DOUBLE)
+              / (len(sa.shingles) + len(so.shingles)
+                 - len(list_intersect(sa.shingles, so.shingles))) >= 0.5
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS keep_doc, c2.doc_id AS drop_doc
+        FROM nb a JOIN nb c2
+          ON a.b = c2.b AND a.h1 = c2.h1 AND a.h2 = c2.h2
+         AND a.doc_id < c2.doc_id
+    ),
+    rejs AS (
+        SELECT DISTINCT cs.drop_doc AS new_doc
+        FROM cands cs
+        JOIN sh ka ON ka.doc_id = cs.keep_doc
+        JOIN sh kb ON kb.doc_id = cs.drop_doc
+        WHERE CAST(len(list_intersect(ka.shingles, kb.shingles)) AS DOUBLE)
+              / (len(ka.shingles) + len(kb.shingles)
+                 - len(list_intersect(ka.shingles, kb.shingles))) >= 0.5
+    )
+    SELECT f.doc_id FROM fresh f
+    WHERE f.doc_id NOT IN (
+        SELECT new_doc FROM rejc UNION SELECT new_doc FROM rejs)
+    ORDER BY f.doc_id
+    """.format(
+        LSH=LSH_PAIRS_DUCK_CTES,
+        BUCKET=_DUCK_BUCKET.format(m=100),
+        NEWB=NEW_BATCH_BUCKET,
+    ),
+)
+def ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the streaming crawl-ingest dedup gate
+    (streaming/ingest_dedup.py:gate_against): the arriving batch (md5
+    bucket >= {NEW_BATCH_BUCKET}) is admitted only if it passes the
+    exact-digest gate (within-batch keeps the min doc_id), the LSH +
+    exact-Jaccard near-dup gate against the standing corpus, and the
+    deterministic within-batch near-dup rule (drop any doc verifying
+    >= 0.5 Jaccard against a smaller-id batch doc).  The DuckDB oracle
+    recomputes the full admission decision end-to-end, so the streaming
+    sink's gating semantics sit inside the correctness gate.
+
+    Scale: identical posture to incremental_neardup_check -- batch-side
+    tables broadcast, the standing corpus is scanned, never shuffled."""
+    from wsu_cpts_415_spark.streaming.ingest_dedup import gate_against
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_BUCKET.format(m=100))
+    with_bucket = docs.withColumn("bucket", bucket)
+    batch = with_bucket.filter(
+        F.col("bucket") >= NEW_BATCH_BUCKET
+    ).select("doc_id", "text")
+    standing = with_bucket.filter(F.col("bucket") < NEW_BATCH_BUCKET)
+    std_digests = standing.select(
+        F.md5(F.encode("text", "UTF-8")).alias("digest")
+    )
+    std_bands = (
+        _bands_staged(spark, sf_dir)
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < NEW_BATCH_BUCKET)
+        .select(F.col("doc_id").alias("old_doc"), "b", "h1", "h2")
+    )
+    std_sh = (
+        _hashed_staged(spark, sf_dir)
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < NEW_BATCH_BUCKET)
+        .select(
+            F.col("doc_id").alias("old_doc"),
+            F.col("shingles").alias("old_shingles"),
+        )
+    )
+    return (
+        gate_against(batch, std_digests, std_bands, std_sh)
+        .select("doc_id")
+        .orderBy("doc_id")
     )

@@ -75,23 +75,39 @@ def gate_batch(
     ``batch_df`` after the exact and near-dup gates against the standing
     stores.  Deterministic for a given batch + store state."""
     spark = batch_df.sparkSession
-    docs = batch_df
-    digests = _digests_of(docs)
-    # within-batch exact dedup: keep the min doc_id per digest
-    keep_exact = digests.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
     std_digests = spark.read.parquet(f"{store_dir}/digests").select("digest")
-    fresh = keep_exact.join(std_digests, "digest", "left_anti")
-    survivors = docs.join(fresh.select("doc_id"), "doc_id")
-
-    # near-dup gate: batch bands vs standing bands + within-batch pairs
-    b_bands = bands_of(survivors)
-    b_sh = hashed_of(survivors).select("doc_id", "shingles")
     std_bands = spark.read.parquet(f"{store_dir}/bands").select(
         F.col("doc_id").alias("old_doc"), "b", "h1", "h2"
     )
     std_sh = spark.read.parquet(f"{store_dir}/shingles").select(
         F.col("doc_id").alias("old_doc"), F.col("shingles").alias("old_shingles")
     )
+    return gate_against(batch_df, std_digests, std_bands, std_sh, threshold)
+
+
+def gate_against(
+    batch_df: DataFrame,
+    std_digests: DataFrame,
+    std_bands: DataFrame,
+    std_sh: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Store-free core of the gate (standing state passed as DataFrames):
+    exact digest gate (within-batch keeps the min doc_id), LSH + exact
+    Jaccard near-dup gate vs the standing corpus, and the deterministic
+    within-batch rule (a doc is dropped if it verifies >= threshold
+    against ANY smaller-id batch doc).  Registered as the oracle-checked
+    query ``ingest_dedup_gate`` (queries/dedup_policy.py)."""
+    docs = batch_df
+    digests = _digests_of(docs)
+    # within-batch exact dedup: keep the min doc_id per digest
+    keep_exact = digests.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    fresh = keep_exact.join(std_digests.select("digest"), "digest", "left_anti")
+    survivors = docs.join(fresh.select("doc_id"), "doc_id")
+
+    # near-dup gate: batch bands vs standing bands + within-batch pairs
+    b_bands = bands_of(survivors)
+    b_sh = hashed_of(survivors).select("doc_id", "shingles")
     cand_corpus = (
         std_bands.join(
             F.broadcast(b_bands.withColumnRenamed("doc_id", "new_doc")),
