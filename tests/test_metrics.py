@@ -101,3 +101,20 @@ def test_advise_shuffle_partitions_scales_with_volume(spark):
     assert tight["advised_partitions"] >= wide["advised_partitions"]
     expected = -(-tight["shuffle_bytes"] // (1024 * 1024))
     assert tight["advised_partitions"] == max(1, expected)
+
+
+def test_ingest_gate_shuffles_sketches_not_text(spark):
+    """The ingest gate's measured movement must be sketch-sized: the
+    shuffle carries digests / band keys / shingle arrays, never the
+    document text payload (the standing corpus streams map-side against
+    the broadcast batch tables)."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    text_bytes = docs.agg(
+        F.sum(F.length(F.encode("text", "UTF-8"))).alias("b")
+    ).collect()[0]["b"]
+    prof = shuffle_profile(
+        all_queries()["ingest_dedup_gate"].fn(spark, SF_ORACLE)
+    )
+    assert prof["shuffle_bytes"] < text_bytes, (
+        f"gate shuffled {prof['shuffle_bytes']}B vs {text_bytes}B of text"
+    )

@@ -674,3 +674,13 @@ def test_incremental_check_bucketed_corpus_never_shuffles(spark, qs):
         if m
     }
     assert len(ids) <= 2, f"unexpected corpus-side exchange: {sorted(ids)}"
+
+
+def test_ingest_gate_broadcasts_batch_side(spark, qs):
+    """The ingest gate's asymmetric posture: the batch-side band and
+    shingle tables broadcast, and no CartesianProduct or nested loop
+    appears anywhere in the admission plan."""
+    plan = fmt_plan(qs["ingest_dedup_gate"].fn(spark, SF_ORACLE))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
