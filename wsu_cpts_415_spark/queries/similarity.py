@@ -594,8 +594,15 @@ def bands_of(docs: DataFrame) -> DataFrame:
     (doc_id, b, h1, h2) for arbitrary document batches: same signature
     math as the staged corpus table, so batch bands join standing bands
     key-for-key."""
+    return bands_from_hashed(_spark_hashed(docs))
+
+
+def bands_from_hashed(hashed: DataFrame) -> DataFrame:
+    """Band table from an existing (doc_id, shingles, hs) projection --
+    lets callers that already materialized the hash table (the ingest
+    gate stages it once per batch) skip re-deriving the shingle math."""
     return (
-        _spark_hashed(docs)
+        hashed
         .select("doc_id", F.expr(_spark_minhash_sig()).alias("sig"))
         .select(
             "doc_id",

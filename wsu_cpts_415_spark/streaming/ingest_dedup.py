@@ -105,9 +105,20 @@ def gate_against(
     fresh = keep_exact.join(std_digests.select("digest"), "digest", "left_anti")
     survivors = docs.join(fresh.select("doc_id"), "doc_id")
 
-    # near-dup gate: batch bands vs standing bands + within-batch pairs
-    b_bands = bands_of(survivors)
-    b_sh = hashed_of(survivors).select("doc_id", "shingles")
+    # near-dup gate: batch bands vs standing bands + within-batch pairs.
+    # The batch hash projection feeds four consumers (bands + both
+    # verification sides); persist it once, registered for release with
+    # the session cache manager.
+    from pyspark import StorageLevel
+
+    from wsu_cpts_415_spark.ops.staging import track_persist
+    from wsu_cpts_415_spark.queries.similarity import bands_from_hashed
+
+    hashed = hashed_of(survivors)
+    if hashed.storageLevel == StorageLevel.NONE:
+        hashed = track_persist(hashed.persist(StorageLevel.MEMORY_AND_DISK))
+    b_bands = bands_from_hashed(hashed)
+    b_sh = hashed.select("doc_id", "shingles")
     cand_corpus = (
         std_bands.join(
             F.broadcast(b_bands.withColumnRenamed("doc_id", "new_doc")),
