@@ -109,7 +109,9 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
             .coalesce(4)
-            .localCheckpoint(eager=True)
+            # lazy: the convergence aggregate right below materializes
+            # the checkpoint in the same job (one job per round, not two)
+            .localCheckpoint(eager=False)
         )
         label_sum = labels.agg(F.sum("label")).collect()[0][0]
         if label_sum == prev_sum:
