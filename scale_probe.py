@@ -180,6 +180,24 @@ PROBE = [
     "multimodal_payload_dedup",
     "hard_negative_mining",
     "matryoshka_recall_audit",
+    # round 5: the perturbed replication (TEXT_PERTURB_PCT) makes the
+    # dedup family measurable, so the former exclusions join the probe,
+    # plus the round-5 operators themselves.
+    "semdedup_prune",
+    "levenshtein_blocked_pairs",
+    "community_modularity",
+    "source_vocab_overlap",
+    "kcore_neardup_graph",
+    "neardup_clusters",
+    "ingest_dedup_gate",
+    "incremental_neardup_check",
+    "incremental_neardup_check_bucketed",
+    "simhash_hamming_pairs",
+    "multimodal_decode_real",
+    "rfm_segmentation",
+    "value_concentration_curve",
+    "gini_user_value",
+    "zipf_slope",
 ]
 
 
