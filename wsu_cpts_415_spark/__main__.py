@@ -82,6 +82,20 @@ def main(argv: list[str] | None = None) -> int:
     ingp.add_argument("--jsonl")
     ingp.add_argument("--totals")
 
+    isp = sub.add_parser(
+        "ingest-stream",
+        help="stream a documents dir through the exact+LSH dedup gate",
+    )
+    isp.add_argument("incoming_dir", help="parquet dir watched as a stream")
+    isp.add_argument("store_dir", help="standing digest/band/shingle stores")
+    isp.add_argument("accepted_dir")
+    isp.add_argument("checkpoint_dir")
+    isp.add_argument(
+        "--init-corpus",
+        help="parquet path of the standing corpus; initializes the stores",
+    )
+    isp.add_argument("--threshold", type=float, default=None)
+
     args = p.parse_args(argv)
 
     from wsu_cpts_415_spark.registry import all_queries
@@ -214,6 +228,31 @@ def main(argv: list[str] | None = None) -> int:
             f"{n_bad} FAIL of {len(results)}"
         )
         return 1 if n_bad else 0
+
+    if args.cmd == "ingest-stream":
+        from wsu_cpts_415_spark.streaming.ingest_dedup import (
+            JACCARD_THRESHOLD,
+            init_standing_stores,
+            stream_ingest_with_dedup,
+        )
+
+        if args.init_corpus:
+            init_standing_stores(
+                spark, spark.read.parquet(args.init_corpus), args.store_dir
+            )
+        stream = spark.readStream.schema(
+            spark.read.parquet(args.incoming_dir).schema
+        ).parquet(args.incoming_dir)
+        stream_ingest_with_dedup(
+            stream,
+            args.store_dir,
+            args.accepted_dir,
+            args.checkpoint_dir,
+            threshold=args.threshold or JACCARD_THRESHOLD,
+        )
+        n = spark.read.parquet(args.accepted_dir).count()
+        print(f"accepted store now holds {n} documents")
+        return 0
 
     if args.cmd == "ingest":
         from wsu_cpts_415_spark.io.ingest import ingest_crawl

@@ -278,3 +278,48 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("features", lambda x: F.format_string("%.6f", x)), ","
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_resize_real",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS media_type
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, media_type,
+               CASE media_type
+                   WHEN 'image' THEN 16 + doc_id % 2048
+                   WHEN 'audio' THEN 8000 + (doc_id % 8) * 4000
+                   ELSE 128 + (doc_id % 16) * 16 END AS width,
+               CASE media_type
+                   WHEN 'image' THEN 16 + (doc_id * 7) % 2048
+                   WHEN 'audio' THEN 1 + doc_id % 2
+                   ELSE 96 + (doc_id % 12) * 16 END AS height
+        FROM base
+    )
+    SELECT doc_id, media_type,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           GREATEST(1, CAST(FLOOR(width * LEAST(1.0,
+               256.0 / GREATEST(width, height))) AS BIGINT)) AS target_w,
+           GREATEST(1, CAST(FLOOR(height * LEAST(1.0,
+               256.0 / GREATEST(width, height))) AS BIGINT)) AS target_h
+    FROM dims
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plan computed over REAL parsed headers:
+    the genuine PNG/WAV/Y4M streams are decoded by the library-free
+    header parser and the resize targets come out of the parsed
+    dimensions -- the full synthesize -> parse -> plan chain, oracle-
+    checked end-to-end from doc_id arithmetic (for audio the "resize"
+    caps the sample-rate x channel grid the same way, a resample plan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_and_featurize(attach_real_payloads(docs), kernel=decode_real)
+    return resize_plan(decoded).orderBy("doc_id")
