@@ -190,9 +190,7 @@ PROBE = [
     "kcore_neardup_graph",
     "neardup_clusters",
     "ingest_dedup_gate",
-    "incremental_neardup_check",
     "incremental_neardup_check_bucketed",
-    "simhash_hamming_pairs",
     "multimodal_decode_real",
     "rfm_segmentation",
     "value_concentration_curve",

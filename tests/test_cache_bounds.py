@@ -32,11 +32,15 @@ def test_repeat_invocations_do_not_grow_cache(spark):
 
 
 def test_clear_staged_releases_everything(spark):
+    """Delta form: earlier tests in the session may leave localCheckpoint
+    RDDs that only the async ContextCleaner releases, so assert that
+    clear_staged() returns the count to (at most) its pre-test level
+    rather than demanding a globally empty store."""
     qs = all_queries()
+    clear_staged()
+    n0 = _n_cached_rdds(spark)
     qs["ref_trending_rankings"].fn(spark, SF_SMOKE).count()
     qs["rfm_segmentation"].fn(spark, SF_SMOKE).count()
-    assert _n_cached_rdds(spark) > 0
+    assert _n_cached_rdds(spark) > n0
     clear_staged()
-    # Spark unpersist is async by default for RDD infos; the storage list
-    # reflects unpersist immediately in local mode
-    assert _n_cached_rdds(spark) == 0
+    assert _n_cached_rdds(spark) <= n0

@@ -27,6 +27,9 @@ def test_probe_names_are_registered():
 
     missing = [n for n in scale_probe.PROBE if n not in REGISTRY]
     assert not missing, f"scale_probe.PROBE references unknown queries: {missing}"
+    assert len(set(scale_probe.PROBE)) == len(scale_probe.PROBE), (
+        "duplicate names in PROBE (each runs twice per probe)"
+    )
 
 
 def test_r3_fixed_subset_still_registered():

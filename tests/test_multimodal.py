@@ -124,3 +124,26 @@ def test_attach_real_payloads_are_parseable(spark):
         d = decode_real(bytes(r["payload"]), r["media_type"])
         assert r["n_bytes"] == len(bytes(r["payload"]))
         assert d["width"] > 0 and d["height"] > 0 and d["n_frames"] >= 1
+
+
+def test_decode_real_malformed_after_magic_raises_valueerror():
+    """Payloads that pass the magic check but are truncated/malformed must
+    still raise ValueError (not struct.error/KeyError/UnicodeDecodeError),
+    so per-payload error handling in a decode loop stays uniform."""
+    import struct
+
+    from wsu_cpts_415_spark.pipelines.multimodal import decode_real
+
+    truncated_png = bytes.fromhex("89504e470d0a1a0a") + b"\x00" * 4 + b"IHDR" + b"\x01"
+    y4m_missing_dims = b"YUV4MPEG2 F25:1\nFRAME\n"
+    y4m_non_ascii = b"YUV4MPEG2 W1 H1 \xff\xfe\nFRAME\n"
+    for bad, mt in [
+        (truncated_png, "image"),
+        (y4m_missing_dims, "video"),
+        (y4m_non_ascii, "video"),
+    ]:
+        try:
+            decode_real(bad, mt)
+            assert False, f"expected ValueError for {mt}"
+        except ValueError:
+            pass

@@ -100,3 +100,25 @@ def test_replay_after_midcommit_kill_is_exactly_once(spark, stores):
     assert _accepted_ids(spark, stores["accepted"]) == [11]
     bands = spark.read.parquet(stores["store"] + "/bands")
     assert bands.filter(F.col("doc_id") == 11).count() == 4  # one row per band
+
+
+def test_fully_rejected_first_batch_does_not_crash(spark, stores):
+    """A first micro-batch where NOTHING is admitted must complete (the
+    accepted store may not even exist yet) and a later novel batch must
+    still land normally."""
+    _write(
+        spark,
+        [(30, "alpha beta alpha beta alpha")],  # near-dup of corpus doc 1
+        stores["src"],
+    )
+    _run(spark, stores["src"], stores["store"], stores["accepted"], stores["ckpt"])
+    import os
+
+    assert not os.path.exists(stores["accepted"]) or not [
+        f
+        for f in os.listdir(stores["accepted"])
+        if f.startswith("_batch=")
+    ]
+    _write(spark, [(31, "eta theta eta theta")], stores["src"])
+    _run(spark, stores["src"], stores["store"], stores["accepted"], stores["ckpt"])
+    assert _accepted_ids(spark, stores["accepted"]) == [31]

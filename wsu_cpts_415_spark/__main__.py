@@ -248,9 +248,14 @@ def main(argv: list[str] | None = None) -> int:
             args.store_dir,
             args.accepted_dir,
             args.checkpoint_dir,
-            threshold=args.threshold or JACCARD_THRESHOLD,
+            threshold=JACCARD_THRESHOLD
+            if args.threshold is None
+            else args.threshold,
         )
-        n = spark.read.parquet(args.accepted_dir).count()
+        try:
+            n = spark.read.parquet(args.accepted_dir).count()
+        except Exception:  # nothing was ever accepted -> no store yet
+            n = 0
         print(f"accepted store now holds {n} documents")
         return 0
 

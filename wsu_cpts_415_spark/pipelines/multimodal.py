@@ -171,39 +171,50 @@ def decode_real(payload: bytes, media_type: str) -> dict:
     (resize plans, frame sampling, payload dedup) this feeds."""
     import struct
 
-    if media_type == "image":
-        if payload[:8] != bytes.fromhex("89504e470d0a1a0a") or payload[12:16] != b"IHDR":
-            raise ValueError("not a PNG stream")
-        width, height = struct.unpack(">II", payload[16:24])
-        n_frames = 1
-    elif media_type == "audio":
-        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-            raise ValueError("not a RIFF/WAVE stream")
-        width = height = n_frames = 0
-        block_align = 1
-        pos = 12
-        while pos + 8 <= len(payload):
-            cid, size = payload[pos : pos + 4], struct.unpack(
-                "<I", payload[pos + 4 : pos + 8]
-            )[0]
-            body = payload[pos + 8 : pos + 8 + size]
-            if cid == b"fmt ":
-                (_, height, width, _, block_align, _) = struct.unpack(
-                    "<HHIIHH", body[:16]
-                )
-            elif cid == b"data":
-                n_frames = size // max(block_align, 1)
-            pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
-    elif media_type == "video":
-        header, _, rest = payload.partition(b"\n")
-        fields = header.decode("ascii").split()
-        if not fields or fields[0] != "YUV4MPEG2":
-            raise ValueError("not a YUV4MPEG2 stream")
-        params = {f[0]: f[1:] for f in fields[1:]}
-        width, height = int(params["W"]), int(params["H"])
-        n_frames = rest.count(b"FRAME")
-    else:
-        raise ValueError(f"unknown media_type {media_type!r}")
+    try:
+        if media_type == "image":
+            if (
+                payload[:8] != bytes.fromhex("89504e470d0a1a0a")
+                or payload[12:16] != b"IHDR"
+            ):
+                raise ValueError("not a PNG stream")
+            width, height = struct.unpack(">II", payload[16:24])
+            n_frames = 1
+        elif media_type == "audio":
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE stream")
+            width = height = n_frames = 0
+            block_align = 1
+            pos = 12
+            while pos + 8 <= len(payload):
+                cid, size = payload[pos : pos + 4], struct.unpack(
+                    "<I", payload[pos + 4 : pos + 8]
+                )[0]
+                body = payload[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    (_, height, width, _, block_align, _) = struct.unpack(
+                        "<HHIIHH", body[:16]
+                    )
+                elif cid == b"data":
+                    n_frames = size // max(block_align, 1)
+                pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+        elif media_type == "video":
+            header, _, rest = payload.partition(b"\n")
+            fields = header.decode("ascii").split()
+            if not fields or fields[0] != "YUV4MPEG2":
+                raise ValueError("not a YUV4MPEG2 stream")
+            params = {f[0]: f[1:] for f in fields[1:]}
+            width, height = int(params["W"]), int(params["H"])
+            n_frames = rest.count(b"FRAME")
+        else:
+            raise ValueError(f"unknown media_type {media_type!r}")
+    except ValueError:
+        raise
+    except Exception as exc:
+        # truncated-after-magic / missing-field / non-ASCII streams raise
+        # struct.error / KeyError / UnicodeDecodeError internally -- the
+        # per-payload contract is ValueError for every malformed input
+        raise ValueError(f"malformed {media_type} stream: {exc}") from exc
     n_bytes = len(payload)
     return {
         "width": width,

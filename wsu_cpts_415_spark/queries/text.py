@@ -835,11 +835,18 @@ def zipf_slope(
     giant tie groups (half the vocab sits at f=1); below the bound the
     plain window.  Both paths give identical slope/intercept; the
     regression is a single covariance aggregate, one row out."""
+    from wsu_cpts_415_spark.ops.staging import staged
+
     docs = load_table(spark, sf_dir, "documents")
-    freq = (
-        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    # the token-frequency aggregate feeds the routing count plus several
+    # subtrees of the tie-free rank kernel -- stage it once
+    freq = staged(
+        spark,
+        "zipf_token_freq",
+        sf_dir,
+        lambda: docs.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
-        .agg(F.count("*").alias("f"))
+        .agg(F.count("*").alias("f")),
     )
     if freq.count() > scalable_rows:
         ranked = tiefree_global_row_number(

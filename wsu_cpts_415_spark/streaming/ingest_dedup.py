@@ -52,7 +52,7 @@ def init_standing_stores(
     """Materialize the standing digest / band / shingle stores from the
     corpus (the nightly maintenance job's output).  Base data lands in
     the _batch=-1 partition so batch appends stay idempotent."""
-    base = corpus_docs.withColumn("_batch", F.lit(-1))
+    base = corpus_docs
     _digests_of(base).withColumn("_batch", F.lit(-1)).write.mode(
         "overwrite"
     ).partitionBy("_batch").parquet(f"{store_dir}/digests")
@@ -70,19 +70,37 @@ def gate_batch(
     batch_df: DataFrame,
     store_dir: str,
     threshold: float = JACCARD_THRESHOLD,
+    exclude_batch: int | None = None,
+    _persists: list | None = None,
 ) -> DataFrame:
     """Pure gating logic (no writes): return the surviving rows of
     ``batch_df`` after the exact and near-dup gates against the standing
-    stores.  Deterministic for a given batch + store state."""
+    stores.
+
+    ``exclude_batch`` makes the gate REPLAY-DETERMINISTIC: a batch
+    replayed after a crash that landed some of its own store partitions
+    must not gate against them (it would see its own rows as standing
+    and admit nothing, leaving the stores missing this batch's bands
+    forever), so the reads drop the ``_batch=<exclude_batch>``
+    partitions before gating."""
     spark = batch_df.sparkSession
-    std_digests = spark.read.parquet(f"{store_dir}/digests").select("digest")
-    std_bands = spark.read.parquet(f"{store_dir}/bands").select(
+
+    def read_store(name: str) -> DataFrame:
+        df = spark.read.parquet(f"{store_dir}/{name}")
+        if exclude_batch is not None:
+            df = df.filter(F.col("_batch") != exclude_batch)
+        return df.drop("_batch")
+
+    std_digests = read_store("digests").select("digest")
+    std_bands = read_store("bands").select(
         F.col("doc_id").alias("old_doc"), "b", "h1", "h2"
     )
-    std_sh = spark.read.parquet(f"{store_dir}/shingles").select(
+    std_sh = read_store("shingles").select(
         F.col("doc_id").alias("old_doc"), F.col("shingles").alias("old_shingles")
     )
-    return gate_against(batch_df, std_digests, std_bands, std_sh, threshold)
+    return gate_against(
+        batch_df, std_digests, std_bands, std_sh, threshold, _persists=_persists
+    )
 
 
 def gate_against(
@@ -91,6 +109,7 @@ def gate_against(
     std_bands: DataFrame,
     std_sh: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
+    _persists: list | None = None,
 ) -> DataFrame:
     """Store-free core of the gate (standing state passed as DataFrames):
     exact digest gate (within-batch keeps the min doc_id), LSH + exact
@@ -116,7 +135,13 @@ def gate_against(
 
     hashed = hashed_of(survivors)
     if hashed.storageLevel == StorageLevel.NONE:
-        hashed = track_persist(hashed.persist(StorageLevel.MEMORY_AND_DISK))
+        hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+        if _persists is not None:
+            # per-batch caller (streaming sink) releases in its finally;
+            # tracking session-wide would grow one entry per micro-batch
+            _persists.append(hashed)
+        else:
+            track_persist(hashed)
     b_bands = bands_from_hashed(hashed)
     b_sh = hashed.select("doc_id", "shingles")
     cand_corpus = (
@@ -198,8 +223,18 @@ def apply_ingest_batch(
     batch's own rows as already-standing (gating everything out)."""
     spark = batch_df.sparkSession
     batch_df.persist()
-    accepted = gate_batch(batch_df, store_dir, threshold)
+    persists: list = []
+    accepted = gate_batch(
+        batch_df, store_dir, threshold, exclude_batch=batch_id,
+        _persists=persists,
+    )
     try:
+        if accepted.limit(1).count() == 0:
+            # nothing admitted: no partitions to (over)write, and the
+            # accepted store may not even exist yet -- skipping keeps
+            # the write-then-derive sequence below from crashing on an
+            # unreadable empty directory
+            return
         opts = {"partitionOverwriteMode": "dynamic"}
         (
             accepted.withColumn("_batch", F.lit(batch_id))
@@ -226,6 +261,11 @@ def apply_ingest_batch(
                 .parquet(f"{store_dir}/{name}")
             )
     finally:
+        for df in persists:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
         batch_df.unpersist()
 
 
