@@ -147,3 +147,42 @@ def test_decode_real_malformed_after_magic_raises_valueerror():
             assert False, f"expected ValueError for {mt}"
         except ValueError:
             pass
+
+
+def test_decode_real_wav_data_before_fmt_and_missing_fmt():
+    """Spec-legal chunk order (data before fmt) must still use the true
+    block align; a WAVE with no fmt chunk is malformed -> ValueError."""
+    import struct
+
+    from wsu_cpts_415_spark.pipelines.multimodal import decode_real
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 22050, 22050 * 4, 4, 16)
+    data = b"\x00" * 40  # 10 samples at block align 4
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 40 + 8 + 16) + b"WAVE"
+        + b"data" + struct.pack("<I", 40) + data
+        + b"fmt " + struct.pack("<I", 16) + fmt
+    )
+    d = decode_real(wav, "audio")
+    assert (d["width"], d["height"], d["n_frames"]) == (22050, 2, 10)
+
+    no_fmt = b"RIFF" + struct.pack("<I", 4 + 8 + 4) + b"WAVE" + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    try:
+        decode_real(no_fmt, "audio")
+        assert False, "expected ValueError for missing fmt"
+    except ValueError:
+        pass
+
+
+def test_sample_frames_zero_frame_video_yields_no_rows(spark):
+    from wsu_cpts_415_spark.pipelines.multimodal import (
+        DECODED_SCHEMA,
+        sample_frames,
+    )
+
+    decoded = spark.createDataFrame(
+        [(1, "video", 10, 4, 4, 0, [0.0] * 4), (2, "video", 10, 4, 4, 3, [0.0] * 4)],
+        DECODED_SCHEMA,
+    )
+    rows = sample_frames(decoded).collect()
+    assert sorted(r["doc_id"] for r in rows) == [2]

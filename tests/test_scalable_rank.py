@@ -131,3 +131,33 @@ def test_zipf_routing_is_invisible(spark):
     scalable = zipf_slope(spark, SF_SMOKE, scalable_rows=0).collect()
     exact = zipf_slope(spark, SF_SMOKE, scalable_rows=10**9).collect()
     assert [tuple(r) for r in scalable] == [tuple(r) for r in exact]
+
+
+def test_scalable_rank_null_values_match_window_order(spark):
+    """NULL sort values must rank exactly where the plain window puts
+    them on both directions (asc = NULLS FIRST, desc = NULLS LAST), and
+    the tie-free kernel must keep (not drop) null-valued rows."""
+    from wsu_cpts_415_spark.ops.scalable_rank import tiefree_global_row_number
+
+    rows = [(i, float(i % 5) if i % 7 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(8)
+    stats = rank_bounds(df, ["v"], npart=8)
+    for descending in (False, True):
+        got = global_row_number_scalable(
+            df, "v", [F.asc("id")], stats["bounds"]["v"],
+            descending=descending, out_col="rn",
+        )
+        order = [F.desc("v") if descending else F.asc("v"), F.asc("id")]
+        want = df.select(
+            "id", "v", F.row_number().over(Window.orderBy(*order)).alias("rn")
+        )
+        assert sorted(got.select("id", "v", "rn").collect()) == sorted(
+            want.collect()
+        ), f"descending={descending}"
+    # tie-free: all rows kept, ranks a permutation, null group placed
+    # first (asc) with its exact consecutive range
+    tf = tiefree_global_row_number(df, "v", "id", out_col="rn").collect()
+    assert len(tf) == len(rows)
+    assert sorted(r["rn"] for r in tf) == list(range(1, len(rows) + 1))
+    null_ranks = sorted(r["rn"] for r in tf if r["v"] is None)
+    assert null_ranks == list(range(1, len(null_ranks) + 1))

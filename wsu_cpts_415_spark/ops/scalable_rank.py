@@ -72,13 +72,21 @@ def global_row_number_scalable(
     """
     vals = [float(b) for b in bounds if b is not None]
     v = F.col(value_col)
+    bounds_arr = F.array(*[F.lit(b) for b in vals])
     if descending:
-        # bucket 0 holds the top values: count boundaries above
-        bounds_arr = F.array(*[F.lit(b) for b in vals])
-        pid = F.size(F.filter(bounds_arr, lambda b: b > v))
+        # bucket 0 holds the top values: count boundaries above.  NULL
+        # sort values go to the LAST bucket explicitly -- F.filter drops
+        # null-predicate elements, which would otherwise send NULLs to
+        # bucket 0 while the plain window (F.desc = NULLS LAST) ranks
+        # them last; inside the bucket F.desc again sorts NULLs last.
+        pid = F.when(v.isNull(), F.lit(len(vals))).otherwise(
+            F.size(F.filter(bounds_arr, lambda b: b > v))
+        )
         order = [F.desc(value_col), *tiebreaks]
     else:
-        bounds_arr = F.array(*[F.lit(b) for b in vals])
+        # ascending: NULLs get pid 0 (no boundary compares below NULL)
+        # and F.asc sorts NULLS FIRST within the bucket -- both match
+        # the plain window's NULLS FIRST default by construction
         pid = F.size(F.filter(bounds_arr, lambda b: b < v))
         order = [F.asc(value_col), *tiebreaks]
     parts = df.withColumn("_pid", pid)
@@ -134,18 +142,23 @@ def tiefree_global_row_number(
     within (value, bucket).  The two offset tables are value-grain and
     (value x bucket)-grain -- tiny next to the data, and the joins ride
     the window's own (value, bucket) partitioning."""
-    v = F.col(value_col)
+    # NULL sort values must rank like the plain window would place them
+    # (asc = NULLS FIRST, desc = NULLS LAST); equi-joins on the raw value
+    # would silently DROP null-keyed rows, so the group comparisons and
+    # the final join run on null-safe columns with explicit null order.
     parts = df.withColumn(
         "_pid", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(nbuckets))
     )
     gc = parts.groupBy(value_col, "_pid").agg(F.count("*").alias("_cnt"))
     vc = gc.groupBy(value_col).agg(F.sum("_cnt").alias("_vcnt"))
     a, b = vc.alias("a"), vc.alias("b")
-    before = (
-        F.col(f"b.{value_col}") > F.col(f"a.{value_col}")
-        if descending
-        else F.col(f"b.{value_col}") < F.col(f"a.{value_col}")
-    )
+    av, bv = F.col(f"a.{value_col}"), F.col(f"b.{value_col}")
+    if descending:
+        # b strictly before a in DESC order; NULLs are LAST
+        before = (bv > av) | (bv.isNotNull() & av.isNull())
+    else:
+        # b strictly before a in ASC order; NULLs are FIRST
+        before = (bv < av) | (bv.isNull() & av.isNotNull())
     starts = (
         a.join(b, before, "left")
         .groupBy(F.col(f"a.{value_col}").alias(value_col))
@@ -155,7 +168,7 @@ def tiefree_global_row_number(
     poff = (
         g1.join(
             g2,
-            (F.col(f"g2.{value_col}") == F.col(f"g1.{value_col}"))
+            F.col(f"g2.{value_col}").eqNullSafe(F.col(f"g1.{value_col}"))
             & (F.col("g2._pid") < F.col("g1._pid")),
             "left",
         )
@@ -165,10 +178,16 @@ def tiefree_global_row_number(
         )
         .agg(F.coalesce(F.sum("g2._cnt"), F.lit(0)).alias("_poff"))
     )
+    pj, oj, sj = parts.alias("p"), poff.alias("o"), starts.alias("s")
     local_w = Window.partitionBy(value_col, "_pid").orderBy(salt_col)
     return (
-        parts.join(poff, [value_col, "_pid"])
-        .join(starts, value_col)
+        pj.join(
+            oj,
+            F.col(f"p.{value_col}").eqNullSafe(F.col(f"o.{value_col}"))
+            & (F.col("p._pid") == F.col("o._pid")),
+        )
+        .join(sj, F.col(f"p.{value_col}").eqNullSafe(F.col(f"s.{value_col}")))
+        .select("p.*", "o._poff", "s._start")
         .withColumn(
             out_col,
             F.row_number().over(local_w) + F.col("_poff") + F.col("_start"),

@@ -183,21 +183,27 @@ def decode_real(payload: bytes, media_type: str) -> dict:
         elif media_type == "audio":
             if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
                 raise ValueError("not a RIFF/WAVE stream")
-            width = height = n_frames = 0
-            block_align = 1
+            # two-phase walk: collect chunks first so a data chunk BEFORE
+            # fmt (spec-legal ordering) still divides by the true block
+            # align, and a missing fmt chunk is an error, not zeros
+            fmt_body = None
+            data_size = None
             pos = 12
             while pos + 8 <= len(payload):
                 cid, size = payload[pos : pos + 4], struct.unpack(
                     "<I", payload[pos + 4 : pos + 8]
                 )[0]
-                body = payload[pos + 8 : pos + 8 + size]
                 if cid == b"fmt ":
-                    (_, height, width, _, block_align, _) = struct.unpack(
-                        "<HHIIHH", body[:16]
-                    )
+                    fmt_body = payload[pos + 8 : pos + 8 + size]
                 elif cid == b"data":
-                    n_frames = size // max(block_align, 1)
+                    data_size = size
                 pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+            if fmt_body is None:
+                raise ValueError("RIFF/WAVE stream has no fmt chunk")
+            (_, height, width, _, block_align, _) = struct.unpack(
+                "<HHIIHH", fmt_body[:16]
+            )
+            n_frames = (data_size or 0) // max(block_align, 1)
         elif media_type == "video":
             header, _, rest = payload.partition(b"\n")
             fields = header.decode("ascii").split()
@@ -294,7 +300,12 @@ def sample_frames(decoded: DataFrame, every_n: int = 24) -> DataFrame:
     """Frame-sampling plan for video payloads: one row per sampled frame
     index (explode of a sequence -- generator, no UDF)."""
     return (
-        decoded.filter(F.col("media_type") == "video")
+        # n_frames >= 1 guard: a structurally valid zero-frame stream
+        # (e.g. a Y4M header with no FRAME markers) must yield zero
+        # sample rows, not an illegal sequence(0, -1) boundary error
+        decoded.filter(
+            (F.col("media_type") == "video") & (F.col("n_frames") >= 1)
+        )
         .select(
             "doc_id",
             "n_frames",

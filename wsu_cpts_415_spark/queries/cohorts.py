@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.queries.events import SESSION_GAP_MIN
 from wsu_cpts_415_spark.ops.scalable_rank import (
     SCALABLE_RANK_ROWS,
     global_row_number_scalable,
@@ -467,11 +468,11 @@ def gini_user_value(
             "total",
             F.row_number().over(w).alias("rnk"),
         )
-    stats = per_user.agg(
+    totals = per_user.agg(
         F.count("*").alias("n"), F.sum("total").alias("s")
     )
     return (
-        ranked.crossJoin(F.broadcast(stats))
+        ranked.crossJoin(F.broadcast(totals))
         .agg(
             F.max("n").cast("bigint").alias("n_users"),
             F.round(F.max("s"), 4).alias("total_value"),
@@ -489,16 +490,16 @@ def gini_user_value(
     "session_bounce_rate",
     oracle=f"""
     WITH gaps AS (
-        SELECT user_id, ts, CAST(ts AS DATE) AS d,
+        SELECT user_id, ts, event_id, CAST(ts AS DATE) AS d,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > INTERVAL 60 MINUTE
+                         > INTERVAL {SESSION_GAP_MIN} MINUTE
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM events
     ),
     sess AS (
         SELECT user_id, d, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_no
         FROM gaps
     ),
@@ -532,22 +533,26 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.to_date("ts").alias("d"),
         F.when(
             F.lag("ts").over(w).isNull()
             # microsecond-exact gap test: a long (seconds) cast would
-            # truncate and flip gaps in (3600, 3601) vs the INTERVAL
-            # comparison the oracle runs
+            # truncate and flip gaps just over the boundary vs the
+            # INTERVAL comparison the oracle runs
             | (
                 F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-                > 3600 * 1_000_000
+                > SESSION_GAP_MIN * 60 * 1_000_000
             ),
             1,
         )
         .otherwise(0)
         .alias("is_new"),
     )
-    w_run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # event_id tie-break: the running sum must frame rows in the SAME
+    # order the is_new window used, or tied timestamps straddle sessions
+    # nondeterministically
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     sess = gaps.withColumn("sess_no", F.sum("is_new").over(w_run))

@@ -227,8 +227,12 @@ def apply_ingest_batch(
     accepted = gate_batch(
         batch_df, store_dir, threshold, exclude_batch=batch_id,
         _persists=persists,
-    )
+    ).persist()
+    persists.append(accepted)
     try:
+        # the probe below and the accepted write share the persisted
+        # plan, so the standing-store scans + LSH joins run once per
+        # batch, not twice
         if accepted.limit(1).count() == 0:
             # nothing admitted: no partitions to (over)write, and the
             # accepted store may not even exist yet -- skipping keeps
