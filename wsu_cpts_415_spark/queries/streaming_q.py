@@ -375,3 +375,83 @@ def streaming_cep_error_after_purchase(
         output_mode="update",
     )
     return out.orderBy("user_id", "error_ts")
+
+
+from wsu_cpts_415_spark.queries.corpus_audit import CMS_PROBES as _CMS_PROBES
+
+
+@register(
+    "streaming_cms_frequency_check",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS exact_n,
+           TRUE AS within_bound
+    FROM events
+    WHERE user_id < {_CMS_PROBES}
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_cms_frequency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch streaming state: a Count-Min sketch built BY THE
+    STREAM (count_min_sketch as a streaming aggregate, complete mode --
+    each micro-batch's partial sketch merges into the state by counter
+    addition), then probed exactly like the batch twin
+    (corpus_audit.cms_frequency_check).  Counter addition is commutative
+    and associative, so the final sketch is bit-identical however the
+    replay slices the source into micro-batches -- the self-validating
+    bound check (exact <= est <= exact + eps*N) must hold and the oracle
+    proves the exact side.
+
+    The pattern this pins for 100 TB streams: sketch aggregates (CMS,
+    HLL, Bloom) keep CONSTANT state in a streaming query where an exact
+    per-key groupBy would grow state with the key space."""
+    from pyspark.sql import functions as F
+
+    from wsu_cpts_415_spark.io.tables import load_table
+    from wsu_cpts_415_spark.queries.corpus_audit import (
+        CMS_CONF,
+        CMS_EPS,
+        CMS_PROBES,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    sketched = stream.groupBy().agg(
+        F.count("*").alias("n_total"),
+        F.expr(
+            f"count_min_sketch(user_id, cast({CMS_EPS} as double),"
+            f" cast({CMS_CONF} as double), 42)"
+        ).alias("sketch"),
+    )
+    agg = run_available_now(
+        sketched, "q_streaming_cms", output_mode="complete"
+    ).head()
+    n_total, raw = agg["n_total"], bytes(agg["sketch"])
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(raw)
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < CMS_PROBES)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy("user_id")
+        .collect()
+    )
+    bound = CMS_EPS * n_total
+    rows = [
+        (
+            r["user_id"],
+            r["exact_n"],
+            bool(
+                r["exact_n"]
+                <= cms.estimateCount(jvm.java.lang.Long.valueOf(int(r["user_id"])))
+                <= r["exact_n"] + bound
+            ),
+        )
+        for r in exact
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, exact_n long, within_bound boolean"
+    ).orderBy("user_id")
