@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Registry-wide run-to-run determinism probe: build and execute every
+registered query TWICE in one session and compare driver-normalized row
+sets.  The historical flaky-red class (the r03 events-timestamp windows,
+the r01 canonicalizer crashes) was exactly run-to-run nondeterminism
+that a single Spark-vs-DuckDB diff can miss when both runs happen to
+land the same way -- this probe attacks it directly.
+
+    python determinism_probe.py [sf_dir]    # default /root/testdata/sf0.01
+
+Prints one JSON line {"n": ..., "nondeterministic": [names], "errors":
+[names]} and exits nonzero if any query's two runs disagree.  Staged
+projections are cleared between the two sweeps so run 2 rebuilds every
+cached layer (the memo must change latency, never values).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from wsu_cpts_415_spark.ops.conformance import normalize
+from wsu_cpts_415_spark.ops.staging import clear_staged
+from wsu_cpts_415_spark.registry import all_queries
+from wsu_cpts_415_spark.session import get_spark
+
+
+def sweep(spark, sf_dir: str) -> dict[str, object]:
+    out: dict[str, object] = {}
+    for name, q in sorted(all_queries().items()):
+        try:
+            out[name] = normalize(q.fn(spark, sf_dir).toPandas())
+        except Exception as exc:
+            out[name] = f"ERROR: {str(exc)[:120]}"
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="determinism-probe")
+    first = sweep(spark, sf_dir)
+    clear_staged()
+    second = sweep(spark, sf_dir)
+    bad = [
+        n
+        for n in first
+        if not isinstance(first[n], str) and first[n] != second[n]
+    ]
+    errors = sorted(
+        n for n in first if isinstance(first[n], str) or isinstance(second[n], str)
+    )
+    print(
+        json.dumps(
+            {"n": len(first), "nondeterministic": sorted(bad), "errors": errors}
+        )
+    )
+    return 1 if bad or errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
