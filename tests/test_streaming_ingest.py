@@ -122,3 +122,13 @@ def test_fully_rejected_first_batch_does_not_crash(spark, stores):
     _write(spark, [(31, "eta theta eta theta")], stores["src"])
     _run(spark, stores["src"], stores["store"], stores["accepted"], stores["ckpt"])
     assert _accepted_ids(spark, stores["accepted"]) == [31]
+
+
+def test_one_word_document_does_not_crash_the_gate(spark, stores):
+    """A single-token document has an EMPTY bigram shingle set (DuckDB
+    semantics); Spark's sequence(1, 0) would count down and crash on
+    element_at(toks, 0) without the size guard.  Such a doc can never
+    near-dup anything, so it must be admitted, not kill the batch."""
+    _write(spark, [(40, "solo"), (41, "iota kappa iota kappa")], stores["src"])
+    _run(spark, stores["src"], stores["store"], stores["accepted"], stores["ckpt"])
+    assert _accepted_ids(spark, stores["accepted"]) == [40, 41]

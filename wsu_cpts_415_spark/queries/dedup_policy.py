@@ -253,7 +253,19 @@ def incremental_neardup_check_bucketed(
     broadcast-asymmetric plan, which returns identical rows."""
     try:
         names = _inc_bucketed_layout(spark, sf_dir)
-    except Exception:
+    except Exception as exc:
+        # loud fallback: results stay identical but the bucketed physical
+        # strategy is NOT being exercised -- the plan gate
+        # (tests/test_plans.py) fails locally if this triggers there, so
+        # a layout regression cannot hide behind green oracles
+        import warnings
+
+        warnings.warn(
+            f"bucketed layout unavailable ({exc!r}); falling back to the"
+            " broadcast-asymmetric incremental check",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return incremental_neardup_check(spark, sf_dir)
     std_b = spark.table(names["std_bands"]).withColumnRenamed(
         "doc_id", "old_doc"

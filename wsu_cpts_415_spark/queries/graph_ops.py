@@ -47,7 +47,7 @@ from wsu_cpts_415_spark.queries.similarity import (
 from wsu_cpts_415_spark.registry import register
 
 NEARDUP_THRESHOLD = 0.5  # exact-Jaccard cut for "these are the same doc"
-MAX_CC_ROUNDS = 20  # safety bound; convergence is checked each round
+MAX_CC_ROUNDS = 60  # safety bound ~ max component diameter; checked each round
 
 PR_DAMPING = 0.85
 PR_ITERS = 5
@@ -100,6 +100,7 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
     # scalar aggregate per round doubles as the convergence test (no
     # old-vs-new join needed).
     prev_sum = None
+    converged = False
     for _ in range(MAX_CC_ROUNDS):
         prop = edges.join(
             labels, edges["src"] == labels["doc_id"], "inner"
@@ -115,8 +116,17 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
         )
         label_sum = labels.agg(F.sum("label")).collect()[0][0]
         if label_sum == prev_sum:
+            converged = True
             break
         prev_sum = label_sum
+    if not converged:
+        # rounds ~ component diameter; a silent partial result would be
+        # WRONG clusters (and an oracle mismatch) -- fail loudly so the
+        # caller raises the bound instead
+        raise RuntimeError(
+            f"connected components did not converge in {MAX_CC_ROUNDS} "
+            "rounds (component diameter exceeds the bound)"
+        )
     return labels
 
 
@@ -302,6 +312,7 @@ def pagerank_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound, fall back to hash joins (AQE co-partitions both sides).
     bcast = n <= 5_000_000
     hint = F.broadcast if bcast else (lambda df: df)
+    n = max(n, 1)  # empty graph: verts_c has no rows, so 1/n is unused
     ranks = verts_c.select("id", F.lit(1.0 / n).alias("pr"))
     for _ in range(PR_ITERS):
         contribs = (
@@ -564,8 +575,15 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage is truncated every round.  At 100 TB you'd bucket edges and
     labels on the vertex id so every non-broadcast round co-locates.
     """
+    from wsu_cpts_415_spark.ops.staging import staged
+
     und = _und_edges(spark, sf_dir)
-    verts = videos_flat(spark, sf_dir).select(F.col("id").alias("node"))
+    verts = staged(
+        spark,
+        "videos_graph_slim",
+        sf_dir,
+        lambda: videos_flat(spark, sf_dir).select("id", "related_ids"),
+    ).select(F.col("id").alias("node"))
     n = verts.count()
     parts = max(1, min(spark.sparkContext.defaultParallelism, n // 100_000))
     bidir = (
@@ -682,10 +700,16 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").cast("double").alias("d"))
     )
-    la = labels.select(
+    # broadcast ONLY edge-incident labels: _neardup_labels is corpus-grain
+    # (every doc, singletons included); at scale the full table would blow
+    # the broadcast, while the incident sliver is pair-graph-sized
+    inc_labels = labels.join(
+        deg.select(F.col("node").alias("doc_id")), "doc_id", "left_semi"
+    )
+    la = inc_labels.select(
         F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca")
     )
-    lb = labels.select(
+    lb = inc_labels.select(
         F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb")
     )
     intra = (
@@ -696,7 +720,7 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("double").alias("e_c"))
     )
     dsum = (
-        deg.join(F.broadcast(labels), deg["node"] == labels["doc_id"])
+        deg.join(F.broadcast(inc_labels), deg["node"] == inc_labels["doc_id"])
         .groupBy("cluster_id")
         .agg(F.sum("d").alias("d_c"))
     )
@@ -710,7 +734,7 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(m_edges).cast("bigint").alias("n_edges"),
         F.count("*").alias("n_communities"),
         F.round(F.sum("q_c"), 6).alias("modularity"),
-    )
+    ).filter(F.col("n_edges") > 0)  # empty pair graph: 0 rows, like the oracle
 
 
 BFS_MAX_HOPS = 4

@@ -26,8 +26,6 @@ N_HASHES = 8  # minhash signature length
 N_BANDS = 4  # LSH bands (rows-per-band = 2)
 TOP_K = 10
 
-_SPARK_H60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
-_DUCK_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 _SPARK_H32 = "cast(conv(substr(md5({x}), 1, 8), 16, 10) as bigint)"
 _DUCK_H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
 
@@ -40,11 +38,6 @@ _HASH_PARAMS = [
     for s in range(N_HASHES)
 ]
 
-_SPARK_SHINGLES = (
-    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 1),"
-    " i -> concat(element_at(split(text, ' '), i), ' ',"
-    " element_at(split(text, ' '), i + 1))))"
-)
 _DUCK_SHINGLES_LIST = (
     "list_distinct(list_transform("
     "generate_series(1, len(string_split(text, ' ')) - 1),"
@@ -59,11 +52,17 @@ def _spark_shingled(docs: DataFrame) -> DataFrame:
     vs 0.3 s at sf0.1); staging each array through a Project computes it
     once per row."""
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # size < 2 guard: Spark's sequence(1, 0) counts DOWN to [1, 0] and
+    # element_at(toks, 0) throws, where DuckDB's generate_series(1, 0)
+    # is simply empty -- a one-word document must yield an empty shingle
+    # set in both engines (and must not crash a streaming ingest batch)
     return toks.select(
         "doc_id",
         F.expr(
-            "array_distinct(transform(sequence(1, size(toks) - 1),"
+            "CASE WHEN size(toks) < 2 THEN cast(array() as array<string>)"
+            " ELSE array_distinct(transform(sequence(1, size(toks) - 1),"
             " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
+            " END"
         ).alias("shingles"),
     )
 

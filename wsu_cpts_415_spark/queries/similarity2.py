@@ -180,12 +180,17 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = np.asarray(
-        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
-        .select("embedding")
-        .first()[0],
-        dtype=np.float64,
+    qrow = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()
     )
+    if qrow is None:
+        # absent query vector: empty result, same as the brute-force
+        # sibling's empty broadcast side (and the oracle's zero rows)
+        return (
+            emb.select("vec_id", "label", F.lit(0.0).alias("cosine"))
+            .limit(0)
+        )
+    qv = np.asarray(qrow[0], dtype=np.float64)
     q_norm = float(np.sqrt((qv * qv).sum()))
 
     @pandas_udf("double")
@@ -501,7 +506,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT q.qid, e.vec_id,
                ROUND(
                    list_aggregate(list_transform(
-                       generate_series(1, 64),
+                       generate_series(1, len(e.embedding)),
                        i -> CAST(e.embedding[i] AS DOUBLE)
                             * CAST(q.qv[i] AS DOUBLE)), 'sum')
                    / (SQRT(list_aggregate(list_transform(e.embedding,
