@@ -244,3 +244,84 @@ def test_parquet_layout_audit_reads_footers(spark):
     row = {r["column"]: r for r in summary.collect()}
     assert row["l_orderkey"]["minmax_coverage"] == 1.0
     assert row["l_orderkey"]["compression_ratio"] > 1.0
+
+
+def test_merge_upsert_rejects_duplicate_keyed_batch(spark, tmp_path):
+    """MERGE contract: one row per key.  A duplicate-keyed batch would
+    silently land both rows (anti-join removes the store row, union keeps
+    every update), so the guard must refuse it up front."""
+    import pytest
+
+    store = str(tmp_path / "store")
+    nation = load_table(spark, SF_ORACLE, "nation")
+    nation.write.parquet(store)
+    dup_batch = nation.filter(F.col("n_nationkey") == 1).unionByName(
+        nation.filter(F.col("n_nationkey") == 1).withColumn(
+            "n_name", F.lit("OTHER")
+        )
+    )
+    with pytest.raises(ValueError, match="distinct keys"):
+        merge_upsert(spark, store, dup_batch, keys=["n_nationkey"])
+    # the store is untouched after the refused merge
+    assert spark.read.parquet(store).count() == 25
+
+
+def test_scd2_requires_tracked_columns(spark, tmp_path):
+    import pytest
+
+    from wsu_cpts_415_spark.io.maintenance import merge_scd2, scd2_init
+
+    store = str(tmp_path / "store")
+    nation = load_table(spark, SF_ORACLE, "nation")
+    scd2_init(spark, store, nation, version=1)
+    with pytest.raises(ValueError, match="non-empty"):
+        merge_scd2(
+            spark, store, nation, keys=["n_nationkey"], tracked=[], version=2
+        )
+
+
+def test_scd2_null_key_rows_are_merged_null_safely(spark, tmp_path):
+    """The SCD-2 join is null-safe on the keys, so a NULL key value is a
+    legal key: a batch row with a NULL key must UPDATE the existing
+    NULL-keyed current row (close + reopen), not vanish or be ignored."""
+    from wsu_cpts_415_spark.io.maintenance import merge_scd2, scd2_init
+
+    store = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "k int, v string"
+    )
+    scd2_init(spark, store, base, version=1)
+
+    batch = spark.createDataFrame([(None, "b2")], "k int, v string")
+    stats = merge_scd2(
+        spark, store, batch, keys=["k"], tracked=["v"], version=2
+    )
+    assert stats["closed"] == 1 and stats["opened"] == 1
+    after = spark.read.parquet(store)
+    cur = {
+        r["v"]
+        for r in after.filter(F.col("is_current") & F.col("k").isNull()).collect()
+    }
+    assert cur == {"b2"}
+    closed = after.filter(~F.col("is_current") & F.col("k").isNull()).first()
+    assert closed["v"] == "b" and closed["valid_to"] == 2
+
+
+def test_compact_partitioned_store_bounds_files_per_partition(spark, tmp_path):
+    """Partition-aware compaction hash-repartitions ON the partition
+    columns, so each partition value lands in one task -> one file per
+    value, never n_target files per value."""
+    store = str(tmp_path / "store")
+    orders = load_table(spark, SF_ORACLE, "orders").withColumn(
+        "bucket", (F.col("o_orderkey") % 4).cast("int")
+    )
+    # micro-batch debris: 10 files per partition value
+    orders.repartition(10).write.partitionBy("bucket").parquet(store)
+    assert table_file_stats(store)["n_files"] == 40
+    before = _content_key(spark.read.parquet(store))
+
+    compact(spark, store, partition_by=["bucket"], target_file_bytes=1 << 30)
+    after = table_file_stats(store)
+    # one file per partition value (4 values), content identical
+    assert after["n_files"] == 4
+    assert _content_key(spark.read.parquet(store)) == before

@@ -69,9 +69,15 @@ def parse_directory_date(col: F.Column) -> F.Column:
     (mongo_loader.py:73-94).  Unparseable names => NULL (reference raises
     and skips the directory; a null date keeps the rows and lets the
     caller decide -- strictly more information)."""
+    # try_to_date, not to_date: ANSI mode (Spark 4 default) makes a
+    # plain to_date THROW on a 4/6-char directory name that is not a
+    # date ('1340', 'backup') -- the contract here is NULL, keep rows
     return (
-        F.when(F.length(col) == 4, F.to_date(F.concat(F.lit("2007"), col), "yyyyMMdd"))
-        .when(F.length(col) == 6, F.to_date(col, "yyMMdd"))
+        F.when(
+            F.length(col) == 4,
+            F.try_to_date(F.concat(F.lit("2007"), col), "yyyyMMdd"),
+        )
+        .when(F.length(col) == 6, F.try_to_date(col, "yyMMdd"))
         .otherwise(F.lit(None).cast("date"))
     )
 
@@ -189,7 +195,10 @@ def ingest_crawl(
     scan -> decode/reject -> nest -> dedup -> parquet partitioned by
     upload_date, with optional reject / JSON-lines / control-total side
     sinks.  Returns the reference's stats line (mongo_loader.py:232-238)."""
-    typed, rejects = decode_crawl(scan_crawl_lines(spark, root))
+    raw = scan_crawl_lines(spark, root).cache()  # typed + rejects both
+    # re-read the tree otherwise: the reject write and reject count were
+    # each a full re-scan + re-split of every input line
+    typed, rejects = decode_crawl(raw)
     typed = typed.cache()  # three actions below: count, totals, write
     nested = to_nested(typed)
     deduped = dedup_first_writer(nested)
@@ -215,6 +224,7 @@ def ingest_crawl(
     rejected = rejects.count()
     written = spark.read.parquet(out_dir).count()
     typed.unpersist()
+    raw.unpersist()
     return IngestStats(
         parsed=parsed,
         rejected=rejected,
@@ -249,8 +259,20 @@ def validate_store(spark: SparkSession, root: str, out_dir: str) -> DataFrame:
         F.count("*").alias("store_lines"),
         F.sum("views").alias("store_views"),
     )
+    # null-safe join: the NULL-date group (unparseable directory names
+    # keep their rows by design) must reconcile against itself, not show
+    # up as two half-null "inconsistent" rows
+    r, st = raw_totals.alias("r"), store_totals.alias("st")
     return (
-        raw_totals.join(store_totals, "upload_date", "full_outer")
+        r.join(
+            st,
+            F.col("r.upload_date").eqNullSafe(F.col("st.upload_date")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("r.upload_date", "st.upload_date").alias("upload_date"),
+            "r.parsed_lines", "r.sum_views", "st.store_lines", "st.store_views",
+        )
         .filter(
             (F.col("parsed_lines") != F.col("store_lines"))
             | (F.col("sum_views") != F.col("store_views"))

@@ -68,6 +68,15 @@ def merge_upsert(
     updates = updates.select(*target.columns)
     n_before = target.count()
     n_updates = updates.count()
+    # MERGE contract: one update row per key -- a duplicate-keyed batch
+    # would land BOTH rows (left_anti removes the store row, union keeps
+    # every update), silently breaking the store's unique-key invariant
+    n_keys = updates.select(*keys).distinct().count()
+    if n_keys != n_updates:
+        raise ValueError(
+            f"merge_upsert: updates batch has {n_updates} rows but only "
+            f"{n_keys} distinct keys {keys} -- dedup the batch first"
+        )
     survivors = target.join(updates.select(*keys), on=keys, how="left_anti")
     merged = survivors.unionByName(updates)
 
@@ -129,17 +138,23 @@ def merge_scd2(
     slice is the only side shuffled (partition the store by is_current
     so the history files are never read), and the batch side broadcasts
     when small."""
+    if not tracked:
+        raise ValueError("merge_scd2: tracked columns must be non-empty")
     target = spark.read.parquet(store_dir)
     cols = [c for c in target.columns if c not in ("valid_from", "valid_to", "is_current")]
     current = target.filter(F.col("is_current"))
     history = target.filter(~F.col("is_current"))
 
-    u = updates.select(*cols).alias("u")
+    # explicit presence markers: the join is null-SAFE on the keys, so a
+    # NULL key value is in-contract and "keys[0] IS NOT NULL" would
+    # misclassify such batch rows as absent (dropping their insert or
+    # ignoring their change)
+    u = updates.select(*cols).withColumn("_u_present", F.lit(True)).alias("u")
     t = current.alias("t")
     joined = t.join(u, on=[F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}")) for k in keys], how="full_outer")
 
     t_present = F.col("t.is_current").isNotNull()
-    u_present = F.col(f"u.{keys[0]}").isNotNull() if keys else F.lit(False)
+    u_present = F.col("u._u_present").isNotNull()
     changed = None
     for c in tracked:
         neq = ~F.col(f"t.{c}").eqNullSafe(F.col(f"u.{c}"))
@@ -252,9 +267,15 @@ def compact(
     df = spark.read.parquet(store_dir)
 
     tmp = store_dir.rstrip("/") + f".tmp-{uuid.uuid4().hex[:8]}"
-    writer = df.repartition(n_target).write.mode("overwrite")
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
+        # hash-repartition ON the partition columns: round-robin would
+        # scatter every partition value across all n_target tasks and
+        # emit up to n_target files PER value -- the small-file problem
+        # this tool exists to fix
+        shaped = df.repartition(n_target, *[F.col(c) for c in partition_by])
+        writer = shaped.write.mode("overwrite").partitionBy(*partition_by)
+    else:
+        writer = df.repartition(n_target).write.mode("overwrite")
     writer.parquet(tmp)
     _swap_into(tmp, store_dir)
 

@@ -103,7 +103,11 @@ def epoch_int64_to_timestamp(name: str) -> Column:
     """
     q = f"`{name}`"
     return F.expr(
-        f"CASE WHEN abs({q}) >= 100000000000000000 THEN timestamp_micros({q} div 1000) "
+        # exact integer FLOOR division: `div` truncates toward zero, off
+        # by 1us for pre-1970 nano epochs, and double floor() loses ulps
+        # at ~1.7e18 -- subtracting pmod (always >= 0) keeps it integral
+        f"CASE WHEN abs({q}) >= 100000000000000000 THEN "
+        f"timestamp_micros(({q} - pmod({q}, 1000)) div 1000) "
         f"WHEN abs({q}) >= 100000000000000 THEN timestamp_micros({q}) "
         f"WHEN abs({q}) >= 100000000000 THEN timestamp_millis({q}) "
         f"ELSE timestamp_seconds({q}) END"
@@ -245,12 +249,16 @@ def _reconcile(
             elif (
                 wants_temporal
                 and phys == "INT64"
-                and pa.types.is_integer(atype)
+                and (pa.types.is_integer(atype) or pa.types.is_timestamp(atype))
             ):
-                # Plain epoch int64 (no timestamp annotation) under a
-                # temporal declared type: raw read + magnitude-adaptive
-                # conversion.  A long->timestamp CAST would misread the
-                # value as epoch *seconds*.
+                # Plain epoch int64 (no timestamp annotation in the
+                # FOOTER -- the earlier branches own annotated columns)
+                # under a temporal declared type: raw read + magnitude-
+                # adaptive conversion.  A long->timestamp CAST would
+                # misread the value as epoch *seconds*.  The sidecar may
+                # claim either int64 or timestamp[ns] here (the stale-
+                # sidecar writer shape events_ts_read_plan also repairs);
+                # both mean the same unannotated storage.
                 read_type = T.LongType()
                 conv = epoch_int64_to_timestamp(field.name)
                 if isinstance(field.dataType, T.DateType):

@@ -528,6 +528,8 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one user-partitioned window (the sessionizer's shuffle), a
     per-session aggregate, then a calendar-grain rollup."""
+    from wsu_cpts_415_spark.queries.events import session_new_flag
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.select(
@@ -535,19 +537,7 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         F.to_date("ts").alias("d"),
-        F.when(
-            F.lag("ts").over(w).isNull()
-            # microsecond-exact gap test: a long (seconds) cast would
-            # truncate and flip gaps just over the boundary vs the
-            # INTERVAL comparison the oracle runs
-            | (
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-                > SESSION_GAP_MIN * 60 * 1_000_000
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_new"),
+        session_new_flag(w).alias("is_new"),
     )
     # event_id tie-break: the running sum must frame rows in the SAME
     # order the is_new window used, or tied timestamps straddle sessions

@@ -20,6 +20,25 @@ from wsu_cpts_415_spark.registry import register
 SESSION_GAP_MIN = 60  # sessionization gap, minutes
 
 
+def session_new_flag(w) -> "F.Column":
+    """1 when the row starts a session under the suite's pinned gap rule
+    (first event per user, or gap > SESSION_GAP_MIN), else 0 -- the ONE
+    definition shared by every lag-based sessionizer (sessionize_lag,
+    journey_trigrams, session_bounce_rate's oracle keeps the SQL twin).
+    ``w`` must order by (ts, event_id) within the user partition."""
+    return (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > SESSION_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+
+
 @register(
     "window_tumbling",
     oracle="""
@@ -215,16 +234,7 @@ def sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.select(
         "user_id",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-                > SESSION_GAP_MIN * 60 * 1_000_000
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_new"),
+        session_new_flag(w).alias("is_new"),
     )
     return (
         flagged.groupBy("user_id")

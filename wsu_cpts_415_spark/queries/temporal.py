@@ -361,22 +361,15 @@ def journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10.  Nothing shuffles twice.
     """
     ev = load_table(spark, sf_dir, "events")
+    from wsu_cpts_415_spark.queries.events import session_new_flag
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.select(
         "user_id",
         "ts",
         "event_id",
         "event_type",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-                > SESSION_GAP_MIN * 60 * 1_000_000
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_new"),
+        session_new_flag(w).alias("is_new"),
     )
     sess = flagged.withColumn(
         "sess_no",
