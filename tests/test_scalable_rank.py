@@ -63,6 +63,23 @@ def test_global_row_number_matches_window(spark, descending):
     assert sorted(got.select("id", "v", "rn").collect()) == sorted(want.collect())
 
 
+def test_global_row_number_bigint_beyond_2_53(spark):
+    """Boundary literals are cast to the sort column's own Spark type, so
+    bigint sort keys beyond 2**53 (where a Python float round-trip
+    collapses adjacent values) keep exact boundary comparisons."""
+    base = 2**60
+    rows = [(i, base + ((i * 31) % 50)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(8)
+    stats = rank_bounds(df, ["v"], npart=8)
+    got = global_row_number_scalable(
+        df, "v", [F.asc("id")], stats["bounds"]["v"], out_col="rn"
+    )
+    want = df.select(
+        "id", F.row_number().over(Window.orderBy(F.asc("v"), F.asc("id"))).alias("rn")
+    )
+    assert sorted(got.select("id", "rn").collect()) == sorted(want.collect())
+
+
 @pytest.mark.parametrize(
     "fn", [rfm_segmentation, value_concentration_curve, gini_user_value]
 )

@@ -124,6 +124,57 @@ def test_fully_rejected_first_batch_does_not_crash(spark, stores):
     assert _accepted_ids(spark, stores["accepted"]) == [31]
 
 
+def test_first_run_without_init_corpus(spark, tmp_path):
+    """With NO --init-corpus (standing stores absent), the first
+    micro-batch must gate against an empty corpus instead of dying with
+    PATH_NOT_FOUND inside the stream, and must create the stores so the
+    next batch dedups against everything batch 0 admitted."""
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "incoming")
+    accepted = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    _write(spark, BATCH1, src)
+    _run(spark, src, store, accepted, ckpt)
+    # no standing corpus: 10 is novel now; 12 is still an exact dup of 11
+    assert _accepted_ids(spark, accepted) == [10, 11]
+    _write(spark, BATCH2, src)
+    _run(spark, src, store, accepted, ckpt)
+    # 20 near-dups batch-0-accepted 11; 21 is novel
+    assert _accepted_ids(spark, accepted) == [10, 11, 21]
+
+
+def test_zero_admitted_replay_clears_stale_partitions(spark, stores):
+    """A replayed batch whose gate outcome changed (stream restarted
+    with a stricter threshold against the same checkpoint) and now
+    admits ZERO docs must drop the prior attempt's partitions -- dynamic
+    overwrite with no rows touches nothing, so the zero-admitted path
+    clears them explicitly."""
+    from wsu_cpts_415_spark.streaming.ingest_dedup import apply_ingest_batch
+
+    batch = spark.createDataFrame(
+        [(10, "alpha beta alpha beta alpha")], SCHEMA  # jaccard 1.0 vs doc 1
+    )
+    # threshold above 1.0 admits everything; partitions for _batch=0 land
+    apply_ingest_batch(batch, 0, stores["store"], stores["accepted"], 1.5)
+    assert _accepted_ids(spark, stores["accepted"]) == [10]
+    # replay batch 0 at the normal threshold: doc 10 is now rejected
+    apply_ingest_batch(batch, 0, stores["store"], stores["accepted"], 0.5)
+    import os
+
+    assert not [
+        f for f in os.listdir(stores["accepted"]) if f.startswith("_batch=")
+    ]
+    for name in ("digests", "bands", "shingles"):
+        ids = [
+            r["doc_id"]
+            for r in spark.read.parquet(stores["store"] + "/" + name)
+            .select("doc_id")
+            .collect()
+        ]
+        # corpus doc 1 only (bands holds one row per band per doc)
+        assert set(ids) == {1}, f"{name} kept stale batch rows: {ids}"
+
+
 def test_one_word_document_does_not_crash_the_gate(spark, stores):
     """A single-token document has an EMPTY bigram shingle set (DuckDB
     semantics); Spark's sequence(1, 0) would count down and crash on

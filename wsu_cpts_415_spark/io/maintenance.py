@@ -67,11 +67,18 @@ def merge_upsert(
     # updates must carry the full store schema (same columns, any order)
     updates = updates.select(*target.columns)
     n_before = target.count()
-    n_updates = updates.count()
     # MERGE contract: one update row per key -- a duplicate-keyed batch
     # would land BOTH rows (left_anti removes the store row, union keeps
-    # every update), silently breaking the store's unique-key invariant
-    n_keys = updates.select(*keys).distinct().count()
+    # every update), silently breaking the store's unique-key invariant.
+    # One action covers both the row count and the key-uniqueness check
+    # (this runs per micro-batch under apply_rollup_batch, so an extra
+    # full pass over updates is real per-batch cost); the struct wrapper
+    # keeps NULL-keyed tuples countable, matching distinct().count().
+    crow = updates.agg(
+        F.count("*").alias("_n"),
+        F.count_distinct(F.struct(*keys)).alias("_k"),
+    ).first()
+    n_updates, n_keys = crow["_n"], crow["_k"]
     if n_keys != n_updates:
         raise ValueError(
             f"merge_upsert: updates batch has {n_updates} rows but only "

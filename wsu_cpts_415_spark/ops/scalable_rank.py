@@ -69,10 +69,20 @@ def global_row_number_scalable(
     ``bounds`` are frozen boundary values for ``value_col`` (nulls from
     approx_percentile on constant columns are dropped -- fewer buckets,
     still correct).  The tie-break columns must complete a total order.
+
+    ``value_col`` must be numeric (the ``rank_bounds`` companion uses
+    ``approx_percentile``, which only accepts numeric input); boundary
+    literals are cast to the column's own Spark type so bigint sort keys
+    beyond 2**53 keep exact boundary comparisons and decimal columns
+    compare at their declared scale rather than through a Python float
+    round-trip.
     """
-    vals = [float(b) for b in bounds if b is not None]
+    vtype = df.schema[value_col].dataType
     v = F.col(value_col)
-    bounds_arr = F.array(*[F.lit(b) for b in vals])
+    bounds_arr = F.array(
+        *[F.lit(b).cast(vtype) for b in bounds if b is not None]
+    )
+    vals = [b for b in bounds if b is not None]
     if descending:
         # bucket 0 holds the top values: count boundaries above.  NULL
         # sort values go to the LAST bucket explicitly -- F.filter drops

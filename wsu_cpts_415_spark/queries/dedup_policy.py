@@ -250,10 +250,15 @@ def incremental_neardup_check_bucketed(
 
     If the session's warehouse location is unwritable (bucketed layouts
     need saveAsTable), semantics win over strategy: fall back to the
-    broadcast-asymmetric plan, which returns identical rows."""
+    broadcast-asymmetric plan, which returns identical rows.  Only the
+    expected environment failures (AnalysisException from saveAsTable /
+    catalog, OSError from the warehouse filesystem) trigger the
+    fallback -- a programming error in the layout build must surface."""
+    from pyspark.errors import AnalysisException
+
     try:
         names = _inc_bucketed_layout(spark, sf_dir)
-    except Exception as exc:
+    except (AnalysisException, OSError) as exc:
         # loud fallback: results stay identical but the bucketed physical
         # strategy is NOT being exercised -- the plan gate
         # (tests/test_plans.py) fails locally if this triggers there, so

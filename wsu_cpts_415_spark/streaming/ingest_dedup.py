@@ -82,20 +82,33 @@ def gate_batch(
     must not gate against them (it would see its own rows as standing
     and admit nothing, leaving the stores missing this batch's bands
     forever), so the reads drop the ``_batch=<exclude_batch>``
-    partitions before gating."""
-    spark = batch_df.sparkSession
+    partitions before gating.
 
-    def read_store(name: str) -> DataFrame:
-        df = spark.read.parquet(f"{store_dir}/{name}")
+    A missing store (first run with no ``--init-corpus``: the standing
+    corpus starts empty and batch 0 creates the stores) gates against an
+    empty standing frame of the right schema instead of crashing the
+    stream with PATH_NOT_FOUND from inside the first micro-batch."""
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    nil = batch_df.limit(0)
+
+    def read_store(name: str, empty: DataFrame) -> DataFrame:
+        try:
+            df = spark.read.parquet(f"{store_dir}/{name}")
+        except AnalysisException:  # store not created yet -> empty corpus
+            return empty
         if exclude_batch is not None:
             df = df.filter(F.col("_batch") != exclude_batch)
         return df.drop("_batch")
 
-    std_digests = read_store("digests").select("digest")
-    std_bands = read_store("bands").select(
+    std_digests = read_store("digests", _digests_of(nil)).select("digest")
+    std_bands = read_store("bands", bands_of(nil)).select(
         F.col("doc_id").alias("old_doc"), "b", "h1", "h2"
     )
-    std_sh = read_store("shingles").select(
+    std_sh = read_store(
+        "shingles", hashed_of(nil).select("doc_id", "shingles")
+    ).select(
         F.col("doc_id").alias("old_doc"), F.col("shingles").alias("old_shingles")
     )
     return gate_against(
@@ -204,6 +217,19 @@ def gate_against(
     )
 
 
+def _drop_batch_partition(spark: SparkSession, base_dir: str, batch_id: int) -> None:
+    """Remove a ``_batch=<id>`` partition directory if it exists, via the
+    Hadoop FileSystem API (works on any scheme the session can write).
+    This is what dynamic partition overwrite does for partitions present
+    in the new data; the zero-admitted replay path has no new data, so
+    stale partitions from a prior attempt must be dropped explicitly."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/_batch={batch_id}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def apply_ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -234,10 +260,22 @@ def apply_ingest_batch(
         # plan, so the standing-store scans + LSH joins run once per
         # batch, not twice
         if accepted.limit(1).count() == 0:
-            # nothing admitted: no partitions to (over)write, and the
-            # accepted store may not even exist yet -- skipping keeps
-            # the write-then-derive sequence below from crashing on an
-            # unreadable empty directory
+            # nothing admitted: the accepted store may not even exist
+            # yet, so the write-then-derive sequence below would crash
+            # on an unreadable empty directory.  But a REPLAY whose gate
+            # outcome changed (e.g. the stream restarted with a stricter
+            # --threshold against the same checkpoint) may have left the
+            # prior attempt's partitions for this batch behind -- and
+            # dynamic overwrite with zero rows touches nothing -- so
+            # drop this batch's partitions explicitly to keep replays
+            # deterministic under any threshold.
+            for base in (
+                accepted_dir,
+                f"{store_dir}/digests",
+                f"{store_dir}/bands",
+                f"{store_dir}/shingles",
+            ):
+                _drop_batch_partition(spark, base, batch_id)
             return
         opts = {"partitionOverwriteMode": "dynamic"}
         (
