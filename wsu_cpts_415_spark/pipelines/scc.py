@@ -171,14 +171,27 @@ def video_edges(videos: DataFrame) -> DataFrame:
     )
 
 
-def scc_components(videos: DataFrame, max_iter: int = 15) -> DataFrame:
-    """Per-video SCC label over the related-ids graph, ordered by id."""
-    vertices = videos.select("id")
-    comps = strongly_connected_components(vertices, video_edges(videos), max_iter)
+def scc_components(
+    videos: DataFrame, max_iter: int = 15, comps: DataFrame | None = None
+) -> DataFrame:
+    """Per-video SCC label over the related-ids graph, ordered by id.
+
+    ``comps`` lets a caller supply an already-computed label table (the
+    registry stages one per session -- SCC is deterministic, so sharing
+    it between the components and rollup queries changes latency, never
+    results; the cluster analogue is one labeling job whose output table
+    feeds every downstream consumer)."""
+    if comps is None:
+        vertices = videos.select("id")
+        comps = strongly_connected_components(
+            vertices, video_edges(videos), max_iter
+        )
     return comps.orderBy("id")
 
 
-def scc_cluster_rollup(videos: DataFrame) -> DataFrame:
+def scc_cluster_rollup(
+    videos: DataFrame, comps: DataFrame | None = None
+) -> DataFrame:
     """Per-component rollup (graph_filter.py:143-156): cluster size,
     distinct uploaders/categories, average views -- biggest cluster first.
 
@@ -186,9 +199,10 @@ def scc_cluster_rollup(videos: DataFrame) -> DataFrame:
     their ``size`` (unbounded per-group state for a viral cluster); the
     engine computes the counts directly -- countDistinct is two hash
     aggregates, no arrays ever materialize (SURVEY.md §7.3)."""
-    comps = strongly_connected_components(
-        videos.select("id"), video_edges(videos)
-    )
+    if comps is None:
+        comps = strongly_connected_components(
+            videos.select("id"), video_edges(videos)
+        )
     flat = videos.select(
         "id",
         F.col("video_desc.uploader").alias("uploader"),

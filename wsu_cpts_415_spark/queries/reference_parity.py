@@ -278,6 +278,24 @@ def ref_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One SCC labeling per (session, dataset), shared by the components
+    and rollup queries (the labeling is ~95% of either query's cost and
+    both need the identical table).  SCC is deterministic min-label
+    peeling, so staging changes latency, never results -- the cluster
+    analogue is one labeling job writing a component table that every
+    downstream rollup reads."""
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    def build() -> DataFrame:
+        videos = videos_nested(spark, sf_dir)
+        return scc.strongly_connected_components(
+            videos.select("id"), scc.video_edges(videos)
+        )
+
+    return staged(spark, "scc_labels", sf_dir, build)
+
+
 @register(
     "ref_scc_components",
     oracle=f"""
@@ -296,7 +314,9 @@ def ref_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     dangling ids are dropped, so they never merge components.  The
     arbitrary-graph check against a Tarjan oracle is in
     tests/test_pipelines.py."""
-    return scc.scc_components(videos_nested(spark, sf_dir))
+    return scc.scc_components(
+        videos_nested(spark, sf_dir), comps=_scc_labels(spark, sf_dir)
+    )
 
 
 @register(
@@ -317,7 +337,9 @@ def ref_scc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-component rollup (graph_filter.py:143-156): size, distinct
     uploaders/categories, avg views, biggest cluster first.  countDistinct
     replaces size(collect_set(...)) -- no unbounded per-group arrays."""
-    return scc.scc_cluster_rollup(videos_nested(spark, sf_dir))
+    return scc.scc_cluster_rollup(
+        videos_nested(spark, sf_dir), comps=_scc_labels(spark, sf_dir)
+    )
 
 
 @register(
