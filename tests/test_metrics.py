@@ -118,3 +118,31 @@ def test_ingest_gate_shuffles_sketches_not_text(spark):
     assert prof["shuffle_bytes"] < text_bytes, (
         f"gate shuffled {prof['shuffle_bytes']}B vs {text_bytes}B of text"
     )
+
+
+def test_boilerplate_filter_shuffles_digests_not_text(spark):
+    """The boilerplate line filter's scale claim measured: line
+    construction + hashing happen inside the scan stage, so the two
+    shuffles (line document-frequency agg, digest join back) move md5
+    digests + ids, never the text payload."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    text_bytes = docs.agg(
+        F.sum(F.length(F.encode("text", "UTF-8"))).alias("b")
+    ).collect()[0]["b"]
+    prof = shuffle_profile(
+        all_queries()["boilerplate_line_filter"].fn(spark, SF_ORACLE)
+    )
+    assert prof["shuffle_bytes"] > 0
+    assert prof["shuffle_bytes"] < text_bytes, (
+        f"boilerplate filter shuffled {prof['shuffle_bytes']}B vs "
+        f"{text_bytes}B of text -- the shuffles should carry digests"
+    )
+    # the shuffle ROWS must be digest-sized (id + 8-byte hash), never
+    # line- or text-sized -- this is the invariant that holds at any
+    # document length, where the total-bytes comparison above is only
+    # meaningful because fixture docs are short
+    per_row = prof["shuffle_bytes"] / max(prof["shuffle_records"], 1)
+    assert per_row < 48, (
+        f"boilerplate filter shuffle rows average {per_row:.0f}B -- "
+        "expected digest-sized rows"
+    )

@@ -254,3 +254,94 @@ def contamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("containment").desc(), "corpus_doc", "bench_doc")
     )
+
+
+# CCNet-style boilerplate segmentation: fixed-width token windows stand in
+# for "lines" (the fixture text has no newlines); a segment appearing in
+# at least BOILERPLATE_DF distinct documents is boilerplate.
+LINE_TOKENS = 8
+BOILERPLATE_DF = 2
+
+
+@register(
+    "boilerplate_line_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, (i - 1) // {LINE_TOKENS} AS line_no,
+               md5(string_agg(tok, ' ' ORDER BY i)) AS digest
+        FROM toks GROUP BY doc_id, (i - 1) // {LINE_TOKENS}
+    ),
+    freq AS (
+        SELECT digest, COUNT(DISTINCT doc_id) AS df
+        FROM lines GROUP BY digest
+    )
+    SELECT l.doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN f.df >= {BOILERPLATE_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate,
+           ROUND(CAST(SUM(CASE WHEN f.df >= {BOILERPLATE_DF} THEN 1 ELSE 0
+                          END) AS DOUBLE) / COUNT(*), 4) AS bp_ratio
+    FROM lines l JOIN freq f ON l.digest = f.digest
+    GROUP BY l.doc_id
+    ORDER BY l.doc_id
+    """,
+)
+def boilerplate_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal audit (Wenzek et al. 2020 §4.1:
+    dedup at line level across the corpus to strip headers/footers/nav
+    chrome): documents are segmented into fixed LINE_TOKENS-token
+    "lines", each line's corpus document-frequency is counted, and lines
+    present in >= BOILERPLATE_DF distinct docs are flagged; per document
+    the query reports how much of it is boilerplate.
+
+    Scale design: line construction is a generator expression inside the
+    scan stage (transform over token slices -- no shuffle, no UDF), and
+    every line is reduced to an 8-byte xxhash64 digest BEFORE the
+    aggregate, so the two shuffles (document-frequency agg, digest
+    equi-join back) move fixed-width digests + ids only; text never
+    leaves the scan, the df agg is map-side combinable, and the join
+    co-partitions with the agg on the same key
+    (tests/test_metrics.py asserts digest-sized shuffle rows).  The
+    digest is internal -- the oracle groups lines by md5 instead, an
+    equivalent partition of the line space -- and the within-doc
+    flag-and-rollup rides the doc_id shuffle of the final aggregate."""
+    from wsu_cpts_415_spark.io.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(LINE_TOKENS)).cast("int")
+    lines = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.xxhash64(
+                    F.array_join(
+                        F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS), " "
+                    )
+                ),
+            )
+        ).alias("digest"),
+    )
+    freq = lines.groupBy("digest").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    is_bp = F.when(F.col("df") >= BOILERPLATE_DF, 1).otherwise(0)
+    return (
+        lines.join(freq, "digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(is_bp).alias("n_boilerplate"),
+            F.round(
+                F.sum(is_bp).cast("double") / F.count("*"), 4
+            ).alias("bp_ratio"),
+        )
+        .orderBy("doc_id")
+    )
