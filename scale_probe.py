@@ -110,6 +110,9 @@ PROBE = [
     "quality_score",
     "sequence_packing",
     "crossdoc_span_dedup",
+    # round 6: line-level boilerplate dedup -- digest-sized shuffles,
+    # expected ~linear (perturbed replicas keep line DF counts realistic)
+    "boilerplate_line_filter",
     "range_join_events",
     "token_entropy",
     "embedding_quantize_int8",
