@@ -345,3 +345,89 @@ def boilerplate_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "boilerplate_strip",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, (i - 1) // {LINE_TOKENS} AS line_no,
+               string_agg(tok, ' ' ORDER BY i) AS line
+        FROM toks GROUP BY doc_id, (i - 1) // {LINE_TOKENS}
+    ),
+    freq AS (
+        SELECT line, COUNT(DISTINCT doc_id) AS df
+        FROM lines GROUP BY line
+    )
+    SELECT l.doc_id,
+           COALESCE(string_agg(CASE WHEN f.df < {BOILERPLATE_DF}
+                                    THEN l.line END,
+                               ' ' ORDER BY l.line_no), '') AS clean_text,
+           CAST(SUM(CASE WHEN f.df >= {BOILERPLATE_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed
+    FROM lines l JOIN freq f ON l.line = f.line
+    GROUP BY l.doc_id
+    ORDER BY l.doc_id
+    """,
+)
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM face of ``boilerplate_line_filter``: emit each
+    document's cleaned text with corpus-frequent lines removed (what the
+    CCNet stage actually writes downstream), plus how many lines were
+    stripped.
+
+    Scale design: line hashing and document-frequency counting reuse the
+    audit query's digest-only shuffle posture; the per-doc list of
+    boilerplate line numbers is a SPARSE table (only docs that contain a
+    frequent line, one small int array each), and the clean-text rebuild
+    is doc-local expression work (filter + slice over the token array)
+    after one doc_id equi-join of that sparse table -- AQE picks a
+    broadcast when the boilerplate table is small, and the fallback is a
+    doc_id-keyed shuffle-hash join, never a corpus self-join.  The
+    oracle groups lines by their text; the engine groups by xxhash64
+    (an equivalent partition of the line space)."""
+    from wsu_cpts_415_spark.io.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(LINE_TOKENS)).cast("int")
+    line_at = lambda i: F.array_join(  # noqa: E731
+        F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS), " "
+    )
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.xxhash64(line_at(i)),
+            )
+        ).alias("line_no", "digest"),
+    )
+    freq = lines.groupBy("digest").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    bp = (
+        lines.join(freq.filter(F.col("df") >= BOILERPLATE_DF), "digest")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("line_no")).alias("bp_lines"))
+    )
+    kept = F.filter(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: ~F.array_contains(F.col("bp_lines"), i),
+    )
+    return (
+        docs.join(bp, "doc_id", "left")
+        .withColumn("bp_lines", F.coalesce("bp_lines", F.array().cast("array<int>")))
+        .select(
+            "doc_id",
+            F.array_join(F.transform(kept, line_at), " ").alias("clean_text"),
+            F.size("bp_lines").cast("bigint").alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
