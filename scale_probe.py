@@ -113,6 +113,7 @@ PROBE = [
     # round 6: line-level boilerplate dedup -- digest-sized shuffles,
     # expected ~linear (perturbed replicas keep line DF counts realistic)
     "boilerplate_line_filter",
+    "boilerplate_strip",
     "range_join_events",
     "token_entropy",
     "embedding_quantize_int8",
@@ -272,13 +273,21 @@ def main() -> None:
     qs = all_queries()
     qs["flagship_top_customers"].fn(spark, DST).count()  # warm
     jvm_gc = spark.sparkContext._jvm.System.gc
+    # transform-shaped queries are timed through the noop sink: .count()
+    # would let Catalyst prune their wide output projection entirely
+    # (same set + reasoning as bench.py's FULL_WIDTH)
+    full_width = {"boilerplate_strip"}
     timings = {}
     for name in PROBE:
         best = float("inf")
         for _ in range(2):
             jvm_gc()
             t0 = time.perf_counter()
-            qs[name].fn(spark, DST).count()
+            df = qs[name].fn(spark, DST)
+            if name in full_width:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     print(
