@@ -483,3 +483,24 @@ def test_interval_coverage_matches_python_merge(spark, tmp_path_factory, rows):
         for r in interval_coverage_per_user(spark, d).collect()
     }
     assert got == want
+
+
+def test_boilerplate_strip_reconstruction_identity(spark, monkeypatch):
+    """The line segmentation + rebuild must be a lossless round-trip:
+    with the document-frequency threshold out of reach nothing is
+    flagged, so clean_text must equal the original text for EVERY doc
+    (catches off-by-one slice bounds, trailing-partial-line handling,
+    and join separators)."""
+    import wsu_cpts_415_spark.queries.llm_filters as lf
+
+    monkeypatch.setattr(lf, "BOILERPLATE_DF", 10**9)
+    out = lf.boilerplate_strip(spark, SF_ORACLE)
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    diff = (
+        out.join(docs, "doc_id")
+        .filter(
+            (F.col("clean_text") != F.col("text")) | (F.col("n_removed") != 0)
+        )
+        .count()
+    )
+    assert diff == 0
