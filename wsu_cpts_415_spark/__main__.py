@@ -84,7 +84,7 @@ def main(argv: list[str] | None = None) -> int:
 
     isp = sub.add_parser(
         "ingest-stream",
-        help="stream a documents dir through the exact+LSH dedup gate",
+        help="stream a documents dir through an admission gate",
     )
     isp.add_argument("incoming_dir", help="parquet dir watched as a stream")
     isp.add_argument("store_dir", help="standing digest/band/shingle stores")
@@ -95,6 +95,13 @@ def main(argv: list[str] | None = None) -> int:
         help="parquet path of the standing corpus; initializes the stores",
     )
     isp.add_argument("--threshold", type=float, default=None)
+    isp.add_argument(
+        "--gate",
+        choices=("dedup", "lines"),
+        default="dedup",
+        help="dedup = exact+LSH near-dup gate; lines = CCNet-style"
+        " boilerplate line-frequency gate",
+    )
 
     args = p.parse_args(argv)
 
@@ -230,11 +237,22 @@ def main(argv: list[str] | None = None) -> int:
         return 1 if n_bad else 0
 
     if args.cmd == "ingest-stream":
-        from wsu_cpts_415_spark.streaming.ingest_dedup import (
-            JACCARD_THRESHOLD,
-            init_standing_stores,
-            stream_ingest_with_dedup,
-        )
+        if args.gate == "lines":
+            from wsu_cpts_415_spark.streaming.line_gate import (
+                LINE_BP_THRESHOLD as JACCARD_THRESHOLD,
+            )
+            from wsu_cpts_415_spark.streaming.line_gate import (
+                init_line_store as init_standing_stores,
+            )
+            from wsu_cpts_415_spark.streaming.line_gate import (
+                stream_ingest_line_gate as stream_ingest_with_dedup,
+            )
+        else:
+            from wsu_cpts_415_spark.streaming.ingest_dedup import (
+                JACCARD_THRESHOLD,
+                init_standing_stores,
+                stream_ingest_with_dedup,
+            )
 
         if args.init_corpus:
             init_standing_stores(

@@ -431,3 +431,100 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# batch-face split for the streaming line gate: same md5 bucket split as
+# the dedup gate (queries/dedup_policy.py) -- bucket >= 90 is "the batch
+# arriving now", the rest is the standing corpus
+_GATE_BUCKET_SPARK = (
+    "pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+    " as bigint), 100)"
+)
+_GATE_BUCKET_DUCK = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+)
+_GATE_NEWB = 90
+LINE_GATE_THRESHOLD = 0.5
+
+
+@register(
+    "ingest_boilerplate_gate",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT doc_id, {_GATE_BUCKET_DUCK} AS bucket FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, (i - 1) // {LINE_TOKENS} AS line_no,
+               md5(string_agg(tok, ' ' ORDER BY i)) AS line
+        FROM toks GROUP BY doc_id, (i - 1) // {LINE_TOKENS}
+    ),
+    std_df AS (
+        SELECT line, COUNT(DISTINCT l.doc_id) AS sdf
+        FROM lines l JOIN bucketed k ON k.doc_id = l.doc_id
+        WHERE k.bucket < {_GATE_NEWB}
+        GROUP BY line
+    ),
+    batch_lines AS (
+        SELECT l.* FROM lines l JOIN bucketed k ON k.doc_id = l.doc_id
+        WHERE k.bucket >= {_GATE_NEWB}
+    ),
+    bdf AS (
+        SELECT line, COUNT(DISTINCT doc_id) AS b
+        FROM batch_lines GROUP BY line
+    )
+    SELECT bl.doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN COALESCE(s.sdf, 0) + f.b >= {BOILERPLATE_DF}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+           ROUND(CAST(SUM(CASE WHEN COALESCE(s.sdf, 0) + f.b
+                                    >= {BOILERPLATE_DF}
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+               AS bp_ratio,
+           (CAST(SUM(CASE WHEN COALESCE(s.sdf, 0) + f.b >= {BOILERPLATE_DF}
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))
+               < {LINE_GATE_THRESHOLD} AS admitted
+    FROM batch_lines bl
+    JOIN bdf f ON f.line = bl.line
+    LEFT JOIN std_df s ON s.line = bl.line
+    GROUP BY bl.doc_id
+    ORDER BY bl.doc_id
+    """,
+)
+def ingest_boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the streaming boilerplate gate
+    (streaming/line_gate.py:gate_lines_against): the arriving batch (md5
+    bucket >= 90, the dedup gate's split) is scored against the standing
+    corpus's line-frequency table -- a line is boilerplate when its
+    distinct-document count across standing + batch reaches
+    BOILERPLATE_DF, and a document is admitted only while its
+    boilerplate fraction stays below the threshold.  The DuckDB oracle
+    recomputes the full admission decision end-to-end, putting the
+    streaming sink's gating semantics inside the correctness gate.
+
+    Scale: the standing side is reduced to (digest, n_docs) aggregates
+    before any join (digest-sized shuffles, text stays in the scan);
+    identical posture to boilerplate_line_filter."""
+    from wsu_cpts_415_spark.io.tables import load_table
+    from wsu_cpts_415_spark.streaming.line_gate import (
+        doc_line_counts,
+        gate_lines_against,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_GATE_BUCKET_SPARK)
+    with_bucket = docs.withColumn("bucket", bucket)
+    batch = with_bucket.filter(F.col("bucket") >= _GATE_NEWB).select(
+        "doc_id", "text"
+    )
+    standing = with_bucket.filter(F.col("bucket") < _GATE_NEWB).select(
+        "doc_id", "text"
+    )
+    return gate_lines_against(
+        batch, doc_line_counts(standing), LINE_GATE_THRESHOLD
+    ).orderBy("doc_id")
