@@ -684,3 +684,21 @@ def test_ingest_gate_broadcasts_batch_side(spark, qs):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_family_scans_pruned_no_cartesian(spark, qs):
+    """The round-6 line-dedup family: the documents scan must read only
+    (doc_id, text) of the 5 columns, every join must stay an equi-join
+    (digest / doc_id keyed -- no CartesianProduct), and the
+    document-frequency aggregate must partial-combine map-side."""
+    for name in (
+        "boilerplate_line_filter",
+        "boilerplate_strip",
+        "ingest_boilerplate_gate",
+    ):
+        plan = fmt_plan(qs[name].fn(spark, SF_ORACLE))
+        assert "CartesianProduct" not in plan, name
+        assert "partial_count" in plan, name
+        reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+        for read in reads:
+            assert read.count(":") - 1 <= 2, f"{name} scan too wide: {read}"
