@@ -528,3 +528,65 @@ def ingest_boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gate_lines_against(
         batch, doc_line_counts(standing), LINE_GATE_THRESHOLD
     ).orderBy("doc_id")
+
+
+@register(
+    "boilerplate_top_lines",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, (i - 1) // {LINE_TOKENS} AS line_no,
+               string_agg(tok, ' ' ORDER BY i) AS line
+        FROM toks GROUP BY doc_id, (i - 1) // {LINE_TOKENS}
+    ),
+    freq AS (
+        SELECT line, COUNT(DISTINCT doc_id) AS df
+        FROM lines GROUP BY line
+    )
+    SELECT line, df FROM freq WHERE df >= {BOILERPLATE_DF}
+    ORDER BY df DESC, line LIMIT 20
+    """,
+)
+def boilerplate_top_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "what IS the boilerplate" report: the most corpus-frequent
+    lines with their text, heaviest first.
+
+    Scale design -- heavy hitters with payload recovery: the frequency
+    pass runs digest-only (the line_gate posting aggregate, 8-byte
+    rows), and line TEXT is recovered only for digests already flagged
+    boilerplate -- the corpus-side segments join the (small) flagged-
+    digest table, so line text reaches a shuffle only for matching rows
+    (AQE broadcasts the flagged table when it fits; the fallback is a
+    digest equi-join, never a text-keyed aggregate over the corpus).
+    The final order-and-limit sorts only the recovered boilerplate set."""
+    from wsu_cpts_415_spark.io.tables import load_table
+    from wsu_cpts_415_spark.streaming.line_gate import doc_line_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = doc_line_counts(docs).filter(
+        F.col("n_docs") >= BOILERPLATE_DF
+    )
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(LINE_TOKENS)).cast("int")
+    segs = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS), " "
+                ),
+            )
+        ).alias("line")
+    ).withColumn("digest", F.xxhash64("line"))
+    return (
+        segs.join(flagged, "digest")
+        .dropDuplicates(["digest"])
+        .select("line", F.col("n_docs").alias("df"))
+        .orderBy(F.col("df").desc(), "line")
+        .limit(20)
+    )
