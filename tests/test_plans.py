@@ -695,6 +695,7 @@ def test_boilerplate_family_scans_pruned_no_cartesian(spark, qs):
         "boilerplate_line_filter",
         "boilerplate_strip",
         "ingest_boilerplate_gate",
+        "boilerplate_top_lines",
     ):
         plan = fmt_plan(qs[name].fn(spark, SF_ORACLE))
         assert "CartesianProduct" not in plan, name
@@ -702,3 +703,6 @@ def test_boilerplate_family_scans_pruned_no_cartesian(spark, qs):
         reads = [l for l in plan.splitlines() if "ReadSchema" in l]
         for read in reads:
             assert read.count(":") - 1 <= 2, f"{name} scan too wide: {read}"
+    # the heavy-hitter report must top-k, never total-sort
+    plan = fmt_plan(qs["boilerplate_top_lines"].fn(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
