@@ -114,6 +114,8 @@ PROBE = [
     # expected ~linear (perturbed replicas keep line DF counts realistic)
     "boilerplate_line_filter",
     "boilerplate_strip",
+    "boilerplate_top_lines",
+    "ingest_boilerplate_gate",
     "range_join_events",
     "token_entropy",
     "embedding_quantize_int8",
