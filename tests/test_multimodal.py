@@ -186,3 +186,36 @@ def test_sample_frames_zero_frame_video_yields_no_rows(spark):
     )
     rows = sample_frames(decoded).collect()
     assert sorted(r["doc_id"] for r in rows) == [2]
+
+
+def test_decode_jpeg_marker_walk_and_malformed():
+    """The JPEG kernel parses a real SOF0 stream (dimensions survive the
+    marker walk even with extra segments before SOF0), and every
+    malformed shape -- wrong magic, SOS before SOF, lost alignment,
+    truncation -- raises the per-payload ValueError contract."""
+    import struct
+
+    from wsu_cpts_415_spark.pipelines.multimodal import decode_jpeg
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof0 = seg(0xC0, b"\x08" + struct.pack(">HH", 480, 640) + b"\x03" + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    com = seg(0xFE, b"a comment before the frame header")
+    good = b"\xff\xd8" + app0 + com + sof0 + b"\xff\xd9"
+    out = decode_jpeg(good, "image")
+    assert (out["width"], out["height"], out["n_frames"]) == (640, 480, 1)
+
+    for bad in (
+        b"\x89PNG\r\n\x1a\n",  # wrong magic
+        b"\xff\xd8" + app0 + b"\xff\xd9",  # EOI before any SOF
+        b"\xff\xd8" + app0 + b"\xff\xda\x00\x02",  # SOS before SOF
+        b"\xff\xd8" + b"ZZ" + sof0,  # lost marker alignment
+        b"\xff\xd8" + sof0[:6],  # truncated inside the frame header
+    ):
+        try:
+            decode_jpeg(bad, "image")
+            assert False, f"expected ValueError for {bad[:8]!r}"
+        except ValueError:
+            pass

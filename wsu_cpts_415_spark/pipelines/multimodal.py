@@ -371,3 +371,84 @@ def audio_window_plan(with_payloads: DataFrame) -> DataFrame:
             "n_samples"
         ),
     )
+
+
+def _be16(c):
+    """Big-endian uint16 pack (JPEG field order)."""
+    return F.unhex(F.lpad(F.hex(c), 4, "0"))
+
+
+def attach_jpeg_payloads(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, media_type='image', payload, n_bytes) where
+    payload is a REAL minimal JPEG/JFIF byte stream: SOI, an APP0/JFIF
+    segment, an SOF0 frame header carrying height/width (big-endian u16,
+    derived from doc_id), and EOI -- 41 bytes.  Unlike PNG's
+    length-prefixed chunks or RIFF's word-aligned chunk walk, JPEG is a
+    MARKER stream (0xFF-prefixed segments with u16 payload lengths), so
+    the decoder exercises a third header discipline.  Synthesis is pure
+    JVM column math; at 100 TB this projection rides the scan."""
+    did = F.col("doc_id")
+    w = 16 + did % 4096
+    h = 16 + (did * 11) % 4096
+    jpeg = F.concat(
+        F.lit(bytes.fromhex("ffd8")),  # SOI
+        F.lit(bytes.fromhex("ffe00010")),  # APP0, length 16
+        F.lit(b"JFIF\x00"),
+        F.lit(bytes.fromhex("010100000100010000")),  # v1.1, no density/thumb
+        F.lit(bytes.fromhex("ffc0001108")),  # SOF0, length 17, 8-bit
+        _be16(h),
+        _be16(w),
+        F.lit(bytes.fromhex("03012200021101031101")),  # 3 comps, 4:2:0
+        F.lit(bytes.fromhex("ffd9")),  # EOI
+    )
+    return docs.select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        jpeg.alias("payload"),
+        F.length(jpeg).cast("bigint").alias("n_bytes"),
+    )
+
+
+def decode_jpeg(payload: bytes, media_type: str) -> dict:
+    """Library-free JPEG/JFIF header decode by marker walk: verify SOI,
+    then step 0xFF-marker segments by their big-endian u16 lengths until
+    an SOF0-SOF15 frame header (height/width) appears; SOS or EOI before
+    any SOF is malformed.  Same ValueError contract and feature
+    arithmetic as decode_real, so the synthesize->parse round-trip is
+    oracle-checked by doc_id arithmetic in DuckDB."""
+    import struct
+
+    try:
+        if media_type != "image" or payload[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG stream")
+        pos, width, height = 2, None, None
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("lost marker alignment")
+            marker = payload[pos + 1]
+            if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF seen
+                break
+            size = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+            # SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                _, height, width = struct.unpack(
+                    ">BHH", payload[pos + 4 : pos + 9]
+                )
+                break
+            pos += 2 + size
+        if width is None:
+            raise ValueError("no SOF frame header before SOS/EOI")
+    except ValueError:
+        raise
+    except Exception as exc:
+        raise ValueError(f"malformed JPEG stream: {exc}") from exc
+    n_bytes = len(payload)
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": 1,
+        "features": [
+            round((v % 997) / 997.0, 6)
+            for v in (width, height, 1, n_bytes)
+        ],
+    }

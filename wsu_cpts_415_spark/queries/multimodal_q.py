@@ -323,3 +323,49 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     decoded = decode_and_featurize(attach_real_payloads(docs), kernel=decode_real)
     return resize_plan(decoded).orderBy("doc_id")
+
+
+@register(
+    "multimodal_jpeg_meta",
+    oracle="""
+    SELECT doc_id,
+           'image' AS media_type,
+           CAST(41 AS BIGINT) AS n_bytes,
+           CAST(16 + doc_id % 4096 AS BIGINT) AS width,
+           CAST(16 + (doc_id * 11) % 4096 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_frames,
+           array_to_string(list_transform(
+               [16 + doc_id % 4096, 16 + (doc_id * 11) % 4096, 1, 41],
+               v -> printf('%.6f', ROUND((v % 997) / 997.0, 6))), ',')
+               AS features
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG/JFIF round-trip: genuine minimal JPEG byte streams (SOI,
+    APP0, SOF0 with big-endian dimensions, EOI) synthesized JVM-side,
+    parsed back by the library-free MARKER-WALK decoder
+    (pipelines/multimodal.py:decode_jpeg) -- JPEG's 0xFF-marker stream
+    is a third header discipline next to PNG's length-prefixed chunks
+    and RIFF's word-aligned chunk walk.  The oracle recomputes every
+    parsed field from doc_id arithmetic, so any endianness or
+    marker-step bug hash-fails.
+
+    Scale: payload bytes stay on the executor (Arrow-batched
+    mapInPandas), zero shuffles before the presentation sort."""
+    from wsu_cpts_415_spark.pipelines.multimodal import (
+        attach_jpeg_payloads,
+        decode_jpeg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_and_featurize(
+        attach_jpeg_payloads(docs), kernel=decode_jpeg
+    )
+    return decoded.withColumn(
+        "features",
+        F.array_join(
+            F.transform("features", lambda x: F.format_string("%.6f", x)), ","
+        ),
+    ).orderBy("doc_id")
