@@ -753,3 +753,108 @@ def effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "ks_test_two_sample",
+    oracle="""
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS sa,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS sb
+        FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    g AS (
+        SELECT value, SUM(sa) AS na, SUM(sb) AS nb FROM s GROUP BY value
+    ),
+    c AS (
+        SELECT value,
+               SUM(na) OVER (ORDER BY value) AS ca,
+               SUM(nb) OVER (ORDER BY value) AS cb
+        FROM g
+    ),
+    t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM g)
+    SELECT ROUND(MAX(ABS(CAST(ca AS DOUBLE) / ta
+                         - CAST(cb AS DOUBLE) / tb)), 6) AS ks_stat,
+           CAST(MAX(ta) AS BIGINT) AS n_a,
+           CAST(MAX(tb) AS BIGINT) AS n_b
+    FROM c, t
+    """,
+)
+def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic (Smirnov 1939;
+    standard distribution-shift screen between two cohorts -- here
+    signup vs purchase event values): the max ECDF gap evaluated at
+    every distinct pooled value, which is exactly where the supremum is
+    attained.
+
+    Scale design -- the ECDF is a global PREFIX SUM, and the naive
+    formulation is a single unpartitioned running-sum window.  Instead
+    the value-grain count table is range-bucketed by boundary literals
+    frozen from one approx_percentile action (the ops/scalable_rank
+    recipe), cumulated INSIDE each bucket by a bucket-partitioned
+    window, and offset by the preceding buckets' totals via a
+    triangular join over the npart-row bucket-count table (broadcast,
+    bounded metadata).  Sample totals ride the same npart-row table --
+    the full statistic needs zero unpartitioned windows and zero extra
+    passes over the events.  Exact for any bucket boundaries: strict
+    less-than bucketing keeps tied values in one bucket."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    g = ev.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("na"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("nb"),
+    )
+    from wsu_cpts_415_spark.ops.scalable_rank import rank_bounds
+
+    stats = rank_bounds(g, ["value"], npart=32)
+    bounds_arr = F.array(
+        *[
+            F.lit(b).cast(g.schema["value"].dataType)
+            for b in stats["bounds"]["value"]
+            if b is not None
+        ]
+    )
+    parts = g.withColumn(
+        "_pid", F.size(F.filter(bounds_arr, lambda b: b < F.col("value")))
+    )
+    bcounts = parts.groupBy("_pid").agg(
+        F.sum("na").alias("bna"), F.sum("nb").alias("bnb")
+    )
+    a, b = bcounts.alias("a"), bcounts.alias("b")
+    offsets = (
+        a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(
+            F.coalesce(F.sum("b.bna"), F.lit(0)).alias("offa"),
+            F.coalesce(F.sum("b.bnb"), F.lit(0)).alias("offb"),
+        )
+    )
+    totals = bcounts.agg(
+        F.sum("bna").alias("ta"), F.sum("bnb").alias("tb")
+    )
+    w = Window.partitionBy("_pid").orderBy("value")
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn("ca", F.sum("na").over(w) + F.col("offa"))
+        .withColumn("cb", F.sum("nb").over(w) + F.col("offb"))
+        .crossJoin(F.broadcast(totals))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca").cast("double") / F.col("ta")
+                        - F.col("cb").cast("double") / F.col("tb")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+            F.max("ta").cast("bigint").alias("n_a"),
+            F.max("tb").cast("bigint").alias("n_b"),
+        )
+    )
