@@ -116,6 +116,9 @@ PROBE = [
     "boilerplate_strip",
     "boilerplate_top_lines",
     "ingest_boilerplate_gate",
+    # round 6: exact KS via bucket-prefix-scan -- value-grain, bounded
+    # bucket metadata; expected sub-linear in event count
+    "ks_test_two_sample",
     "range_join_events",
     "token_entropy",
     "embedding_quantize_int8",
