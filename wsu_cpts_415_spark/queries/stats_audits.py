@@ -858,3 +858,118 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tb").cast("bigint").alias("n_b"),
         )
     )
+
+
+@register(
+    "mannwhitney_u_test",
+    oracle="""
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS sa,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS sb
+        FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    g AS (
+        SELECT value, SUM(sa) AS na, SUM(sb) AS nb FROM s GROUP BY value
+    ),
+    c AS (
+        SELECT value, na, nb, na + nb AS n,
+               SUM(na + nb) OVER (ORDER BY value) AS cum
+        FROM g
+    ),
+    t AS (
+        SELECT SUM(na) AS ta, SUM(nb) AS tb, SUM(na + nb) AS nn,
+               SUM(CAST((na + nb) AS DOUBLE) * (na + nb) * (na + nb)
+                   - (na + nb)) AS tie
+        FROM g
+    ),
+    r AS (
+        SELECT SUM(na * (cum - n + (n + 1) / 2.0)) AS ra FROM c
+    )
+    SELECT ROUND(ra - ta * (ta + 1) / 2.0, 4) AS u_stat,
+           ROUND((ra - ta * (ta + 1) / 2.0) / (CAST(ta AS DOUBLE) * tb), 6)
+               AS auc,
+           ROUND((ra - ta * (ta + 1) / 2.0 - CAST(ta AS DOUBLE) * tb / 2.0)
+                 / SQRT(CAST(ta AS DOUBLE) * tb / 12.0
+                        * ((nn + 1) - tie / (CAST(nn AS DOUBLE) * (nn - 1)))),
+                 6) AS z_score,
+           CAST(ta AS BIGINT) AS n_a,
+           CAST(tb AS BIGINT) AS n_b
+    FROM r, t
+    """,
+)
+def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum test between the same two
+    cohorts as ``ks_test_two_sample``, with midranks for ties and the
+    tie-corrected normal approximation; AUC = U/(n_a*n_b) is the
+    probability-of-superiority effect size (the ROC-AUC identity).
+
+    Scale design: the SAME bucket-prefix-scan as the KS query -- ranks
+    need a global prefix sum over the value grain, so the pooled count
+    table is range-bucketed by frozen boundaries, cumulated per bucket,
+    and offset via the broadcast triangular bucket join; midranks then
+    collapse in one aggregate.  Tie terms (n^3 - n) ride the same
+    value-grain pass.  Zero unpartitioned windows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    g = ev.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("na"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("nb"),
+    ).withColumn("n", F.col("na") + F.col("nb"))
+    from wsu_cpts_415_spark.ops.scalable_rank import rank_bounds
+
+    stats = rank_bounds(g, ["value"], npart=32)
+    bounds_arr = F.array(
+        *[
+            F.lit(b).cast(g.schema["value"].dataType)
+            for b in stats["bounds"]["value"]
+            if b is not None
+        ]
+    )
+    parts = g.withColumn(
+        "_pid", F.size(F.filter(bounds_arr, lambda b: b < F.col("value")))
+    )
+    bcounts = parts.groupBy("_pid").agg(F.sum("n").alias("bn"))
+    a, b = bcounts.alias("a"), bcounts.alias("b")
+    offsets = (
+        a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b.bn"), F.lit(0)).alias("off"))
+    )
+    totals = g.agg(
+        F.sum("na").alias("ta"),
+        F.sum("nb").alias("tb"),
+        F.sum("n").alias("nn"),
+        F.sum(
+            F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+        ).alias("tie"),
+    )
+    w = Window.partitionBy("_pid").orderBy("value")
+    cum = F.sum("n").over(w) + F.col("off")
+    midrank = cum - F.col("n") + (F.col("n") + 1) / 2.0
+    ta, tb, nn = F.col("ta"), F.col("tb"), F.col("nn")
+    u = F.col("ra") - ta * (ta + 1) / 2.0
+    sigma = F.sqrt(
+        ta.cast("double") * tb / 12.0
+        * ((nn + 1) - F.col("tie") / (nn.cast("double") * (nn - 1)))
+    )
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn("midrank", midrank)
+        .agg(F.sum(F.col("na") * F.col("midrank")).alias("ra"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.round(u, 4).alias("u_stat"),
+            F.round(u / (ta.cast("double") * tb), 6).alias("auc"),
+            F.round(
+                (u - ta.cast("double") * tb / 2.0) / sigma, 6
+            ).alias("z_score"),
+            ta.cast("bigint").alias("n_a"),
+            tb.cast("bigint").alias("n_b"),
+        )
+    )
