@@ -706,3 +706,17 @@ def test_boilerplate_family_scans_pruned_no_cartesian(spark, qs):
     # the heavy-hitter report must top-k, never total-sort
     plan = fmt_plan(qs["boilerplate_top_lines"].fn(spark, SF_ORACLE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_prefix_filter_ssjoin_plan(spark, qs):
+    """The prefix-filtered set-similarity join (queries/ssjoin.py): no
+    CartesianProduct anywhere (candidates come only from shared prefix
+    tokens), the vocabulary-df tagging join broadcasts under the bound,
+    the pair aggregate partial-combines map-side on the packed key, and
+    the documents scan reads only (doc_id, text)."""
+    plan = fmt_plan(qs["prefix_filter_jaccard_join"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # df table broadcast at this sf
+    assert "partial_min" in plan  # positional-filter agg combines map-side
+    for read in (l for l in plan.splitlines() if "ReadSchema" in l):
+        assert read.count(":") - 1 <= 2, f"scan too wide: {read}"

@@ -1,0 +1,182 @@
+"""Connected components by alternating star contraction (large-star /
+small-star, Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC 2014) -- the second CC kernel in the engine.
+
+``graph_ops.min_label_components`` converges in GRAPH-DIAMETER rounds:
+perfect for near-dup clusters (dense, tiny, diameter 2-3), fatal for
+adversarially chainy graphs (a 10k-hop path = 10k shuffles).  Star
+contraction converges in O(log^2 n) rounds worst-case (~log n in
+practice) REGARDLESS of diameter, which is why it is the industrial
+choice for web-scale graphs.  Both kernels produce the identical
+contract -- (doc_id, label=component-minimum vertex) -- so the
+registered query shares ``neardup_clusters``'s oracle verbatim and the
+property suite cross-checks the kernels against each other and a
+union-find oracle (tests/test_star_cc.py).
+
+One round is two hash aggregates over the current edge set:
+
+* **large-star**: around every center ``c``, attach each strictly
+  LARGER neighbor ``v`` to ``m = min(c, min(N(c)))`` -- long chains
+  telescope toward minima;
+* **small-star**: orient each edge (hi, lo); around every hi attach
+  every smaller neighbor (and hi itself) to its minimum -- flattens
+  partial stars into stars.
+
+Scale posture: the loop runs on the PAIR GRAPH only (a sliver of the
+corpus; the corpus never enters), per-round ``localCheckpoint``
+truncates lineage (a staged parquet layer on a real cluster), and the
+convergence probe is one scalar aggregate per round -- (edge count,
+xor of xxhash64 edge hashes), an order-insensitive set fingerprint, so
+convergence costs no extra join.  Self-edges never arise (large-star
+attaches only v > c to m <= c; small-star drops lo == m).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.queries.graph_ops import (
+    _NEARDUP_DUCK_CTES,
+    NEARDUP_THRESHOLD,
+)
+from wsu_cpts_415_spark.queries.similarity import lsh_verified_pairs
+from wsu_cpts_415_spark.registry import register
+
+# O(log^2 n) worst case; 30 rounds covers any graph that fits on disk.
+MAX_STAR_ROUNDS = 30
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Attach every strictly-larger neighbor of each center to the
+    center's minimum (center itself included in the min)."""
+    nbrs = edges.select(
+        F.col("u").alias("c"), F.col("v").alias("x")
+    ).unionByName(edges.select(F.col("v").alias("c"), F.col("u").alias("x")))
+    m = nbrs.groupBy("c").agg(
+        F.least(F.min("x"), F.first("c")).alias("m")
+    )
+    return (
+        nbrs.join(m, "c")
+        .filter(F.col("x") > F.col("c"))
+        .select(F.col("x").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient (hi, lo); attach every lo-neighbor of hi (and hi itself)
+    to the minimum lo."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+    )
+    m = oriented.groupBy("hi").agg(F.min("lo").alias("m"))
+    links = (
+        oriented.join(m, "hi")
+        .filter(F.col("lo") != F.col("m"))
+        .select(F.col("lo").alias("u"), F.col("m").alias("v"))
+        .unionByName(m.select(F.col("hi").alias("u"), F.col("m").alias("v")))
+    )
+    return links.distinct()
+
+
+def star_contraction_components(pairs: DataFrame) -> DataFrame:
+    """(doc_id, label) for every vertex incident to a pair; label = the
+    component-minimum vertex id.  Same contract as
+    ``graph_ops.min_label_components``, diameter-independent rounds."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .coalesce(4)
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        edges.select(F.col("u").alias("doc_id"))
+        .unionByName(edges.select(F.col("v").alias("doc_id")))
+        .distinct()
+        .coalesce(4)
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(e: DataFrame):
+        # (count, xor of 64-bit edge hashes): an order-insensitive set
+        # fingerprint that cannot overflow under ANSI arithmetic
+        return tuple(
+            e.agg(
+                F.count("*"), F.expr("bit_xor(xxhash64(u, v))")
+            ).collect()[0]
+        )
+
+    prev = fingerprint(edges)
+    converged = False
+    for _ in range(MAX_STAR_ROUNDS):
+        edges = (
+            _small_star(_large_star(edges))
+            .coalesce(4)
+            # lazy: the fingerprint aggregate below materializes the
+            # checkpoint in the same job (one job per round, not two)
+            .localCheckpoint(eager=False)
+        )
+        cur = fingerprint(edges)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        # a silent partial contraction would be WRONG clusters (and an
+        # oracle mismatch) -- fail loudly instead
+        raise RuntimeError(
+            f"star contraction did not converge in {MAX_STAR_ROUNDS} rounds"
+        )
+    # fixpoint edges are stars (child, root) with root = component min;
+    # roots themselves carry no outgoing edge, so label them via the
+    # vertex table
+    child_labels = (
+        edges.select(
+            F.greatest("u", "v").alias("doc_id"),
+            F.least("u", "v").alias("label"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("label").alias("label"))
+    )
+    return vertices.join(child_labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("label")
+    )
+
+
+@register(
+    "cc_star_contraction",
+    oracle=f"""
+    WITH RECURSIVE {_NEARDUP_DUCK_CTES}
+    SELECT doc_id, cluster_id, cluster_id = doc_id AS is_canonical
+    FROM clusters
+    ORDER BY doc_id
+    """,
+)
+def cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters computed by alternating star contraction:
+    identical answer (and oracle) to ``neardup_clusters``, but the
+    rounds scale with log(component size), not component diameter --
+    the kernel you deploy when the pair graph's shape is adversarial."""
+    pairs = (
+        lsh_verified_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= NEARDUP_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    labels = star_contraction_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").cast("bigint").alias("cluster_id"),
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
