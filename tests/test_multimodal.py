@@ -219,3 +219,44 @@ def test_decode_jpeg_marker_walk_and_malformed():
             assert False, f"expected ValueError for {bad[:8]!r}"
         except ValueError:
             pass
+
+
+def test_decode_bmp_fixed_offsets_and_malformed():
+    """The BMP kernel reads little-endian i32 dimensions at their fixed
+    offsets (negative height = top-down order -> absolute value), and
+    every malformed shape -- wrong magic, truncated file header, V1-era
+    tiny DIB header, non-positive width -- raises the per-payload
+    ValueError contract."""
+    import struct
+
+    from wsu_cpts_415_spark.pipelines.multimodal import decode_bmp
+
+    def bmp(width, height, bi_size=40):
+        return (
+            b"BM"
+            + struct.pack("<I", 54)
+            + bytes(4)
+            + struct.pack("<I", 54)
+            + struct.pack("<I", bi_size)
+            + struct.pack("<ii", width, height)
+            + struct.pack("<HH", 1, 24)
+            + bytes(24)
+        )
+
+    out = decode_bmp(bmp(640, 480), "image")
+    assert (out["width"], out["height"], out["n_frames"]) == (640, 480, 1)
+    # top-down BMP: height stored negative, decoded absolute
+    assert decode_bmp(bmp(640, -480), "image")["height"] == 480
+
+    for bad in (
+        b"\x89PNG\r\n\x1a\n",  # wrong magic
+        b"BM" + bytes(10),  # truncated BITMAPFILEHEADER
+        bmp(640, 480, bi_size=12),  # BITMAPCOREHEADER: unsupported
+        bmp(0, 480),  # non-positive width
+        bmp(640, 480)[:20],  # truncated inside the DIB header
+    ):
+        try:
+            decode_bmp(bad, "image")
+            assert False, f"expected ValueError for {bad[:8]!r}"
+        except ValueError:
+            pass

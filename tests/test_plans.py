@@ -720,3 +720,34 @@ def test_prefix_filter_ssjoin_plan(spark, qs):
     assert "partial_min" in plan  # positional-filter agg combines map-side
     for read in (l for l in plan.splitlines() if "ReadSchema" in l):
         assert read.count(":") - 1 <= 2, f"scan too wide: {read}"
+
+
+def test_sorted_neighborhood_equi_join_no_cartesian(spark, qs):
+    """Sorted-neighborhood blocking (queries/er_scoring.py): the
+    windowed self-join must ride the rank-block equi-key (never a
+    range-condition nested loop), the global order must come from the
+    range-partitioned kernel (no unpartitioned window), and the top-k
+    must TakeOrderedAndProject."""
+    plan = fmt_plan(qs["sorted_neighborhood_pairs"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is the rank kernel's npart-row
+    # partition-offset theta-join (bounded by npart, not by data):
+    # every BNLJ's condition must compare the partition ids
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line or "(" not in line:
+            continue
+        cond = next(
+            (
+                l
+                for l in lines[i + 1 : i + 6]
+                if l.startswith("Join condition:")
+            ),
+            "",
+        )
+        if cond:
+            assert "_pid" in cond, f"unexpected nested loop: {cond}"
+    assert (
+        "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    ), "the windowed self-join must be an equi-join on the rank block"
+    assert "TakeOrderedAndProject" in plan

@@ -178,3 +178,33 @@ def test_scalable_rank_null_values_match_window_order(spark):
     assert sorted(r["rn"] for r in tf) == list(range(1, len(rows) + 1))
     null_ranks = sorted(r["rn"] for r in tf if r["v"] is None)
     assert null_ranks == list(range(1, len(null_ranks) + 1))
+
+
+def test_range_partitioned_row_number_matches_plain_window(spark):
+    """The high-cardinality kernel (strings allowed, no numeric-bounds
+    precomputation) must reproduce the plain ORDER BY row_number on a
+    unique string key, and keep exact rank arithmetic when rows spread
+    over many ranges."""
+    from wsu_cpts_415_spark.ops.scalable_rank import (
+        range_partitioned_row_number,
+    )
+
+    import random
+
+    rng = random.Random(415)
+    rows = [
+        (i, f"{rng.choice('abcdef')}{rng.randrange(1000):04d}-{i:06d}")
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = range_partitioned_row_number(df, "k", npart=16, out_col="rn")
+    want = df.select(
+        "id", F.row_number().over(Window.orderBy("k")).alias("rn")
+    )
+    assert {(r.id, r.rn) for r in got.select("id", "rn").collect()} == {
+        (r.id, r.rn) for r in want.collect()
+    }
+    # ranks must be an exact permutation even with npart >> rows
+    tiny = spark.createDataFrame(rows[:5], "id long, k string")
+    out = range_partitioned_row_number(tiny, "k", npart=16, out_col="rn")
+    assert sorted(r.rn for r in out.collect()) == [1, 2, 3, 4, 5]

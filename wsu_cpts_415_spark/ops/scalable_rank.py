@@ -204,3 +204,48 @@ def tiefree_global_row_number(
         )
         .drop("_pid", "_poff", "_start")
     )
+
+
+def range_partitioned_row_number(
+    df: DataFrame,
+    key_col: str,
+    *,
+    npart: int = 64,
+    out_col: str = "_rn",
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY key_col)`` for a
+    NON-NULL key of any orderable type (strings included), without an
+    unpartitioned window and without the numeric-bounds requirement of
+    ``global_row_number_scalable``.
+
+    Spark's own range partitioner samples the key to cut ``npart``
+    contiguous ranges; ranks are then (rows in lower ranges, from the
+    tiny per-partition count table) + local row_number within the
+    range.  The OUTPUT is exact and sampling-independent: whatever
+    boundaries the sampler picks, every row's global rank depends only
+    on the total key order (ties share a range because range
+    partitioning is value-based, and are broken by the in-range sort;
+    callers needing determinism under ties should pass a unique key).
+
+    Cost: one range shuffle + one bounded-partition window + a
+    ``npart``-row offset join -- O(n log n) work, no quadratic
+    distinct-value join (``tiefree_global_row_number`` is built for
+    FEW distinct values and degrades to an n^2 value join on unique
+    keys; this kernel is its complement for unique/high-cardinality
+    keys)."""
+    parts = df.repartitionByRange(npart, F.asc(key_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = parts.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
+    )
+    local_w = Window.partitionBy("_pid").orderBy(key_col)
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.row_number().over(local_w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )

@@ -452,3 +452,74 @@ def decode_jpeg(payload: bytes, media_type: str) -> dict:
             for v in (width, height, 1, n_bytes)
         ],
     }
+
+
+def attach_bmp_payloads(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, media_type='image', payload, n_bytes) where
+    payload is a REAL minimal BMP byte stream: BITMAPFILEHEADER ('BM',
+    file size, pixel-data offset) + BITMAPINFOHEADER (biSize=40,
+    little-endian i32 width/height derived from doc_id, 1 plane, 24bpp)
+    -- 54 bytes, no pixel array.  BMP is the engine's fourth header
+    discipline: a FIXED-OFFSET struct (fields live at absolute byte
+    positions), unlike PNG's length-prefixed chunks, RIFF's aligned
+    chunk walk, or JPEG's marker stream.  Synthesis is pure JVM column
+    math; at 100 TB this projection rides the scan."""
+    did = F.col("doc_id")
+    w = 16 + did % 4096
+    h = 16 + (did * 7) % 4096
+    bmp = F.concat(
+        F.lit(b"BM"),
+        _le32(F.lit(54)),  # bfSize: header-only stream
+        F.lit(bytes(4)),  # reserved
+        _le32(F.lit(54)),  # bfOffBits
+        _le32(F.lit(40)),  # biSize (BITMAPINFOHEADER)
+        _le32(w),  # biWidth
+        _le32(h),  # biHeight (bottom-up)
+        _le16(F.lit(1)),  # biPlanes
+        _le16(F.lit(24)),  # biBitCount
+        F.lit(bytes(24)),  # compression..clrImportant, all zero
+    )
+    return docs.select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        bmp.alias("payload"),
+        F.length(bmp).cast("bigint").alias("n_bytes"),
+    )
+
+
+def decode_bmp(payload: bytes, media_type: str) -> dict:
+    """Library-free BMP header decode by fixed offsets: verify the 'BM'
+    magic and a DIB header big enough to carry dimensions (biSize >=
+    40), then read little-endian i32 width/height at offsets 18/22
+    (negative height = top-down row order -> absolute value).  Same
+    ValueError contract and feature arithmetic as the other real
+    decoders, so the synthesize->parse round-trip is oracle-checked by
+    doc_id arithmetic in DuckDB."""
+    import struct
+
+    try:
+        if media_type != "image" or payload[:2] != b"BM":
+            raise ValueError("not a BMP stream")
+        if len(payload) < 26:
+            raise ValueError("truncated BITMAPFILEHEADER")
+        (bi_size,) = struct.unpack("<I", payload[14:18])
+        if bi_size < 40:
+            raise ValueError(f"unsupported DIB header size {bi_size}")
+        width, height = struct.unpack("<ii", payload[18:26])
+        if width <= 0:
+            raise ValueError("non-positive BMP width")
+        height = abs(height)  # negative = top-down scan order
+    except ValueError:
+        raise
+    except Exception as exc:
+        raise ValueError(f"malformed BMP stream: {exc}") from exc
+    n_bytes = len(payload)
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": 1,
+        "features": [
+            round((v % 997) / 997.0, 6)
+            for v in (width, height, 1, n_bytes)
+        ],
+    }

@@ -153,3 +153,172 @@ def er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("match_score").desc(), "doc_a", "doc_b"
     ).limit(ER_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernandez & Stolfo's merge/purge): the
+# third candidate-generation strategy in the engine, complementing
+# length-block + first-token blocking (semdedup.lev_candidates) and
+# MinHash-LSH banding (similarity.minhash_lsh_pairs).  Sort the corpus
+# once by a domain key, then compare only records within a sliding
+# window of W positions -- candidates are O(n * W) by construction, and
+# the sort key (not a hash) decides what "close" means, which is why
+# SNM survives typos that break exact blocking keys.
+#
+# Scale posture: the global sort order comes from the range-partitioned
+# scalable-rank kernel (ops/scalable_rank.py) -- never a
+# single-partition window -- and the windowed self-join is an EQUI-join
+# on the rank block (each left row replicated to its own and the next
+# block, W <= block width), so no range-condition nested loop and no
+# cartesian anywhere.  The sort key is a packed fixed-width string so
+# Spark and the oracle compare byte-identically.
+
+SNM_WINDOW = 5  # pair records within W-1 sort positions
+SNM_TOP_K = 50
+
+_SNM_KEY_DUCK = (
+    "lang || ' ' || string_split(text, ' ')[1] || ' ' || "
+    "lpad(CAST(n_chars AS VARCHAR), 8, '0') || ' ' || "
+    "lpad(CAST(doc_id AS VARCHAR), 12, '0')"
+)
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               {_SNM_KEY_DUCK} AS skey,
+               substr(text, 1, {LEV_PREFIX}) AS prefix,
+               n_chars
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, skey, prefix, n_chars,
+               ROW_NUMBER() OVER (ORDER BY skey) AS rn
+        FROM keyed
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(b.rn - a.rn AS INT) AS window_dist,
+               levenshtein(a.prefix, b.prefix) AS dist,
+               GREATEST(length(a.prefix), length(b.prefix)) AS plen,
+               a.n_chars AS len_a, b.n_chars AS len_b
+        FROM ranked a
+        JOIN ranked b
+          ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW - 1}
+    )
+    SELECT doc_a, doc_b, window_dist,
+           -- floor(x*1e6 + 0.5)/1e6: identical IEEE rounding in both
+           -- engines (plain ROUND diverges on half-points via Spark's
+           -- decimal-string HALF_UP)
+           FLOOR((0.7 * (1 - CAST(dist AS DOUBLE) / plen)
+                  + 0.3 * (CAST(LEAST(len_a, len_b) AS DOUBLE)
+                           / GREATEST(len_a, len_b))) * 1000000 + 0.5)
+           / 1000000.0 AS match_score
+    FROM pairs
+    ORDER BY match_score DESC, doc_a, doc_b
+    LIMIT {SNM_TOP_K}
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs with Fellegi-Sunter-style
+    scores: sort by (lang, first token, length, id), pair every record
+    with its W-1 successors, score by prefix edit similarity + length
+    agreement, keep the top-K (see block comment for the scale story)."""
+    from wsu_cpts_415_spark.io.tables import load_table
+    from wsu_cpts_415_spark.ops.scalable_rank import (
+        range_partitioned_row_number,
+    )
+
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    def build_ranked() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        keyed = docs.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                "lang",
+                F.split("text", " ").getItem(0),
+                F.lpad(F.col("n_chars").cast("string"), 8, "0"),
+                F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+            ).alias("skey"),
+            F.substring("text", 1, LEV_PREFIX).alias("prefix"),
+            "n_chars",
+        )
+        # skey embeds doc_id, so it is unique: the range-partitioned
+        # rank kernel (built for high-cardinality keys) gives the exact
+        # global order in one range shuffle
+        return range_partitioned_row_number(
+            keyed, "skey", out_col="rn"
+        ).select("doc_id", "prefix", "n_chars", "rn")
+
+    # staged so the windowed self-join reads ONE persisted table from
+    # both aliases instead of running the rank kernel once per side
+    ranked = staged(spark, "snm_ranked", sf_dir, build_ranked)
+    w = SNM_WINDOW
+    left = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("prefix").alias("pa"),
+        F.col("n_chars").alias("len_a"),
+        F.col("rn").alias("rna"),
+        F.explode(
+            F.array(
+                F.floor((F.col("rn") - 1) / w),
+                F.floor((F.col("rn") - 1) / w) + 1,
+            )
+        ).alias("jb"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("prefix").alias("pb"),
+        F.col("n_chars").alias("len_b"),
+        F.col("rn").alias("rnb"),
+        F.floor((F.col("rn") - 1) / w).alias("jb"),
+    )
+    pairs = (
+        left.join(right, "jb")
+        .filter(
+            (F.col("rnb") > F.col("rna"))
+            & (F.col("rnb") <= F.col("rna") + (w - 1))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("rnb") - F.col("rna")).cast("int").alias("window_dist"),
+            F.levenshtein("pa", "pb").alias("dist"),
+            F.greatest(F.length("pa"), F.length("pb")).alias("plen"),
+            "len_a",
+            "len_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "window_dist",
+            # floor(x*1e6 + 0.5)/1e6 == the oracle's formula on the
+            # same IEEE double -- no decimal-string HALF_UP divergence
+            (
+                F.floor(
+                    (
+                        0.7
+                        * (
+                            1
+                            - F.col("dist").cast("double") / F.col("plen")
+                        )
+                        + 0.3
+                        * (
+                            F.least("len_a", "len_b").cast("double")
+                            / F.greatest("len_a", "len_b")
+                        )
+                    )
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("match_score"),
+        )
+    )
+    return pairs.orderBy(
+        F.col("match_score").desc(), "doc_a", "doc_b"
+    ).limit(SNM_TOP_K)

@@ -369,3 +369,48 @@ def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("features", lambda x: F.format_string("%.6f", x)), ","
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_bmp_meta",
+    oracle="""
+    SELECT doc_id,
+           'image' AS media_type,
+           CAST(54 AS BIGINT) AS n_bytes,
+           CAST(16 + doc_id % 4096 AS BIGINT) AS width,
+           CAST(16 + (doc_id * 7) % 4096 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_frames,
+           array_to_string(list_transform(
+               [16 + doc_id % 4096, 16 + (doc_id * 7) % 4096, 1, 54],
+               v -> printf('%.6f', ROUND((v % 997) / 997.0, 6))), ',')
+               AS features
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_bmp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP round-trip: genuine minimal BMP byte streams
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, little-endian i32 dimensions)
+    synthesized JVM-side, parsed back by the library-free FIXED-OFFSET
+    decoder (pipelines/multimodal.py:decode_bmp) -- the fourth header
+    discipline next to PNG chunks, RIFF's chunk walk, and JPEG's marker
+    stream.  The oracle recomputes every parsed field from doc_id
+    arithmetic, so any endianness or offset bug hash-fails.
+
+    Scale: payload bytes stay on the executor (Arrow-batched
+    mapInPandas), zero shuffles before the presentation sort."""
+    from wsu_cpts_415_spark.pipelines.multimodal import (
+        attach_bmp_payloads,
+        decode_bmp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_and_featurize(
+        attach_bmp_payloads(docs), kernel=decode_bmp
+    )
+    return decoded.withColumn(
+        "features",
+        F.array_join(
+            F.transform("features", lambda x: F.format_string("%.6f", x)), ","
+        ),
+    ).orderBy("doc_id")
