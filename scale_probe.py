@@ -88,6 +88,11 @@ SHIFT_KEYS = {
 }
 
 PROBE = [
+    # round-6 kernels
+    "prefix_filter_jaccard_join",
+    "cc_star_contraction",
+    "sorted_neighborhood_pairs",
+    "multimodal_bmp_meta",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

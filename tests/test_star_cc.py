@@ -91,3 +91,28 @@ def test_star_cc_random_graphs_match_min_label(spark):
 def test_star_cc_empty_pairs(spark):
     df = spark.createDataFrame([], "doc_a long, doc_b long")
     assert star_contraction_components(df).count() == 0
+
+
+def test_long_chain_beyond_min_label_round_bound(spark, monkeypatch):
+    """The motivating case: on a path graph whose diameter exceeds the
+    min-label kernel's round bound, min_label_components fails loudly
+    (its documented contract) while star contraction converges in
+    O(log n) rounds -- the reason web-scale CC uses star contraction."""
+    import wsu_cpts_415_spark.queries.graph_ops as go
+
+    pairs = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    # tighten the min-label bound so the demonstration stays fast: a
+    # 300-hop path needs ~300 rounds either way, far beyond 12
+    monkeypatch.setattr(go, "MAX_CC_ROUNDS", 12)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        go.min_label_components(df).collect()
+
+    labels = {
+        r.doc_id: r.label
+        for r in star_contraction_components(df).collect()
+    }
+    assert labels == {i: 0 for i in range(301)}

@@ -29,8 +29,10 @@ of magnitude below the full posting-list join.  Plan shape:
   * positional filter: for the earliest shared prefix token at ranks
     ``(i, j)``, overlap ``<= 1 + min(na - i, nb - j)``; pairs whose
     bound misses ``ceil(tau/(1+tau)*(na+nb))`` die in one hash
-    aggregate on a packed 8-byte pair key (same trick as
-    ``text.exact_jaccard_pairs``) before any intersection is computed;
+    aggregate on the (doc_a, doc_b) pair key -- two columns, not the
+    packed-long trick of ``text.exact_jaccard_pairs``, because SSJoin
+    must accept full 64-bit doc ids -- before any intersection is
+    computed;
   * verification joins only survivors back to the compact per-doc hash
     arrays and intersects two ~|doc| integer arrays per pair.
 
@@ -167,10 +169,12 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (TAU_DEN * F.col("b.n") >= TAU_NUM * F.col("a.n"))
         & (TAU_DEN * F.col("a.n") >= TAU_NUM * F.col("b.n")),
     ).select(
-        # packed 8-byte pair key: one-column hash aggregate
-        (F.col("a.doc_id") * F.lit(4294967296) + F.col("b.doc_id")).alias(
-            "pk"
-        ),
+        # two-column pair key: unlike text.exact_jaccard_pairs' packed
+        # long (ids < 2^32 by that table's contract), SSJoin must accept
+        # 64-bit doc ids -- the x10 scale probe's key-shifted replicas
+        # overflow a packed key, and production doc ids are often hashes
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
         F.col("a.rk").alias("rka"),
         F.col("b.rk").alias("rkb"),
         F.col("a.n").alias("na"),
@@ -181,7 +185,7 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound: overlap <= 1 + min(na - i, nb - j); required overlap is
     # t = ceil(tau/(1+tau)*(na+nb)).
     cand = (
-        joined.groupBy("pk")
+        joined.groupBy("doc_a", "doc_b")
         .agg(
             F.min("rka").alias("i"),
             F.min("rkb").alias("j"),
@@ -195,12 +199,7 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("na") + F.col("nb"), TAU_NUM, TAU_NUM + TAU_DEN
             )
         )
-        .select(
-            F.shiftright("pk", 32).alias("doc_a"),
-            F.col("pk").bitwiseAND(F.lit(4294967295)).alias("doc_b"),
-            "na",
-            "nb",
-        )
+        .select("doc_a", "doc_b", "na", "nb")
     )
     # Verify: intersect two compact 64-bit hash arrays per surviving
     # pair (the same compact form text.exact_pairs_above intersects;
