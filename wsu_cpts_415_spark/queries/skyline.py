@@ -1,0 +1,99 @@
+"""Pareto frontier (2D skyline) without a quadratic self-join and
+without an unpartitioned window.
+
+The skyline operator (Borzsony/Kossmann/Stocker 2001 "The Skyline
+Operator") returns rows not dominated on (minimize price, maximize
+size).  The textbook formulations are a quadratic NOT EXISTS self-join
+(the oracle here) or a global sort with a running max (a
+single-partition window -- the scale anti-pattern this repo routes
+around).  This implementation reuses the bucket-prefix pattern from
+``ops/scalable_rank.py``: the strict-prefix running max decomposes into
+a per-bucket local window plus a broadcast cross-bucket prefix computed
+by a triangular join over the tiny bucket-max table, so every window in
+the plan is partitioned.
+
+Scale: one hash aggregate collapses the corpus to (price, max_size) --
+the only shuffle of table-sized data; buckets come from ONE
+approx_percentile action; the surviving frontier is a monotone chain
+(price up => size up), small by construction, and is broadcast back
+against the base scan to recover the winning rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.ops.scalable_rank import rank_bounds
+from wsu_cpts_415_spark.registry import register
+
+SKY_NPART = 32
+
+
+@register(
+    "skyline_price_size",
+    oracle="""
+    SELECT a.p_partkey, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    ORDER BY a.p_partkey
+    """,
+)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts on the (cheapest, largest) Pareto frontier: no other part is
+    at most as expensive AND at least as large with one strict.  Ties on
+    both axes survive together (no strict dominance between equals),
+    matching the oracle's NOT EXISTS exactly.
+
+    A row survives iff its size beats the max size over all strictly
+    cheaper prices AND equals the max size at its own price -- so the
+    plan is: price-grain pre-aggregate, bucketed strict-prefix max
+    (partitioned local window + broadcast cross-bucket prefix from a
+    triangular join, exactly the `ops/scalable_rank.py` decomposition),
+    then a broadcast join of the tiny frontier back onto the scan."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    prices = part.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    info = rank_bounds(prices, ["p_retailprice"], npart=SKY_NPART)
+    vtype = prices.schema["p_retailprice"].dataType
+    bvals = [
+        b for b in (info["bounds"]["p_retailprice"] or []) if b is not None
+    ]
+    barr = F.array(*[F.lit(b).cast(vtype) for b in bvals])
+    v = F.col("p_retailprice")
+    # strict < keeps tied prices in one bucket (one row per price here,
+    # but the invariant is what makes the rows-frame prefix exact)
+    pp = prices.withColumn("_pid", F.size(F.filter(barr, lambda b: b < v)))
+    bmax = pp.groupBy("_pid").agg(F.max("gmax").alias("_bm"))
+    a, b = bmax.alias("a"), bmax.alias("b")
+    offs = (
+        a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.max("b._bm").alias("_pre"))  # NULL for the first bucket
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = (
+        pp.join(F.broadcast(offs), "_pid")
+        .withColumn("_local", F.max("gmax").over(w))
+        # greatest() skips NULLs; NULL overall means "no cheaper price"
+        .withColumn("_prefix", F.greatest("_pre", "_local"))
+    )
+    frontier = flagged.filter(
+        F.col("_prefix").isNull() | (F.col("gmax") > F.col("_prefix"))
+    ).select("p_retailprice", "gmax")
+    return (
+        part.join(F.broadcast(frontier), "p_retailprice")
+        .filter(F.col("p_size") == F.col("gmax"))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    )
