@@ -291,3 +291,83 @@ def test_rollup_survives_midbatch_kill(spark, tmp_path, provider):
         .collect()
     )
     assert got == want
+
+
+def test_tws_user_profile_compiles(spark):
+    """transformWithStateInPandas (Spark 4.x StatefulProcessor API):
+    analysis-only check -- the operator must compile against this Spark
+    (key/output schemas resolve, plan is streaming) even though the
+    container lacks the protobuf runtime the state-API client needs at
+    execution time (streaming/tws.py module docstring)."""
+    from wsu_cpts_415_spark.streaming.tws import user_profile_updates
+
+    df = user_profile_updates(read_events_stream(spark, SF_SMOKE))
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "user_id",
+        "n_events",
+        "total_value",
+        "n_purchases",
+        "last_ts",
+    ]
+
+
+def test_tws_user_profile_equals_batch(spark):
+    """End-to-end transformWithStateInPandas run (requires protobuf in
+    the worker env; skipped where absent): the StatefulProcessor's final
+    per-user profile must equal the plain batch groupBy."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from wsu_cpts_415_spark.streaming.tws import user_profile_updates
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_available_now(
+            user_profile_updates(read_events_stream(spark, SF_SMOKE)),
+            "t_tws_profile",
+            output_mode="update",
+        )
+        final = (
+            out.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        "n_events", "total_value", "n_purchases", "last_ts"
+                    ),
+                    "n_events",
+                ).alias("p")
+            )
+            .select(
+                "user_id",
+                "p.n_events",
+                F.round("p.total_value", 4).alias("total_value"),
+                "p.n_purchases",
+                "p.last_ts",
+            )
+        )
+        got = sorted(map(tuple, final.collect()))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    assert got == sorted(map(tuple, batch.collect()))
