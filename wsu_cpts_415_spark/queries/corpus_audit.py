@@ -801,3 +801,60 @@ def source_dedup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_lo", "source_hi")
     )
+
+
+HLL_LGK = 14  # datasketches lgConfigK: rel. std err ~ 1.04/sqrt(2^14) = 0.8%
+HLL_TOL = 0.05  # audit cut, ~6 sigma over the design error
+
+
+@register(
+    "hll_sketch_rollup",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_tol
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-DAY HyperLogLog sketches of distinct
+    users (datasketches ``hll_sketch_agg``), unioned per MONTH with
+    ``hll_union_agg`` and estimated -- audited against the exact
+    per-month distinct count (self-validating oracle, same discipline as
+    cms_frequency_check: DuckDB proves the exact side and expects every
+    tolerance check to hold).
+
+    This is THE 100 TB pre-aggregation pattern for distinct counts:
+    distinct is not algebraic (day-grain counts cannot be added into a
+    month), but HLL sketch bytes ARE -- materialize the day-grain sketch
+    table once, and every coarser grain (month, quarter, region x month)
+    is a union over kilobyte sketches, never a rescan of the raw events.
+    Everything here stays JVM-side: the day sketches partial-merge
+    across partitions inside the hash aggregate, and the month union
+    moves one ~2^{HLL_LGK}-register blob per (day, month) pair."""
+    ev = load_table(spark, sf_dir, "events")
+    day_sketches = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.expr(f"hll_sketch_agg(user_id, {HLL_LGK})").alias("sk"))
+    monthly_est = day_sketches.groupBy(
+        F.to_date(F.date_trunc("month", "day")).alias("month")
+    ).agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users")
+    )
+    exact = ev.groupBy(
+        F.to_date(F.date_trunc("month", "ts")).alias("month")
+    ).agg(F.count_distinct("user_id").alias("exact_users"))
+    return (
+        exact.join(monthly_est, "month")
+        .select(
+            "month",
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= HLL_TOL * F.col("exact_users")
+            ).alias("within_tol"),
+        )
+        .orderBy("month")
+    )
