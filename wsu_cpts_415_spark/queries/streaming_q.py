@@ -455,3 +455,42 @@ def streaming_cms_frequency_check(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         rows, "user_id long, exact_n long, within_bound boolean"
     ).orderBy("user_id")
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming exact dedup via dropDuplicatesWithinWatermark: the
+    source is doubled in-stream (explode over a 2-element array, so
+    every event arrives exactly twice in the same micro-batch) and the
+    operator must restore uniqueness on event_id.  Unlike plain
+    dropDuplicates, the within-watermark variant EVICTS a key's state
+    once the watermark passes its event time -- bounded state on an
+    unbounded stream, which is the only dedup you can afford at 100 TB
+    (the standing-store ingest gate in streaming/ingest_dedup.py is the
+    cross-run complement; this is the in-flight form).  Append mode:
+    rows emit as they first arrive, no window to close, so availableNow
+    replay emits the full distinct set."""
+    from pyspark.sql import functions as F
+
+    stream = read_events_stream(spark, sf_dir)
+    doubled = stream.withColumn(
+        "_copy", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).drop("_copy")
+    deduped = (
+        doubled.withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    out = run_available_now(
+        deduped, "q_streaming_dedup_wm", output_mode="append"
+    )
+    return out.orderBy("event_id")
