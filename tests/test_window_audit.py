@@ -28,6 +28,7 @@ ALLOWED = {
     "interleave_sources": "window over the distinct-source dim",
     "lang_mix_rebalance": "window over the language dim",
     # calendar / chunk grains (bounded by days / fixed chunk count)
+    "cumulative_distinct_users": "day grain",
     "cusum_changepoints": "day grain",
     "kaplan_meier_conversion": "day grain",
     "late_event_audit": "chunk-rollup grain",

@@ -609,3 +609,117 @@ def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+@register(
+    "acf_daily_by_type",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, n,
+               LAG(n, 1) OVER w AS lag1, LAG(n, 2) OVER w AS lag2,
+               LAG(n, 3) OVER w AS lag3, LAG(n, 4) OVER w AS lag4,
+               LAG(n, 5) OVER w AS lag5, LAG(n, 6) OVER w AS lag6,
+               LAG(n, 7) OVER w AS lag7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    stacked AS (
+        SELECT event_type, n, l.lag, l.prev
+        FROM lagged,
+             LATERAL (VALUES (1, lag1), (2, lag2), (3, lag3), (4, lag4),
+                             (5, lag5), (6, lag6), (7, lag7)) AS l(lag, prev)
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag,
+           ROUND(CORR(n, prev), 6) AS acf
+    FROM stacked
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def acf_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of each event type's daily-count series
+    at lags 1..7 (row-based lag + Pearson corr over the aligned pairs)
+    -- the seasonality fingerprint a pipeline reads before picking a
+    rolling-window width or an anomaly baseline (lag-7 spikes = weekly
+    cycle; cf. dow_seasonality, which tests the same signal by grouping
+    instead of correlating).
+
+    Scale: the raw scan reduces to (event_type x day) grain immediately
+    -- one partial-agg shuffle of calendar-bounded size; the lag windows
+    partition by event_type (enum grain, each series calendar-bounded),
+    and the ACF itself is a 35-row aggregate.  No events-grain window,
+    no collect."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        *[F.lag("n", k).over(w).alias(f"lag{k}") for k in range(1, 8)],
+    )
+    stack_args = ", ".join(f"{k}, lag{k}" for k in range(1, 8))
+    stacked = lagged.select(
+        "event_type",
+        "n",
+        F.expr(f"stack(7, {stack_args}) as (lag, prev)"),
+    )
+    return (
+        stacked.groupBy("event_type", F.col("lag").cast("int").alias("lag"))
+        .agg(F.round(F.corr("n", "prev"), 6).alias("acf"))
+        .orderBy("event_type", "lag")
+    )
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+        FROM events GROUP BY 1
+    ),
+    new_per_day AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_day GROUP BY 1
+    ),
+    days AS (
+        SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events
+    )
+    SELECT d.day,
+           COALESCE(n.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0))
+                OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_users
+    FROM days d LEFT JOIN new_per_day n USING (day)
+    ORDER BY d.day
+    """,
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day -- the audience-growth curve.
+    COUNT(DISTINCT) is not algebraic across days, so the scalable form
+    charges each user to their FIRST day (a min-aggregate at user
+    grain), counts first-appearances per day, and prefix-sums that
+    day-grain series: identical to the naive per-day distinct-over-
+    -prefix, at one user-grain shuffle instead of one scan per day.
+    Same first-seen trick as vocab_growth_curve; the running-sum window
+    is unpartitioned but calendar-bounded (see tests/test_window_audit
+    allowlist)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    new_per_day = first_day.groupBy("day").agg(
+        F.count("*").alias("new_users")
+    )
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(new_per_day, "day", "left")
+        .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
+        .withColumn("cum_users", F.sum("new_users").over(w))
+        .orderBy("day")
+    )
