@@ -751,3 +751,31 @@ def test_sorted_neighborhood_equi_join_no_cartesian(spark, qs):
         "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     ), "the windowed self-join must be an equi-join on the rank block"
     assert "TakeOrderedAndProject" in plan
+
+
+def test_runtime_bloom_filter_injected_on_fact_scan(spark, qs):
+    """runtime_bloom_pruned_join: inside its conf scope, Catalyst must
+    inject a runtime bloom filter (bloom_filter_agg on the selective
+    orders side, might_contain on the lineitem side) so the fact table
+    is pruned before the join shuffle."""
+    from wsu_cpts_415_spark.queries.joins import (
+        _BLOOM_CONFS,
+        _bloom_pruned_plan,
+    )
+
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = fmt_plan(_bloom_pruned_plan(spark, SF_ORACLE))
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan, "runtime filter not injected"
+    assert "bloom_filter_agg" in plan
+    # and without the scope, the tiny fixture must NOT pay the bloom
+    # build: default thresholds keep the injection off at smoke scale
+    assert "might_contain" not in fmt_plan(_bloom_pruned_plan(spark, SF_ORACLE))

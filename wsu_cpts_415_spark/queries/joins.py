@@ -345,3 +345,76 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+_BLOOM_CONFS = {
+    # make the injection fire at fixture scale: the rule normally
+    # requires a >=10 GB application-side scan, which is exactly the
+    # regime the gate is FOR at 100 TB
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    # the bloom prune matters on the non-broadcast path; force it so the
+    # demonstration is honest at every sf
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bloom_pruned_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy plan runtime_bloom_pruned_join materializes; split out so
+    tests/test_plans.py can assert the might_contain injection on the
+    un-executed plan inside the same conf scope."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sel = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    )
+    return (
+        li.join(sel, li["l_orderkey"] == sel["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "runtime_bloom_pruned_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def runtime_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime row-level filtering: Catalyst's InjectRuntimeFilter builds
+    a bloom filter over the SELECTIVE side's join keys at runtime and
+    applies might_contain() to the fact scan BEFORE the shuffle -- at
+    100 TB this is the difference between shuffling all of lineitem and
+    shuffling only the ~selectivity fraction that can possibly match.
+    The thresholds are scoped down so the injection fires at fixture
+    scale (the default 10 GB application-side bar is the production
+    setting); results are conf-invariant, which the oracle pins, and the
+    might_contain injection itself is pinned by a plan gate.  Executed
+    inside the conf scope (optimization happens at action time), then
+    returned as a local frame."""
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _bloom_pruned_plan(spark, sf_dir)
+        out = spark.createDataFrame(df.collect(), df.schema)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
