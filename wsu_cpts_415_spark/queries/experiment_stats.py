@@ -327,3 +327,67 @@ def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+DP_EPS = 1.0  # Laplace scale b = sensitivity/eps = 1 for a count release
+_DP_SEED = "dpseed1"  # fixed salt: the release is replayable bit-for-bit
+
+
+@register(
+    "dp_noisy_counts",
+    oracle=f"""
+    WITH cell AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    noised AS (
+        SELECT event_type, n,
+               (('0x' || substr(md5(event_type || '_{_DP_SEED}'), 1, 12))::BIGINT
+                + 0.5) / 281474976710656.0 AS u
+        FROM cell
+    )
+    SELECT event_type,
+           ROUND(n - (1.0 / {DP_EPS})
+                     * SIGN(u - 0.5) * LN(1 - 2 * ABS(u - 0.5)), 4)
+               AS noisy_count,
+           CAST({DP_EPS} AS DOUBLE) AS epsilon
+    FROM noised
+    ORDER BY event_type
+    """,
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release: per-event-type counts
+    with Laplace(1/eps) noise, eps={DP_EPS} (count queries have
+    sensitivity 1).  The noise is SEEDED -- uniform u from md5(cell key,
+    fixed salt) via the same cross-engine hash trick as
+    hash_bootstrap_ci, then the Laplace inverse-CDF -- so the release is
+    replayable bit-for-bit on any cluster AND recomputable by the
+    oracle; a production release would swap the salt for a secret drawn
+    once per release.
+
+    Scale: one partial-agg shuffle to the (bounded) cell grain; noise is
+    a scalar expression on the handful of cells.  The pattern is the
+    standard one for publishing corpus/telemetry stats without exposing
+    individual rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    u = (
+        F.expr(
+            "cast(conv(substr(md5(concat(event_type, '_" + _DP_SEED + "')),"
+            " 1, 12), 16, 10) as double)"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(16**12))
+    lap = (
+        F.lit(-1.0 / DP_EPS)
+        * F.signum(u - 0.5)
+        * F.log(1 - 2 * F.abs(u - 0.5))
+    )
+    return (
+        cell.select(
+            "event_type",
+            F.round(F.col("n") + lap, 4).alias("noisy_count"),
+            F.lit(float(DP_EPS)).alias("epsilon"),
+        )
+        .orderBy("event_type")
+    )
