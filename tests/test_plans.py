@@ -779,3 +779,12 @@ def test_runtime_bloom_filter_injected_on_fact_scan(spark, qs):
     # and without the scope, the tiny fixture must NOT pay the bloom
     # build: default thresholds keep the injection off at smoke scale
     assert "might_contain" not in fmt_plan(_bloom_pruned_plan(spark, SF_ORACLE))
+
+
+def test_weighted_reservoir_window_group_limit(spark, qs):
+    """weighted_reservoir_topk: the per-stratum top-k must compile to
+    WindowGroupLimit (rank bound pushed into the per-partition sort) so
+    no more than k rows per language survive to the window shuffle."""
+    plan = fmt_plan(qs["weighted_reservoir_topk"].fn(spark, SF_ORACLE))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

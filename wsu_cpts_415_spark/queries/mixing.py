@@ -469,3 +469,68 @@ def training_manifest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "shard")
     )
+
+
+RESERVOIR_K = 20  # exact per-language sample budget
+_RES_SALT = "wres1"
+
+
+@register(
+    "weighted_reservoir_topk",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
+               LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_{_RES_SALT}'), 1, 12))::BIGINT
+                   + 0.5) / 281474976710656.0) / n_chars AS k
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT lang, CAST(rnk AS INT) AS rank, doc_id, weight
+    FROM (
+        SELECT lang, doc_id, weight,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY k DESC, doc_id) AS rnk
+        FROM keyed
+    )
+    WHERE rnk <= {RESERVOIR_K}
+    ORDER BY lang, rank
+    """,
+)
+def weighted_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling without replacement per language
+    (Efraimidis-Spirakis A-ES): each doc draws key ln(u)/w with u from a
+    seeded hash and w = n_chars; the k largest keys per stratum are a
+    sample where inclusion probability is proportional to weight.
+    Unlike the Bernoulli sampler (quality_weighted_sample) this hits an
+    EXACT per-stratum budget -- the form a fixed token budget needs --
+    and stays reproducible under repartitioning because u is
+    hash-derived, not RNG.
+
+    Scale: key assignment is a row-local expression; selection is a
+    per-language top-k window (WindowGroupLimit pushes the k bound into
+    the sort at every partition, so nothing beyond k rows per stratum
+    survives the shuffle).  A-ES keys also MERGE: per-partition top-k
+    then global top-k gives the identical sample, which is how the
+    budget path scales past window comfort."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.expr(
+            "cast(conv(substr(md5(concat(cast(doc_id as string), '_"
+            + _RES_SALT
+            + "')), 1, 12), 16, 10) as double)"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(16**12))
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        (F.log(u) / F.col("n_chars")).alias("k"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("k"), "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= RESERVOIR_K)
+        .select("lang", "rank", "doc_id", "weight")
+        .orderBy("lang", "rank")
+    )
