@@ -155,3 +155,77 @@ def udtf_char_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("doc_id", "bigram")
     )
+
+
+TRIM_FRAC = 0.1  # fraction trimmed from EACH tail, by rank
+
+
+@register(
+    "arrow_grouped_trimmed_mean",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT lang,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(n) - 2 * FLOOR(MAX(n) * {TRIM_FRAC}) AS BIGINT) AS n_kept,
+           ROUND(AVG(n_chars), 4) AS trimmed_mean_chars
+    FROM ranked
+    WHERE rnk > FLOOR(n * {TRIM_FRAC}) AND rnk <= n - FLOOR(n * {TRIM_FRAC})
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def arrow_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow (Spark 4 arrow-NATIVE grouped map -- no pandas
+    materialization, the group arrives as a pyarrow.Table and compute
+    happens in Arrow kernels): per-language {TRIM_FRAC:.0%}-trimmed mean
+    of document length, trimming floor(n*frac) rows from each tail by
+    (n_chars, doc_id) rank so the statistic is deterministic and
+    SQL-recomputable.
+
+    This closes the last §2.12 quadrant: scalar pandas_udf, grouped-agg
+    pandas_udf, applyInPandas, mapInPandas, applyInPandasWithState, and
+    UDTF are exercised elsewhere; applyInArrow is the zero-copy path for
+    logic that is per-group but not expressible as an aggregate.  Groups
+    are language-grain (bounded count, each a corpus slice); at 100 TB
+    the same kernel runs per (lang, shard) and the trims re-merge via
+    the rank formulation the oracle shows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def trimmed(table: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            table, sort_keys=[("n_chars", "ascending"), ("doc_id", "ascending")]
+        )
+        n = table.num_rows
+        cut = int(n * TRIM_FRAC)
+        kept = table.take(idx.slice(cut, n - 2 * cut))
+        mean = pc.round(
+            pc.mean(pc.cast(kept.column("n_chars"), pa.float64())), 4
+        )
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n_docs": pa.array([n], pa.int64()),
+                "n_kept": pa.array([kept.num_rows], pa.int64()),
+                "trimmed_mean_chars": pa.array([mean.as_py()], pa.float64()),
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    return (
+        docs.groupBy("lang")
+        .applyInArrow(
+            trimmed,
+            "lang string, n_docs bigint, n_kept bigint,"
+            " trimmed_mean_chars double",
+        )
+        .orderBy("lang")
+    )
