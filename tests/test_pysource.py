@@ -82,3 +82,36 @@ def test_stream_reader_matches_batch_rows(spark, tmp_path):
         map(tuple, _read(spark, n_rows=300, seed=7).collect())
     )
     assert got == want
+
+
+def test_jsonl_audit_writer_two_phase_commit(spark, tmp_path):
+    """The Python DataSource WRITER face: rows stage per-task, publish
+    on driver commit, and the control-total sidecar reconciles exactly
+    with what a re-read finds (the S5 discipline on the v2 write
+    protocol)."""
+    import json
+    import os
+
+    from wsu_cpts_415_spark.io.pysource import register_jsonl_audit_sink
+
+    register_jsonl_audit_sink(spark)
+    out = str(tmp_path / "audit_out")
+    df = spark.range(0, 1000, 1, 6).selectExpr(
+        "id", "cast(id % 7 as double) as value"
+    )
+    df.write.format("jsonl_audit").option("path", out).option(
+        "total_col", "value"
+    ).mode("append").save()
+
+    control = json.load(open(os.path.join(out, "_control_totals.json")))
+    assert control["n_rows"] == 1000
+    assert control["n_files"] == control["n_files"] == len(control["files"])
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    back = spark.read.schema("id bigint, value double").json(
+        os.path.join(out, "*.jsonl")
+    )
+    assert back.count() == 1000
+    got_total = back.groupBy().sum("value").head()[0]
+    assert abs(got_total - control["total_value"]) < 1e-6
+    exact = df.groupBy().sum("value").head()[0]
+    assert abs(got_total - exact) < 1e-6

@@ -30,7 +30,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -157,3 +159,113 @@ class SyntheticEventsStreamingDataSource(SyntheticEventsDataSource):
 
 def register_synthetic_stream_source(spark) -> None:
     spark.dataSource.register(SyntheticEventsStreamingDataSource)
+
+
+# --- writer face: JSON-lines sink with a two-phase commit ------------------
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    """Commit message: one staged file per task, with its audit counts.
+    Picklable (dataclass of primitives), per the WriterCommitMessage
+    contract."""
+
+    path: str
+    n_rows: int
+    total_value: float
+
+
+class JsonLinesAuditWriter(DataSourceWriter):
+    """Executor side of the sink: each task streams its rows to ONE
+    staged file under ``<path>/_staging/`` and returns a commit message
+    naming the file plus its control totals.  Nothing becomes visible
+    until the driver's commit() publishes it -- the two-phase protocol
+    that makes a distributed write atomic-by-rename on a filesystem (an
+    object store swaps the rename for multipart-complete; the message
+    flow is identical)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+        self.total_col = options.get("total_col")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        # attempt-unique name: a zombie task's file is simply never
+        # committed (its message never reaches the driver)
+        fname = os.path.join(
+            staging,
+            f"part-{ctx.partitionId():05d}-{uuid.uuid4().hex}.jsonl",
+        )
+        n, total = 0, 0.0
+        with open(fname, "w") as f:
+            for row in iterator:
+                d = row.asDict()
+                f.write(json.dumps(d, default=str) + "\n")
+                n += 1
+                if self.total_col is not None:
+                    total += float(d[self.total_col] or 0.0)
+        return _StagedFile(path=fname, n_rows=n, total_value=total)
+
+    def commit(self, messages):
+        import json
+        import os
+        import shutil
+
+        final_files = []
+        for m in messages:
+            dest = os.path.join(self.path, os.path.basename(m.path))
+            os.replace(m.path, dest)  # atomic on a posix fs
+            final_files.append(os.path.basename(dest))
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+        control = {
+            "n_rows": sum(m.n_rows for m in messages),
+            "n_files": len(messages),
+            "files": sorted(final_files),
+        }
+        if self.total_col is not None:
+            control["total_col"] = self.total_col
+            control["total_value"] = round(
+                sum(m.total_value for m in messages), 6
+            )
+        with open(os.path.join(self.path, "_control_totals.json"), "w") as f:
+            json.dump(control, f, sort_keys=True)
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class JsonLinesAuditDataSource(DataSource):
+    """``df.write.format("jsonl_audit").option("path", ...).save()``:
+    JSON-lines files plus a ``_control_totals.json`` reconciliation
+    sidecar (row count, file list, optional column sum) -- the S5
+    control-total sink discipline (io/ingest.py:146) carried onto the
+    Python DataSource writer API, closing the write face of the custom
+    source surface (reader + streamReader above)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_audit"
+
+    def writer(self, schema: T.StructType, overwrite: bool):
+        if "path" not in self.options:
+            raise ValueError("jsonl_audit requires .option('path', ...)")
+        return JsonLinesAuditWriter(self.options, overwrite)
+
+
+def register_jsonl_audit_sink(spark) -> None:
+    spark.dataSource.register(JsonLinesAuditDataSource)
