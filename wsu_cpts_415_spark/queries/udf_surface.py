@@ -229,3 +229,70 @@ def arrow_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+FIXED_WIDTHS = "6,4,8"  # literal split spec the polymorphic UDTF analyzes
+TOP_K_PARTS = 12  # bounded slice, same discipline as udtf_char_bigrams
+
+
+@register(
+    "udtf_polymorphic_fixed_width",
+    oracle=f"""
+    WITH top_parts AS (
+        SELECT p_partkey, p_name FROM part
+        ORDER BY p_partkey LIMIT {TOP_K_PARTS}
+    )
+    SELECT p_partkey,
+           substr(p_name, 1, 6) AS f1,
+           substr(p_name, 7, 4) AS f2,
+           substr(p_name, 11, 8) AS f3
+    FROM top_parts
+    ORDER BY p_partkey
+    """,
+)
+def udtf_polymorphic_fixed_width(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 static ``analyze``): the output
+    schema is computed AT ANALYSIS TIME from the literal widths argument
+    -- '{FIXED_WIDTHS}' yields columns f1..f3 here, any other spec yields
+    a different arity, with no code change.  This is the piece plain
+    UDTFs lack (udtf_char_bigrams has a fixed returnType): the
+    fixed-width record splitter every mainframe/log ingest needs, where
+    the layout is data, not code.  Same bounded-slice discipline as the
+    other UDTF (row-at-a-time Python, so it runs after a top-k; the
+    unbounded form is the JVM substring projection the oracle shows)."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import StringType, StructType
+
+    @udtf
+    class FixedWidth:
+        @staticmethod
+        def analyze(line: AnalyzeArgument, widths: AnalyzeArgument):
+            if not widths.isConstantExpression or widths.value is None:
+                raise ValueError("widths must be a constant string")
+            n = len(str(widths.value).split(","))
+            schema = StructType()
+            for i in range(n):
+                schema = schema.add(f"f{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, line: str, widths: str):
+            spans = [int(w) for w in widths.split(",")]
+            out, pos = [], 0
+            for w in spans:
+                out.append(line[pos : pos + w] if line is not None else None)
+                pos += w
+            yield tuple(out)
+
+    part = load_table(spark, sf_dir, "part")
+    top = part.select("p_partkey", "p_name").orderBy("p_partkey").limit(
+        TOP_K_PARTS
+    )
+    top.createOrReplaceTempView("_udtf_top_parts")
+    spark.udtf.register("fixed_width", FixedWidth)
+    return spark.sql(
+        f"SELECT t.p_partkey, g.* FROM _udtf_top_parts t, "
+        f"LATERAL fixed_width(t.p_name, '{FIXED_WIDTHS}') g "
+        f"ORDER BY t.p_partkey"
+    )
