@@ -723,3 +723,60 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_users", F.sum("new_users").over(w))
         .orderBy("day")
     )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH touched AS (
+        SELECT event_type, value,
+               COALESCE(LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                                        THEN event_type END IGNORE NULLS)
+                        OVER (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                        '(none)') AS touch
+        FROM events
+    )
+    SELECT touch,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(SUM(value), 4) AS attributed_value
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY touch
+    ORDER BY touch
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent PRECEDING non-purchase event type ('(none)' when the
+    purchase is the user's first event) -- conversions and value rolled
+    up per touch channel.  The touch is a running last_value(ignore
+    nulls) over the per-user event sequence: one user-partitioned
+    window, no self-join against candidate touches, no per-purchase
+    scan-back.  Deterministic tie-break (ts, event_id) keeps
+    simultaneous events stable in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.coalesce(
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+        F.lit("(none)"),
+    )
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("touch")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.round(F.sum("value"), 4).alias("attributed_value"),
+        )
+        .orderBy("touch")
+    )
