@@ -88,6 +88,16 @@ SHIFT_KEYS = {
 }
 
 PROBE = [
+    # round-6 continuation kernels
+    "hll_sketch_rollup",
+    "acf_daily_by_type",
+    "cumulative_distinct_users",
+    "runtime_bloom_pruned_join",
+    "dp_noisy_counts",
+    "weighted_reservoir_topk",
+    "arrow_grouped_trimmed_mean",
+    "attribution_last_touch",
+    "streaming_dedup_within_watermark",
     # round-6 kernels
     "prefix_filter_jaccard_join",
     "cc_star_contraction",

@@ -481,7 +481,9 @@ def streaming_dedup_within_watermark(
     replay emits the full distinct set."""
     from pyspark.sql import functions as F
 
-    stream = read_events_stream(spark, sf_dir)
+    # batch-slicing invariant (each duplicate pair co-arrives), so read
+    # many files per trigger: one state commit instead of one per file
+    stream = read_events_stream(spark, sf_dir, files_per_trigger=64)
     doubled = stream.withColumn(
         "_copy", F.explode(F.array(F.lit(0), F.lit(1)))
     ).drop("_copy")
