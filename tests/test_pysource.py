@@ -115,3 +115,37 @@ def test_jsonl_audit_writer_two_phase_commit(spark, tmp_path):
     assert abs(got_total - control["total_value"]) < 1e-6
     exact = df.groupBy().sum("value").head()[0]
     assert abs(got_total - exact) < 1e-6
+
+
+def test_jsonl_audit_writer_abort_cleans_staging(spark, tmp_path):
+    """Failure injection on the v2 write protocol: when one task fails,
+    the driver must call abort() -- staged files from the tasks that
+    DID finish are discarded and nothing is published (no jsonl files,
+    no control sidecar)."""
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from wsu_cpts_415_spark.io.pysource import register_jsonl_audit_sink
+
+    register_jsonl_audit_sink(spark)
+    out = str(tmp_path / "audit_abort")
+
+    @F.udf("long")
+    def boom(v):
+        if v == 999:  # only partition holding 999 dies, others finish
+            raise ValueError("injected failure")
+        return v
+
+    df = spark.range(0, 1000, 1, 8).select(boom("id").alias("id"))
+    with _pytest.raises(Exception, match="injected failure"):
+        df.write.format("jsonl_audit").option("path", out).mode(
+            "append"
+        ).save()
+    assert not os.path.exists(os.path.join(out, "_control_totals.json"))
+    leftover = []
+    if os.path.exists(out):
+        for root, _dirs, files in os.walk(out):
+            leftover += [f for f in files if f.endswith(".jsonl")]
+    assert leftover == [], f"staged files survived abort: {leftover}"
