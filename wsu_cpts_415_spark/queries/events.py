@@ -780,3 +780,85 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch")
     )
+
+
+ATTR_WINDOW_DAYS = 7  # lookback for multi-touch credit
+
+
+@register(
+    "attribution_linear_multitouch",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t_ts, event_type
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    credited AS (
+        SELECT p.p_id, p.value, t.event_type,
+               COUNT(*) OVER (PARTITION BY p.p_id) AS n_touches
+        FROM purchases p JOIN touches t
+          ON p.user_id = t.user_id
+         AND t.t_ts < p.p_ts
+         AND t.t_ts >= p.p_ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+    )
+    SELECT event_type AS touch,
+           CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases_touched,
+           ROUND(SUM(value / n_touches), 4) AS attributed_value
+    FROM credited
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def attribution_linear_multitouch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    EQUALLY across every non-purchase event by the same user in the
+    preceding {ATTR_WINDOW_DAYS} days (the complement of last-touch's
+    winner-take-all).  The credit join is an equi-join on user_id plus
+    a bounded time-range predicate -- per-user touch x purchase pairs
+    within a fixed window, the same bounded-blowup shape as
+    range_join_events; the per-purchase touch count comes from one
+    window over the credited pairs (purchase-grain partitions).
+
+    Scale: never touches x purchases globally -- the user_id equi-key
+    routes the join, and the {ATTR_WINDOW_DAYS}-day bound caps pairs
+    per user at (touch rate x window) per purchase.  At 100 TB add a
+    coarse time-bucket to the join key (events bucketed by week) so
+    state per key stays flat under AQE."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    credited = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+        ),
+    )
+    w = Window.partitionBy("p_id")
+    credited = credited.withColumn("n_touches", F.count("*").over(w))
+    return (
+        credited.groupBy(F.col("event_type").alias("touch"))
+        .agg(
+            F.count_distinct("p_id").alias("n_purchases_touched"),
+            F.round(F.sum(F.col("value") / F.col("n_touches")), 4).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("touch")
+    )
