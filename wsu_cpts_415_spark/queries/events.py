@@ -862,3 +862,72 @@ def attribution_linear_multitouch(
         )
         .orderBy("touch")
     )
+
+
+@register(
+    "locf_gap_fill",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               ROUND(SUM(value), 4) AS day_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+    ),
+    calendar AS (
+        SELECT event_type, CAST(d.g AS DATE) AS day
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             bounds,
+             LATERAL (SELECT UNNEST(generate_series(bounds.lo, bounds.hi,
+                                                    INTERVAL 1 DAY)) AS g) d
+    )
+    SELECT c.event_type, c.day,
+           ROUND(LAST_VALUE(dl.day_value IGNORE NULLS)
+                     OVER (PARTITION BY c.event_type ORDER BY c.day
+                           ROWS UNBOUNDED PRECEDING), 4) AS filled_value,
+           dl.day_value IS NULL AS was_gap
+    FROM calendar c LEFT JOIN daily dl
+      ON c.event_type = dl.event_type AND c.day = dl.day
+    ORDER BY c.event_type, c.day
+    """,
+)
+def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over a dense calendar: each
+    event type's daily value series is re-gridded onto every day between
+    the corpus bounds and gaps take the most recent observed value (the
+    step-function fill; linear_interpolation_fill is the straight-line
+    sibling).  Spine = sequence(min, max) exploded against the enum
+    event-type dim -- calendar x enum grain, tiny by construction; the
+    fill is one running last_value(ignore nulls) window per type.  The
+    raw scan collapses to (type, day) grain before anything else, so
+    the expensive part rides one partial-agg shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("day_value"))
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    types = ev.select("event_type").distinct()
+    calendar = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        calendar.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.round(
+                F.last("day_value", ignorenulls=True).over(w), 4
+            ).alias("filled_value"),
+            F.col("day_value").isNull().alias("was_gap"),
+        )
+        .orderBy("event_type", "day")
+    )
