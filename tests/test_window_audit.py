@@ -24,6 +24,7 @@ ALLOWED = {
     "percent_rank_global": "parity demo, supplier dim only (marked)",
     "percent_rank_scalable": "window over the ~k-row >=threshold slice",
     "ann_int8_topk": "window over a .limit(RERANK_K) result",
+    "hill_tail_index": "window over a .limit(HILL_K+1) result",
     "vocab_coverage_topk": "window over a .limit(TOP_VOCAB) result",
     "interleave_sources": "window over the distinct-source dim",
     "lang_mix_rebalance": "window over the language dim",

@@ -858,3 +858,127 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+THETA_TOL = 0.05  # relative bound vs the pair's exact union (floor 2.0)
+
+
+@register(
+    "theta_sketch_setops",
+    oracle="""
+    WITH types AS (SELECT DISTINCT event_type AS t FROM events),
+    pairs AS (
+        SELECT a.t AS type_a, b.t AS type_b
+        FROM types a, types b WHERE a.t < b.t
+    ),
+    ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    pair_users AS (
+        SELECT p.type_a, p.type_b, u.user_id,
+               MAX(u.event_type = p.type_a) AS in_a,
+               MAX(u.event_type = p.type_b) AS in_b
+        FROM pairs p JOIN ut u
+          ON u.event_type IN (p.type_a, p.type_b)
+        GROUP BY 1, 2, 3
+    )
+    SELECT type_a, type_b,
+           CAST(COUNT(*) AS BIGINT) AS exact_union,
+           CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_intersect,
+           CAST(SUM(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_diff,
+           TRUE AS union_ok, TRUE AS intersect_ok, TRUE AS diff_ok
+    FROM pair_users
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA over distinct user audiences: one sketch
+    per event type (single scan), then |A u B|, |A n B|, |A \\ B| for
+    every type pair straight from sketch blobs via
+    theta_union/theta_intersection/theta_difference -- the operation HLL
+    sketches cannot do (hll_sketch_rollup unions only; theta's retained
+    hash SAMPLE supports intersection and difference).  Self-validating
+    oracle like the other sketch audits: exact sides proven in SQL,
+    every estimate must land within max(2, {tol:.0%} of the pair's exact
+    union).
+
+    Scale: the audience-overlap matrix at 100 TB without any pairwise
+    user-set join -- sketches build in one partial-agg pass, pair
+    algebra happens on kilobyte blobs (here a 5x5 enum grid; for
+    thousands of segments the same blobs join on segment keys)."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    types = ut.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    ut2 = ut.select("user_id", F.col("event_type").alias("u_type"))
+    pair_users = (
+        F.broadcast(pairs)
+        .join(
+            ut2,
+            (F.col("u_type") == F.col("type_a"))
+            | (F.col("u_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "user_id")
+        .agg(
+            F.max(F.col("u_type") == F.col("type_a")).alias("in_a"),
+            F.max(F.col("u_type") == F.col("type_b")).alias("in_b"),
+        )
+    )
+    exact = pair_users.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("exact_union"),
+        F.sum(
+            F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)
+        ).alias("exact_intersect"),
+        F.sum(
+            F.when(F.col("in_a") & ~F.col("in_b"), 1).otherwise(0)
+        ).alias("exact_diff"),
+    )
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    est = (
+        sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("ska"))
+        .join(
+            sk.select(
+                F.col("event_type").alias("type_b"), F.col("sk").alias("skb")
+            ),
+            F.col("type_a") < F.col("type_b"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias("e_u"),
+            F.theta_sketch_estimate(
+                F.theta_intersection("ska", "skb")
+            ).alias("e_i"),
+            F.theta_sketch_estimate(
+                F.theta_difference("ska", "skb")
+            ).alias("e_d"),
+        )
+    )
+    bound = F.greatest(F.lit(2.0), F.lit(THETA_TOL) * F.col("exact_union"))
+    return (
+        exact.join(est, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_union",
+            "exact_intersect",
+            "exact_diff",
+            (F.abs(F.col("e_u") - F.col("exact_union")) <= bound).alias(
+                "union_ok"
+            ),
+            (F.abs(F.col("e_i") - F.col("exact_intersect")) <= bound).alias(
+                "intersect_ok"
+            ),
+            (F.abs(F.col("e_d") - F.col("exact_diff")) <= bound).alias(
+                "diff_ok"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -973,3 +973,63 @@ def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             tb.cast("bigint").alias("n_b"),
         )
     )
+
+
+HILL_K = 100  # order statistics used by the tail estimator
+
+
+@register(
+    "hill_tail_index",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT CAST(n_chars AS DOUBLE) AS x,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+        FROM documents
+    ),
+    xk AS (
+        SELECT x AS x_k FROM ranked WHERE rnk = {HILL_K} + 1
+    )
+    SELECT CAST({HILL_K} AS BIGINT) AS k,
+           ROUND(MAX(x_k), 4) AS x_min,
+           ROUND(AVG(LN(ranked.x / xk.x_k)), 6) AS hill,
+           ROUND(1.0 / AVG(LN(ranked.x / xk.x_k)), 6) AS alpha
+    FROM ranked, xk
+    WHERE ranked.rnk <= {HILL_K}
+    """,
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the document-length tail index: over the
+    {HILL_K} largest documents, hill = mean ln(x_i / x_(k+1)) and the
+    Pareto exponent alpha = 1/hill -- the number that says whether a
+    max-length cap or length-stratified packing is needed (alpha <= 2:
+    heavy tail, a few giants dominate token mass; zipf_slope is the
+    token-frequency sibling of the same diagnostic).
+
+    Scale: the ONLY ordered structure is a global top-(k+1), which
+    compiles to TakeOrderedAndProject (per-partition heaps, k+1 rows to
+    the driver-side merge -- no global sort); the estimator itself is
+    one aggregate over k rows.  Deterministic under ties via the
+    (n_chars desc, doc_id) order."""
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        docs.select(F.col("n_chars").cast("double").alias("x"), "doc_id")
+        .orderBy(F.desc("x"), "doc_id")
+        .limit(HILL_K + 1)
+    )
+    w = Window.orderBy(F.desc("x"), "doc_id")
+    ranked = top.withColumn("rnk", F.row_number().over(w))
+    x_k = ranked.filter(F.col("rnk") == HILL_K + 1).select(
+        F.col("x").alias("x_k")
+    )
+    return (
+        ranked.filter(F.col("rnk") <= HILL_K)
+        .crossJoin(F.broadcast(x_k))
+        .agg(
+            F.lit(HILL_K).cast("bigint").alias("k"),
+            F.round(F.max("x_k"), 4).alias("x_min"),
+            F.round(F.avg(F.log(F.col("x") / F.col("x_k"))), 6).alias("hill"),
+            F.round(
+                1.0 / F.avg(F.log(F.col("x") / F.col("x_k"))), 6
+            ).alias("alpha"),
+        )
+    )

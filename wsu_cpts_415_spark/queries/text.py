@@ -1110,3 +1110,106 @@ def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ece"),
         F.round(F.max(gap), 6).alias("mce"),
     )
+
+
+PMI_MIN_COUNT = 5  # bigram support floor
+PMI_TOP = 20  # report size
+
+
+@register(
+    "bigram_pmi_topk",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    bigrams AS (
+        SELECT arr[i.g] AS w1, arr[i.g + 1] AS w2
+        FROM arrs, LATERAL (
+            SELECT UNNEST(generate_series(1, len(arr) - 1)) AS g
+        ) i
+    ),
+    bc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM bigrams
+        GROUP BY 1, 2
+    ),
+    uc AS (
+        SELECT t.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM arrs, UNNEST(arr) AS t(tok) GROUP BY 1
+    ),
+    totals AS (
+        SELECT (SELECT SUM(c_ab) FROM bc) AS n_b,
+               (SELECT SUM(c) FROM uc) AS n_u
+    )
+    SELECT w1, w2, c_ab,
+           ROUND(LN((c_ab::DOUBLE / n_b)
+                    / ((u1.c::DOUBLE / n_u) * (u2.c::DOUBLE / n_u))), 6)
+               AS pmi
+    FROM bc, totals
+    JOIN uc u1 ON bc.w1 = u1.tok
+    JOIN uc u2 ON bc.w2 = u2.tok
+    WHERE c_ab >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {PMI_TOP}
+    """,
+)
+def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOP} adjacent-token bigrams by pointwise mutual
+    information (support >= {PMI_MIN_COUNT}): the collocation detector
+    -- high-PMI pairs are multiword units a tokenizer or phrase-mining
+    pass should treat as one symbol (cf. bpe_merge_candidates, which
+    ranks by raw frequency; PMI normalizes away both words' base
+    rates).
+
+    Scale: bigrams come from a JVM-side slice-zip transform over the
+    token array (no position self-join, no Python); everything after is
+    token-grain hash aggregates, two token-keyed joins against the
+    unigram table, and a TakeOrderedAndProject top-{PMI_TOP}.
+    Deterministic: ties broken by (w1, w2) after 6-digit rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("a"))
+    unigrams = (
+        toks.select(F.explode("a").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a) - 1),"
+                " i -> struct(a[i-1] as w1, a[i] as w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    n_b = bc.agg(F.sum("c_ab").alias("n_b"))
+    n_u = unigrams.agg(F.sum("c").alias("n_u"))
+    u1 = unigrams.select(
+        F.col("tok").alias("w1"), F.col("c").alias("c_a")
+    )
+    u2 = unigrams.select(
+        F.col("tok").alias("w2"), F.col("c").alias("c_b")
+    )
+    pmi = (
+        bc.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_b))
+        .crossJoin(F.broadcast(n_u))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("n_b"))
+                    / (
+                        (F.col("c_a") / F.col("n_u"))
+                        * (F.col("c_b") / F.col("n_u"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.desc("pmi"), "w1", "w2").limit(PMI_TOP)
