@@ -931,3 +931,73 @@ def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "theilsen_daily_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               ROUND(SUM(value), 4) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               (b.v - a.v) / CAST(b.day - a.day AS DOUBLE) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(slope, 0.5), 6) AS theilsen_slope
+    FROM slopes
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of each event type's daily value series:
+    the median of all pairwise slopes -- outlier days move OLS
+    arbitrarily but shift a median only one rank (cf.
+    linreg_normal_equations, the L2 sibling).  The pairwise self-join is
+    QUADRATIC BY DEFINITION, which is exactly why it runs on the
+    (type, day) rollup, never the events: the raw scan collapses to
+    calendar-bounded grain first, so the pair count is bounded by
+    days^2 per type regardless of data volume -- the same
+    bounded-grain-then-quadratic discipline as the KS/MWU rank tests.
+    Median via exact interpolating percentile (one agg, no global
+    sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    a = daily.select(
+        "event_type", F.col("day").alias("day_a"), F.col("v").alias("v_a")
+    )
+    b = daily.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("day").alias("day_b"),
+        F.col("v").alias("v_b"),
+    )
+    slopes = a.join(
+        b,
+        (F.col("event_type") == F.col("event_type_b"))
+        & (F.col("day_a") < F.col("day_b")),
+    ).select(
+        "event_type",
+        (
+            (F.col("v_b") - F.col("v_a"))
+            / F.datediff("day_b", "day_a").cast("double")
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+                "theilsen_slope"
+            ),
+        )
+        .orderBy("event_type")
+    )
