@@ -391,3 +391,152 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+FDR_ALPHA = 0.05
+
+@register(
+    "fdr_bh_correction",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(value) AS sv,
+               AVG(value) AS m,
+               var_samp(value) AS s2,
+               SUM(value * value) AS svv
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n_all, SUM(value) AS sv_all,
+               SUM(value * value) AS svv_all
+        FROM events
+    ),
+    rest AS (
+        SELECT s.event_type, s.n, s.m, s.s2,
+               (sv_all - sv) / (n_all - n) AS m_rest,
+               ((svv_all - svv)
+                - (sv_all - sv) * (sv_all - sv) / (n_all - n))
+                   / (n_all - n - 1) AS s2_rest,
+               (n_all - n) AS n_rest
+        FROM stats s, tot
+    ),
+    tests AS (
+        SELECT event_type,
+               (m - m_rest) / sqrt(s2 / n + s2_rest / n_rest) AS z
+        FROM rest
+    ),
+    pvals AS (
+        SELECT event_type, z,
+               2 * (1 - (1 - (((((1.061405429 * t - 1.453152027) * t)
+                   + 1.421413741) * t - 0.284496736) * t + 0.254829592)
+                   * t * exp(-x * x))) AS p
+        FROM (
+            SELECT event_type, z, ABS(z) / sqrt(2) AS x,
+                   1 / (1 + 0.3275911 * (ABS(z) / sqrt(2))) AS t
+            FROM tests
+        )
+    ),
+    ranked AS (
+        SELECT event_type, z, p,
+               ROW_NUMBER() OVER (ORDER BY p, event_type) AS i,
+               COUNT(*) OVER () AS m_tests
+        FROM pvals
+    )
+    SELECT event_type,
+           ROUND(z, 6) AS z,
+           ROUND(p, 6) AS p,
+           ROUND(MIN(p * m_tests / i)
+                     OVER (ORDER BY i DESC ROWS UNBOUNDED PRECEDING), 6)
+               AS p_bh,
+           MIN(p * m_tests / i)
+               OVER (ORDER BY i DESC ROWS UNBOUNDED PRECEDING)
+               <= {FDR_ALPHA} AS significant
+    FROM ranked
+    ORDER BY event_type
+    """,
+)
+def fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control: each event type's mean value is
+    Welch-z-tested against all other types, then the five p-values get
+    the Benjamini-Hochberg step-up correction (adjusted p = running min
+    from the worst rank of p*m/i; reject at FDR {FDR_ALPHA}).  The
+    normal tail comes from the A&S 7.1.26 erf polynomial -- literal
+    arithmetic identical in both engines, the trick that keeps a
+    continuous-distribution p-value oracle-checkable.
+
+    Scale: sufficient statistics (n, mean, variance) come from ONE
+    grouped pass (complement stats by subtraction from the global
+    totals); everything after is arithmetic on an enum-grain sliver,
+    and the BH windows run over exactly m_tests=5 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sv"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("s2"),
+        F.sum(F.col("value") * F.col("value")).alias("svv"),
+    )
+    tot = ev.agg(
+        F.count("*").alias("n_all"),
+        F.sum("value").alias("sv_all"),
+        F.sum(F.col("value") * F.col("value")).alias("svv_all"),
+    )
+    rest = stats.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "m",
+        "s2",
+        ((F.col("sv_all") - F.col("sv")) / (F.col("n_all") - F.col("n"))).alias(
+            "m_rest"
+        ),
+        (
+            (
+                (F.col("svv_all") - F.col("svv"))
+                - (F.col("sv_all") - F.col("sv"))
+                * (F.col("sv_all") - F.col("sv"))
+                / (F.col("n_all") - F.col("n"))
+            )
+            / (F.col("n_all") - F.col("n") - 1)
+        ).alias("s2_rest"),
+        (F.col("n_all") - F.col("n")).alias("n_rest"),
+    )
+    tests = rest.select(
+        "event_type",
+        (
+            (F.col("m") - F.col("m_rest"))
+            / F.sqrt(F.col("s2") / F.col("n") + F.col("s2_rest") / F.col("n_rest"))
+        ).alias("z"),
+    )
+    x = F.abs(F.col("z")) / F.sqrt(F.lit(2.0))
+    t = 1 / (1 + 0.3275911 * x)
+    erf = 1 - (
+        ((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+         - 0.284496736) * t + 0.254829592
+    ) * t * F.exp(-x * x)
+    pvals = tests.select("event_type", "z", (2 * (1 - erf)).alias("p"))
+    w_rank = Window.orderBy("p", "event_type")
+    ranked = pvals.select(
+        "event_type",
+        "z",
+        "p",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(
+            Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("m_tests"),
+    )
+    w_bh = Window.orderBy(F.desc("i")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bh = F.min(F.col("p") * F.col("m_tests") / F.col("i")).over(w_bh)
+    return (
+        ranked.select(
+            "event_type",
+            F.round("z", 6).alias("z"),
+            F.round("p", 6).alias("p"),
+            F.round(bh, 6).alias("p_bh"),
+            (bh <= FDR_ALPHA).alias("significant"),
+        )
+        .orderBy("event_type")
+    )
