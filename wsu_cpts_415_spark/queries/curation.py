@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wsu_cpts_415_spark.io.tables import load_table
+
 from wsu_cpts_415_spark.queries.graph_ops import (
     _NEARDUP_DUCK_CTES,
     _neardup_labels,
@@ -130,4 +132,68 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*"),
             6,
         ).alias("kept_pct"),
+    )
+
+
+CANARY_RATE = 200  # one doc in N gets a canary
+_CANARY_SALT = "canary1"
+
+
+@register(
+    "canary_injection_plan",
+    oracle=f"""
+    SELECT doc_id, source,
+           'CANARY-' || upper(substr(md5(CAST(doc_id AS VARCHAR)
+                                         || '_{_CANARY_SALT}_tok'), 1, 12))
+               AS canary_token,
+           text || ' CANARY-'
+                || upper(substr(md5(CAST(doc_id AS VARCHAR)
+                                    || '_{_CANARY_SALT}_tok'), 1, 12))
+               AS text_with_canary
+    FROM documents
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                               || '_{_CANARY_SALT}'), 1, 8))::BIGINT)
+          % {CANARY_RATE} = 0
+    ORDER BY doc_id
+    """,
+)
+def canary_injection_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canary insertion for memorization / contamination tracing: one
+    document in {CANARY_RATE} (selected by seeded hash, so the plan is
+    reproducible and auditable) gets a unique hash-derived canary token
+    appended; post-training, generating a canary proves the exact
+    training copy was memorized, and finding one in an eval set proves
+    leakage direction.  Returns the injection manifest (doc, source,
+    token, rewritten text) -- the transform a pipeline applies at shard
+    write time.
+
+    Scale: selection and token derivation are row-local expressions on
+    the scan (no shuffle at all before the presentation sort of the
+    1/{CANARY_RATE} sliver); the manifest doubles as the lookup table
+    the post-training probe greps against."""
+    docs = load_table(spark, sf_dir, "documents")
+    sel = F.expr(
+        "cast(conv(substr(md5(concat(cast(doc_id as string), '_"
+        + _CANARY_SALT
+        + "')), 1, 8), 16, 10) as bigint)"
+    )
+    token = F.concat(
+        F.lit("CANARY-"),
+        F.upper(
+            F.expr(
+                "substr(md5(concat(cast(doc_id as string), '_"
+                + _CANARY_SALT
+                + "_tok')), 1, 12)"
+            )
+        ),
+    )
+    return (
+        docs.filter(sel % CANARY_RATE == 0)
+        .select(
+            "doc_id",
+            "source",
+            token.alias("canary_token"),
+            F.concat("text", F.lit(" "), token).alias("text_with_canary"),
+        )
+        .orderBy("doc_id")
     )
