@@ -1213,3 +1213,129 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pmi.orderBy(F.desc("pmi"), "w1", "w2").limit(PMI_TOP)
+
+
+CHI2_MIN_TOKEN_COUNT = 20  # support floor for discriminative terms
+CHI2_TOP = 10  # report size per language
+
+
+@register(
+    "chi2_keywords_per_lang",
+    oracle=f"""
+    WITH toks AS (
+        SELECT d.lang, t.tok
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tok)
+    ),
+    tl AS (
+        SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS a
+        FROM toks GROUP BY 1, 2
+    ),
+    tok_tot AS (
+        SELECT tok, SUM(a) AS t_tot FROM tl GROUP BY 1
+    ),
+    lang_tot AS (
+        SELECT lang, SUM(a) AS l_tot FROM tl GROUP BY 1
+    ),
+    grand AS (SELECT SUM(a) AS n FROM tl),
+    cells AS (
+        SELECT tl.lang, tl.tok, tl.a,
+               CAST(tok_tot.t_tot - tl.a AS DOUBLE) AS b,
+               CAST(lang_tot.l_tot - tl.a AS DOUBLE) AS c,
+               CAST(grand.n - tok_tot.t_tot - lang_tot.l_tot + tl.a
+                    AS DOUBLE) AS d,
+               CAST(grand.n AS DOUBLE) AS n
+        FROM tl
+        JOIN tok_tot ON tl.tok = tok_tot.tok
+        JOIN lang_tot ON tl.lang = lang_tot.lang
+        CROSS JOIN grand
+        WHERE tok_tot.t_tot >= {CHI2_MIN_TOKEN_COUNT}
+    ),
+    scored AS (
+        SELECT lang, tok, a,
+               ROUND(n * (a::DOUBLE * d - b * c) * (a::DOUBLE * d - b * c)
+                     / ((a + b) * (c + d) * (a + c) * (b + d)), 6) AS chi2
+        FROM cells
+        WHERE a::DOUBLE * d > b * c
+    ),
+    ranked AS (
+        SELECT lang, tok, a AS in_lang_count, chi2,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY chi2 DESC, tok) AS rnk
+        FROM scored
+    )
+    SELECT lang, CAST(rnk AS INT) AS rank, tok, in_lang_count, chi2
+    FROM ranked WHERE rnk <= {CHI2_TOP}
+    ORDER BY lang, rank
+    """,
+)
+def chi2_keywords_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discriminative keywords per language by chi-square association
+    over the (token-in-lang vs token-elsewhere) 2x2 table, positive
+    associations only -- the complement of tfidf_top_terms (tf-idf
+    rewards rarity anywhere; chi2 rewards skew TOWARD the class, the
+    feature-selection statistic for routing/classifier vocabularies).
+
+    Scale: token-grain hash aggregates for the contingency margins (the
+    token x lang table joins token totals on the token key and the
+    lang totals by broadcast-sized dim), chi2 as a row-local expression
+    with exact integer cross-products, and a per-language
+    WindowGroupLimit top-{CHI2_TOP}.  Support floor
+    {CHI2_MIN_TOKEN_COUNT} keeps hapax noise out."""
+    docs = load_table(spark, sf_dir, "documents")
+    tl = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("a"))
+    )
+    tok_tot = tl.groupBy("tok").agg(F.sum("a").alias("t_tot"))
+    lang_tot = tl.groupBy("lang").agg(F.sum("a").alias("l_tot"))
+    grand = tl.agg(F.sum("a").alias("n"))
+    cells = (
+        tl.join(tok_tot.filter(F.col("t_tot") >= CHI2_MIN_TOKEN_COUNT), "tok")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "lang",
+            "tok",
+            "a",
+            (F.col("t_tot") - F.col("a")).cast("double").alias("b"),
+            (F.col("l_tot") - F.col("a")).cast("double").alias("c"),
+            (F.col("n") - F.col("t_tot") - F.col("l_tot") + F.col("a"))
+            .cast("double")
+            .alias("d"),
+            F.col("n").cast("double").alias("n"),
+        )
+    )
+    a_d = F.col("a").cast("double")
+    scored = cells.filter(
+        a_d * F.col("d") > F.col("b") * F.col("c")
+    ).select(
+        "lang",
+        "tok",
+        "a",
+        F.round(
+            F.col("n")
+            * (a_d * F.col("d") - F.col("b") * F.col("c"))
+            * (a_d * F.col("d") - F.col("b") * F.col("c"))
+            / (
+                (a_d + F.col("b"))
+                * (F.col("c") + F.col("d"))
+                * (a_d + F.col("c"))
+                * (F.col("b") + F.col("d"))
+            ),
+            6,
+        ).alias("chi2"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("chi2"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= CHI2_TOP)
+        .select(
+            "lang",
+            "rank",
+            "tok",
+            F.col("a").alias("in_lang_count"),
+            "chi2",
+        )
+        .orderBy("lang", "rank")
+    )
