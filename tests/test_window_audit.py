@@ -24,13 +24,10 @@ ALLOWED = {
     "percent_rank_global": "parity demo, supplier dim only (marked)",
     "percent_rank_scalable": "window over the ~k-row >=threshold slice",
     "ann_int8_topk": "window over a .limit(RERANK_K) result",
-    "hill_tail_index": "window over a .limit(HILL_K+1) result",
     "vocab_coverage_topk": "window over a .limit(TOP_VOCAB) result",
-    "fdr_bh_correction": "windows over the m_tests=5 enum-grain tests",
     "interleave_sources": "window over the distinct-source dim",
     "lang_mix_rebalance": "window over the language dim",
     # calendar / chunk grains (bounded by days / fixed chunk count)
-    "cumulative_distinct_users": "day grain",
     "cusum_changepoints": "day grain",
     "kaplan_meier_conversion": "day grain",
     "late_event_audit": "chunk-rollup grain",

@@ -716,11 +716,24 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("new_users")
     )
     days = ev.select(F.to_date("ts").alias("day")).distinct()
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # prefix sum WITHOUT a global window: broadcast triangular join on
+    # the calendar-bounded day grain (same trick as the KS/MWU bucket
+    # offsets) -- O(days^2) pairs on a tiny sliver, zero WindowExec
+    contrib = new_per_day.select(
+        F.col("day").alias("src_day"), "new_users"
+    )
     return (
-        days.join(new_per_day, "day", "left")
-        .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
-        .withColumn("cum_users", F.sum("new_users").over(w))
+        days.join(
+            F.broadcast(contrib), F.col("src_day") <= F.col("day"), "left"
+        )
+        .groupBy("day")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("src_day") == F.col("day"), F.col("new_users"))),
+                F.lit(0),
+            ).alias("new_users"),
+            F.coalesce(F.sum("new_users"), F.lit(0)).alias("cum_users"),
+        )
         .orderBy("day")
     )
 

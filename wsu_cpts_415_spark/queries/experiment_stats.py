@@ -515,28 +515,39 @@ def fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
          - 0.284496736) * t + 0.254829592
     ) * t * F.exp(-x * x)
     pvals = tests.select("event_type", "z", (2 * (1 - erf)).alias("p"))
-    w_rank = Window.orderBy("p", "event_type")
-    ranked = pvals.select(
-        "event_type",
-        "z",
-        "p",
-        F.row_number().over(w_rank).alias("i"),
-        F.count("*").over(
-            Window.partitionBy()
-            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("m_tests"),
+    # rank + BH running min WITHOUT global windows: broadcast triangular
+    # self-joins on the m_tests=5 enum-grain sliver (the repo-standard
+    # bounded-prefix trick), zero WindowExec in the plan
+    m = pvals.agg(F.count("*").alias("m_tests"))
+    other = pvals.select(
+        F.col("event_type").alias("o_type"), F.col("p").alias("o_p")
     )
-    w_bh = Window.orderBy(F.desc("i")).rowsBetween(
-        Window.unboundedPreceding, 0
+    ranked = (
+        pvals.join(
+            F.broadcast(other),
+            (F.col("o_p") < F.col("p"))
+            | ((F.col("o_p") == F.col("p")) & (F.col("o_type") <= F.col("event_type"))),
+        )
+        .groupBy("event_type", "z", "p")
+        .agg(F.count("*").alias("i"))
+        .crossJoin(F.broadcast(m))
     )
-    bh = F.min(F.col("p") * F.col("m_tests") / F.col("i")).over(w_bh)
+    later = ranked.select(
+        F.col("i").alias("j"),
+        (F.col("p") * F.col("m_tests") / F.col("i")).alias("q_j"),
+    )
+    bh = (
+        ranked.join(F.broadcast(later), F.col("j") >= F.col("i"))
+        .groupBy("event_type", "z", "p")
+        .agg(F.min("q_j").alias("p_bh_raw"))
+    )
     return (
-        ranked.select(
+        bh.select(
             "event_type",
             F.round("z", 6).alias("z"),
             F.round("p", 6).alias("p"),
-            F.round(bh, 6).alias("p_bh"),
-            (bh <= FDR_ALPHA).alias("significant"),
+            F.round("p_bh_raw", 6).alias("p_bh"),
+            (F.col("p_bh_raw") <= FDR_ALPHA).alias("significant"),
         )
         .orderBy("event_type")
     )

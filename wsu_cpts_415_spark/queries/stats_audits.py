@@ -1016,14 +1016,21 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("x"), "doc_id")
         .limit(HILL_K + 1)
     )
-    w = Window.orderBy(F.desc("x"), "doc_id")
-    ranked = top.withColumn("rnk", F.row_number().over(w))
-    x_k = ranked.filter(F.col("rnk") == HILL_K + 1).select(
-        F.col("x").alias("x_k")
+    # window-free rank on the k+1 slice: the (k+1)-th order statistic is
+    # the slice's minimum under the (x asc, doc_id desc) total order --
+    # min_by of the struct, no WindowExec, no single-partition warning
+    boundary = top.agg(
+        F.min(F.struct(F.col("x"), (-F.col("doc_id")).alias("nd"))).alias(
+            "mn"
+        )
+    ).select(
+        F.col("mn.x").alias("x_k"), (-F.col("mn.nd")).alias("k_doc")
     )
     return (
-        ranked.filter(F.col("rnk") <= HILL_K)
-        .crossJoin(F.broadcast(x_k))
+        top.crossJoin(F.broadcast(boundary))
+        .filter(
+            ~((F.col("x") == F.col("x_k")) & (F.col("doc_id") == F.col("k_doc")))
+        )
         .agg(
             F.lit(HILL_K).cast("bigint").alias("k"),
             F.round(F.max("x_k"), 4).alias("x_min"),
