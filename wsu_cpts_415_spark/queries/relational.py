@@ -726,3 +726,51 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "weekly_ohlc_orders",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+                   AS week,
+               CAST(o_orderdate AS DATE) AS day,
+               ROUND(SUM(o_totalprice), 2) AS v
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT week,
+           ROUND(arg_min(v, day), 2) AS open,
+           ROUND(MAX(v), 2) AS high,
+           ROUND(MIN(v), 2) AS low,
+           ROUND(arg_max(v, day), 2) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM daily
+    GROUP BY week
+    ORDER BY week
+    """,
+)
+def weekly_ohlc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC resample of the daily order-value series: open/close
+    as the first/last day's total via min_by/max_by (argmin/argmax
+    aggregates -- no window, no sort, resolved inside the hash
+    aggregate), high/low as plain extrema.  The financial-style
+    downsample every time-series store offers, here as two partial-agg
+    shuffles: day grain then week grain.  Days are unique within a
+    week's group by construction (pre-aggregated), so the argmin is
+    deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date(F.date_trunc("week", "o_orderdate")).alias("week"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("v"))
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.round(F.min_by("v", "day"), 2).alias("open"),
+            F.round(F.max("v"), 2).alias("high"),
+            F.round(F.min("v"), 2).alias("low"),
+            F.round(F.max_by("v", "day"), 2).alias("close"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("week")
+    )

@@ -299,3 +299,56 @@ def range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "day_no", "o_orderkey")
     )
+
+
+TIES_TOP_K = 3  # dense ranks kept per nation
+
+
+@register(
+    "topk_with_ties_dense_rank",
+    oracle=f"""
+    SELECT n_name, rnk, s_acctbal, n_suppliers
+    FROM (
+        SELECT n.n_name,
+               CAST(DENSE_RANK() OVER (PARTITION BY n.n_name
+                                       ORDER BY s.s_acctbal DESC)
+                    AS INT) AS rnk,
+               s.s_acctbal,
+               CAST(COUNT(*) OVER (PARTITION BY n.n_name, s.s_acctbal)
+                    AS BIGINT) AS n_suppliers
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    WHERE rnk <= {TIES_TOP_K}
+    GROUP BY 1, 2, 3, 4
+    ORDER BY n_name, rnk
+    """,
+)
+def topk_with_ties_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TIES_TOP_K} supplier balances per nation WITH TIES: the
+    dense_rank semantics row_number-based top-k silently breaks -- equal
+    balances share a rank and ALL of them survive the cut, so the result
+    is value-complete (every supplier at a kept balance is represented
+    in n_suppliers) and insensitive to input order even when balances
+    collide.  The rank-semantics member of the top-k family
+    (topn_per_group = row_number, top_k_global = TakeOrdered,
+    weighted_reservoir_topk = WindowGroupLimit).
+
+    Scale: window partitioned by the nation dim; the dense_rank filter
+    is rank-pushdown eligible (WindowGroupLimit) since Spark 3.5 --
+    only candidate ranks survive each partition's sort."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    j = sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"))
+    wt = Window.partitionBy("n_name", "s_acctbal")
+    return (
+        j.select(
+            "n_name",
+            F.dense_rank().over(w).cast("int").alias("rnk"),
+            "s_acctbal",
+            F.count("*").over(wt).alias("n_suppliers"),
+        )
+        .filter(F.col("rnk") <= TIES_TOP_K)
+        .distinct()
+        .orderBy("n_name", "rnk")
+    )
