@@ -551,3 +551,86 @@ def fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "anova_variance_decomposition",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, COUNT(*) AS n, SUM(value) AS sv,
+               SUM(value * value) AS svv
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(n) AS n_all, SUM(sv) AS sv_all,
+               COUNT(*) AS k
+        FROM g
+    ),
+    parts AS (
+        SELECT SUM(svv - sv * sv / n) AS ssw,
+               SUM(n * (sv / n - sv_all / n_all)
+                     * (sv / n - sv_all / n_all)) AS ssb,
+               MAX(n_all) AS n_all, MAX(k) AS k
+        FROM g, tot
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(n_all AS BIGINT) AS n_rows,
+           ROUND(ssb, 4) AS ss_between,
+           ROUND(ssw, 4) AS ss_within,
+           ROUND(ssb / (ssb + ssw), 6) AS eta_squared,
+           ROUND((ssb / (k - 1)) / (ssw / (n_all - k)), 6) AS f_stat
+    FROM parts
+    """,
+)
+def anova_variance_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-way ANOVA of event value by type: between-group vs
+    within-group sum of squares, eta-squared (share of variance the
+    grouping explains) and the F statistic -- the
+    does-this-segmentation-matter test run before investing in per-type
+    models.  Same sufficient-statistics discipline as
+    fdr_bh_correction: one grouped pass for (n, sum, sum-of-squares)
+    per type, identical closed forms in both engines so the
+    floating-point cancellation profile matches, everything after is
+    arithmetic on the enum-grain sliver."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sv"),
+        F.sum(F.col("value") * F.col("value")).alias("svv"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("n_all"),
+        F.sum("sv").alias("sv_all"),
+        F.count("*").alias("k"),
+    )
+    parts = (
+        g.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")
+            ).alias("ssw"),
+            F.sum(
+                F.col("n")
+                * (F.col("sv") / F.col("n") - F.col("sv_all") / F.col("n_all"))
+                * (F.col("sv") / F.col("n") - F.col("sv_all") / F.col("n_all"))
+            ).alias("ssb"),
+            F.max("n_all").alias("n_all"),
+            F.max("k").alias("k"),
+        )
+    )
+    return parts.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n_all").cast("bigint").alias("n_rows"),
+        F.round("ssb", 4).alias("ss_between"),
+        F.round("ssw", 4).alias("ss_within"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias(
+            "eta_squared"
+        ),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_all") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
