@@ -88,6 +88,19 @@ SHIFT_KEYS = {
 }
 
 PROBE = [
+    # round-6 second-continuation kernels
+    "theta_sketch_setops",
+    "hill_tail_index",
+    "bigram_pmi_topk",
+    "chi2_keywords_per_lang",
+    "fdr_bh_correction",
+    "theilsen_daily_trend",
+    "canary_injection_plan",
+    "locf_gap_fill",
+    "attribution_linear_multitouch",
+    "weekly_ohlc_orders",
+    "topk_with_ties_dense_rank",
+    "anova_variance_decomposition",
     # round-6 continuation kernels
     "hll_sketch_rollup",
     "acf_daily_by_type",
