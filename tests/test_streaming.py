@@ -371,3 +371,70 @@ def test_tws_user_profile_equals_batch(spark):
         )
     )
     assert got == sorted(map(tuple, batch.collect()))
+
+
+def test_watermark_drops_late_rows_and_reports_metric(spark, tmp_path):
+    """Watermark semantics end-to-end, including the TWO-WATERMARK model
+    (SPARK-40925): the late-events filter uses the watermark as of the
+    PREVIOUS batch, one batch behind the eviction watermark shown in
+    progress -- so the late row is planted two batches after the on-time
+    rows that advanced the watermark.  It must be EXCLUDED from the
+    update-mode aggregate and the state operator must report it via
+    numRowsDroppedByWatermark, the observability contract a production
+    late-data monitor reads (probe-verified: a late row one batch after
+    its watermark-advancer is still admitted under the lagging filter)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = (
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, schema).select(
+            "event_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        df.coalesce(1).write.parquet(str(src / name))
+        _time.sleep(1.1)  # file-source ordering is by modification time
+        return df.schema
+
+    read_schema = write_file(
+        "f1", [(1, "2024-03-10 12:00:00", 7, "click", 1.0, None)]
+    )
+    write_file("f2", [(2, "2024-03-10 13:00:00", 8, "view", 1.0, None)])
+    write_file("f3", [(3, "2024-03-01 00:00:00", 7, "click", 1.0, None)])
+
+    stream = (
+        spark.readStream.schema(read_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .count()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_late_drop")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    rows = spark.table("t_late_drop").collect()
+    days = sorted(r["w"]["start"].day for r in rows)
+    assert dropped == 1, f"expected 1 watermark-dropped row, got {dropped}"
+    assert days == [10, 10], f"late March-1 row leaked into results: {days}"
