@@ -325,3 +325,94 @@ def test_compact_partitioned_store_bounds_files_per_partition(spark, tmp_path):
     # one file per partition value (4 values), content identical
     assert after["n_files"] == 4
     assert _content_key(spark.read.parquet(store)) == before
+
+
+def test_tpch_refresh_cycle_rf1_rf2(spark, tmp_path):
+    """TPC-H-style refresh stream: RF1 inserts a batch of new orders +
+    their lineitems, RF2 deletes a keyed subset from BOTH tables; after
+    the cycle, a q1-shaped pricing rollup over the maintained store must
+    equal the same rollup recomputed from scratch on (original + inserts
+    - deletes) -- maintenance must be invisible to query results."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from wsu_cpts_415_spark.io.maintenance import merge_delete, merge_upsert
+    from wsu_cpts_415_spark.io.tables import load_table
+
+    o_store = str(tmp_path / "orders_store")
+    l_store = str(tmp_path / "lineitem_store")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders.write.parquet(o_store)
+    li.write.parquet(l_store)
+
+    shift = 10_000_000
+    # RF1: re-key a slice of existing rows as the "new arrivals" batch
+    # (ordered limit: the slice must be the same rows on every reference)
+    batch_orders = orders.orderBy("o_orderkey").limit(50)
+    new_orders = batch_orders.withColumn(
+        "o_orderkey", F.col("o_orderkey") + shift
+    )
+    from pyspark.sql import Window as W
+
+    # the synthetic fixture does not enforce (orderkey, linenumber)
+    # uniqueness, so the insert batch re-numbers its lines to satisfy
+    # the store's unique-key MERGE contract
+    new_li = (
+        li.join(
+            batch_orders.select(
+                F.col("o_orderkey").alias("l_orderkey")
+            ),
+            "l_orderkey",
+        )
+        .withColumn("l_orderkey", F.col("l_orderkey") + shift)
+        .withColumn(
+            "l_linenumber",
+            F.row_number().over(
+                W.partitionBy("l_orderkey").orderBy(
+                    "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+                )
+            ),
+        )
+    ).select(*li.columns)
+    merge_upsert(spark, o_store, new_orders, ["o_orderkey"])
+    # lineitem's key is composite (orderkey, linenumber)
+    merge_upsert(spark, l_store, new_li, ["l_orderkey", "l_linenumber"])
+
+    # RF2: delete every 7th original order (and its lines)
+    doomed = orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    r1 = merge_delete(spark, o_store, doomed, ["o_orderkey"])
+    r2 = merge_delete(
+        spark,
+        l_store,
+        doomed.select(F.col("o_orderkey").alias("l_orderkey")),
+        ["l_orderkey"],
+    )
+    assert r1["deleted"] > 0 and r2["deleted"] > 0
+
+    def q1_shape(lineitem):
+        return (
+            lineitem.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("rev"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    maintained = q1_shape(spark.read.parquet(l_store)).collect()
+    expected_li = (
+        li.join(doomed.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey", "left_anti")
+        .unionByName(new_li)
+    )
+    expected = q1_shape(expected_li).collect()
+    assert [tuple(r) for r in maintained] == [tuple(r) for r in expected]
+
+    # and the stores reconcile on counts
+    n_orders = spark.read.parquet(o_store).count()
+    assert n_orders == orders.count() + 50 - r1["deleted"]

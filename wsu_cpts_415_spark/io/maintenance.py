@@ -103,6 +103,39 @@ def merge_upsert(
     }
 
 
+def merge_delete(
+    spark: SparkSession,
+    store_dir: str,
+    delete_keys: DataFrame,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Keyed DELETE (the TPC-H RF2 shape): store rows whose key appears
+    in ``delete_keys`` are removed; everything else survives untouched.
+    Same write-temp-then-swap discipline as merge_upsert, and the same
+    scale posture -- the anti join shuffles on the key, and a store
+    partitioned by a key prefix would rewrite only affected partitions
+    via dynamic partition overwrite."""
+    target = spark.read.parquet(store_dir)
+    n_before = target.count()
+    dk = delete_keys.select(*keys).distinct()
+    survivors = target.join(dk, on=keys, how="left_anti")
+
+    tmp = store_dir.rstrip("/") + f".tmp-{uuid.uuid4().hex[:8]}"
+    writer = survivors.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    _swap_into(tmp, store_dir)
+
+    n_after = spark.read.parquet(store_dir).count()
+    return {
+        "before": n_before,
+        "after": n_after,
+        "deleted": n_before - n_after,
+    }
+
+
 def scd2_init(
     spark: SparkSession,
     store_dir: str,
