@@ -296,3 +296,49 @@ def udtf_polymorphic_fixed_width(
         f"LATERAL fixed_width(t.p_name, '{FIXED_WIDTHS}') g "
         f"ORDER BY t.p_partkey"
     )
+
+
+@register(
+    "arrow_map_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(text) AS BIGINT) AS n_chars_exact
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def arrow_map_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (the UNGROUPED arrow-native map, completing the Arrow
+    API matrix next to applyInArrow's grouped form): per-document token
+    and character counts computed with pyarrow compute kernels on
+    RecordBatches -- no pandas conversion, no per-row Python.  Like
+    udtf_char_bigrams this exists for API-surface parity with a
+    deliberately SQL-recomputable statistic; the production path for
+    THIS particular stat is the JVM-side split/size expression
+    (queries/text.py text_stats), and the docstring pins that.  Where
+    mapInArrow earns its keep for real is logic Arrow kernels have but
+    Spark lacks -- the batch shape here (stream of RecordBatches in,
+    stream out, pipelined inside the scan stage, zero shuffle) is
+    exactly what that production use looks like."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            text = t.column("text")
+            toks = pc.list_value_length(
+                pc.split_pattern(text, " ")
+            ).cast(pa.int64())
+            chars = pc.utf8_length(text).cast(pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [t.column("doc_id").combine_chunks(), toks.combine_chunks(),
+                 chars.combine_chunks()],
+                ["doc_id", "n_tokens", "n_chars_exact"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        stats, "doc_id bigint, n_tokens bigint, n_chars_exact bigint"
+    ).orderBy("doc_id")
