@@ -1014,3 +1014,98 @@ def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY CAST(ts AS TIMESTAMP),
+                                               event_id) AS next_type,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR) || '_mkv'),
+                                1, 8))::BIGINT) % 5 < 4 AS is_train
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS prev, next_type AS nxt, is_train
+        FROM seq WHERE next_type IS NOT NULL
+    ),
+    matrix AS (
+        SELECT prev, nxt, COUNT(*) AS c
+        FROM pairs WHERE is_train GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT prev, MAX(c) AS mc FROM matrix GROUP BY prev
+    ),
+    pred AS (
+        SELECT m.prev, MIN(m.nxt) AS predicted
+        FROM matrix m JOIN best b ON m.prev = b.prev AND m.c = b.mc
+        GROUP BY m.prev
+    )
+    SELECT p.prev AS prev_type,
+           MAX(pr.predicted) AS predicted_next,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(AVG(CASE WHEN p.nxt = pr.predicted THEN 1.0 ELSE 0.0 END),
+                 6) AS accuracy
+    FROM pairs p JOIN pred pr ON p.prev = pr.prev
+    WHERE NOT p.is_train
+    GROUP BY p.prev
+    ORDER BY p.prev
+    """,
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event predictor with a REAL train/eval
+    split: transition counts learned on the hash-selected 80% of users,
+    argmax prediction per previous type (deterministic tie-break via the
+    min(struct(-count, next)) trick the graph kernels use), top-1
+    accuracy measured on the held-out 20% -- the full
+    learn-on-A/score-on-B loop as one declarative plan, no driver-side
+    model object (cf. markov_stationary_dist, which studies the same
+    matrix analytically).
+
+    Scale: sequence pairs from one user-partitioned lag window; the
+    model is an enum x enum count table (broadcast-sized by
+    construction); the eval join broadcasts the model into the
+    test-pair scan.  Hash-split by USER, not row, so no user leaks
+    across the split (the split_leakage_audit discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+        (
+            F.expr(
+                "cast(conv(substr(md5(concat(cast(user_id as string),"
+                " '_mkv')), 1, 8), 16, 10) as bigint)"
+            )
+            % 5
+            < 4
+        ).alias("is_train"),
+    ).filter(F.col("nxt").isNotNull())
+    matrix = (
+        seq.filter("is_train").groupBy("prev", "nxt").agg(F.count("*").alias("c"))
+    )
+    pred = matrix.groupBy("prev").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("nxt"))).alias("m")
+    ).select("prev", F.col("m.nxt").alias("predicted"))
+    test = seq.filter(~F.col("is_train"))
+    return (
+        test.join(F.broadcast(pred), "prev")
+        .groupBy(F.col("prev").alias("prev_type"))
+        .agg(
+            F.max("predicted").alias("predicted_next"),
+            F.count("*").alias("n_test"),
+            F.round(
+                F.avg(
+                    F.when(F.col("nxt") == F.col("predicted"), 1.0).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("prev_type")
+    )
