@@ -438,3 +438,50 @@ def test_watermark_drops_late_rows_and_reports_metric(spark, tmp_path):
     days = sorted(r["w"]["start"].day for r in rows)
     assert dropped == 1, f"expected 1 watermark-dropped row, got {dropped}"
     assert days == [10, 10], f"late March-1 row leaked into results: {days}"
+
+
+def test_foreachbatch_jsonl_audit_sink(spark, tmp_path):
+    """Composition: Structured Streaming -> foreachBatch -> the custom
+    Python DataSource WRITER (jsonl_audit).  Each micro-batch publishes
+    its own directory with a control-total sidecar; the union of the
+    sidecars must reconcile with the batch-mode row count -- streaming
+    landing zones with per-batch audit trails, end to end through the
+    v2 write protocol."""
+    import json
+    import os
+
+    from wsu_cpts_415_spark.io.pysource import register_jsonl_audit_sink
+
+    register_jsonl_audit_sink(spark)
+    out_root = str(tmp_path / "land")
+
+    def _sink(batch_df, batch_id):
+        (
+            batch_df.write.format("jsonl_audit")
+            .option("path", f"{out_root}/batch_{batch_id:05d}")
+            .option("total_col", "value")
+            .mode("append")
+            .save()
+        )
+
+    q = (
+        read_events_stream(spark, SF_SMOKE)
+        .select("event_id", "value")
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    total_rows, total_value = 0, 0.0
+    for d in sorted(os.listdir(out_root)):
+        control = json.load(
+            open(os.path.join(out_root, d, "_control_totals.json"))
+        )
+        total_rows += control["n_rows"]
+        total_value += control["total_value"]
+    batch = load_table(spark, SF_SMOKE, "events")
+    assert total_rows == batch.count()
+    exact = batch.groupBy().sum("value").head()[0]
+    assert abs(total_value - exact) < 1e-6
