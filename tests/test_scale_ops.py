@@ -93,3 +93,47 @@ def test_hot_keys_diagnostic(spark):
     # 10 suppliers over ~6k lineitems -> every supplier is "hot" at 100
     assert len(rows) == 10
     assert all(r["n_rows"] > 100 for r in rows)
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """The engine's AQE posture is proven, not assumed: with skew
+    thresholds scoped to fixture scale, a join against one hot key must
+    come out of adaptive execution with SortMergeJoin(skew=true) and an
+    'AQEShuffleRead skewed' child -- the runtime half of the skew story
+    (ops/skew.py's salting is the planning-time half for aggregations,
+    where AQE cannot help)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(1))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().agg(F.count("*").alias("n"))
+        n = j.collect()[0]["n"]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert n == 455_000  # 450k hot-key matches + 5k spread matches
+    assert "skew=true" in plan, "AQE did not split the skewed partition"
+    assert "AQEShuffleRead skewed" in plan
