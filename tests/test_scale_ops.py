@@ -137,3 +137,19 @@ def test_aqe_skew_join_split_fires(spark):
     assert n == 455_000  # 450k hot-key matches + 5k spread matches
     assert "skew=true" in plan, "AQE did not split the skewed partition"
     assert "AQEShuffleRead skewed" in plan
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE's other runtime lever, same proven-not-assumed standard: a
+    tiny aggregate shuffled across the session's 32 partitions must come
+    out of adaptive execution with 'AQEShuffleRead coalesced' -- the
+    mechanism that keeps per-partition overhead from dominating when a
+    stage's output is far below the advisory size (at 100 TB this is
+    what turns a 10k-partition config into right-sized tasks on small
+    intermediate stages)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10_000).groupBy((F.col("id") % 50).alias("k")).count()
+    assert df.count() == 50
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in plan
