@@ -150,6 +150,8 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     from pyspark.sql import functions as F
 
     df = spark.range(0, 10_000).groupBy((F.col("id") % 50).alias("k")).count()
-    assert df.count() == 50
+    # collect() (not .count(), which builds a different plan) so THIS
+    # DataFrame's adaptive plan is the one finalized
+    assert len(df.collect()) == 50
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead coalesced" in plan
