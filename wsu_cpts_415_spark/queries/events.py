@@ -1109,3 +1109,59 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type")
     )
+
+
+@register(
+    "golden_record_per_user",
+    oracle="""
+    SELECT user_id,
+           struct_extract(
+               MAX(CASE WHEN props IS NOT NULL THEN struct_pack(
+                   ts := CAST(ts AS TIMESTAMP), eid := event_id, v := props)
+               END), 'v') AS last_props,
+           struct_extract(
+               MAX(struct_pack(ts := CAST(ts AS TIMESTAMP), eid := event_id,
+                               v := event_type)), 'v') AS last_event_type,
+           MAX(CAST(ts AS TIMESTAMP)) AS last_seen,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def golden_record_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record construction (MDM survivorship at FIELD grain):
+    each user's merged profile takes, PER FIELD, the most recent
+    non-null observation -- props from the last event that carried one,
+    last_event_type from the last event outright -- rather than
+    dedup_survivorship_quality's whole-row winner.  Recency resolved by
+    (ts, event_id) so simultaneous events merge deterministically.
+
+    Scale: one hash aggregate; each field's argmax rides the partial
+    aggregation as max(struct(order_key, field)) with nulls excluded by
+    a conditional (max over an all-null group is null, which IS the
+    right golden value for a never-observed field).  No window, no
+    self-join, no per-user sort."""
+    ev = load_table(spark, sf_dir, "events")
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("props").isNotNull(),
+                    F.struct(
+                        F.col("ts"), F.col("event_id"), F.col("props")
+                    ),
+                )
+            )["props"].alias("last_props"),
+            F.max(
+                F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+            )["event_type"].alias("last_event_type"),
+            F.max("ts").alias("last_seen"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
