@@ -1165,3 +1165,112 @@ def golden_record_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "peak_concurrent_sessions",
+    oracle=f"""
+    WITH sess AS (
+        SELECT user_id,
+               MIN(CAST(ts AS TIMESTAMP)) AS s_start,
+               MAX(CAST(ts AS TIMESTAMP)) AS s_end
+        FROM (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN CAST(ts AS TIMESTAMP)
+                                 - LAG(CAST(ts AS TIMESTAMP)) OVER (
+                                     PARTITION BY user_id
+                                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                                 > INTERVAL {SESSION_GAP_MIN} MINUTE
+                                 OR LAG(ts) OVER (
+                                     PARTITION BY user_id
+                                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                                    IS NULL
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            )
+        )
+        GROUP BY user_id, sid
+    ),
+    pts AS (
+        SELECT s_start AS pt, 1 AS delta FROM sess
+        UNION ALL
+        SELECT s_end AS pt, -1 AS delta FROM sess
+    ),
+    run AS (
+        SELECT pt, delta,
+               SUM(delta) OVER (ORDER BY pt, delta
+                                ROWS UNBOUNDED PRECEDING) AS conc
+        FROM pts
+    )
+    SELECT CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           MIN(CASE WHEN conc = (SELECT MAX(conc) FROM run) THEN pt END)
+               AS first_peak_ts,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sess) AS n_sessions
+    FROM run
+    """,
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact peak concurrency over gap-based user sessions: sweep-line
+    (+1 at session start, -1 at end, ends-before-starts at ties so
+    touching sessions never double-count) with the running sum computed
+    SCALABLY -- boundary points bucket by day, the prefix runs inside
+    each day-partitioned window, and cross-day offsets come from the
+    broadcast triangular join on the calendar grain (the same
+    bucket-prefix-scan as ks_test / cumulative_distinct_users; zero
+    unpartitioned windows).  Peak and its first timestamp are
+    deterministic under boundary ties: a +1 tie-group's maximum is its
+    final value whatever the intra-group order.
+
+    The capacity-planning number (max simultaneous anything: sessions,
+    connections, rentals) computed exactly at data scale -- no
+    time-bucket approximation."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id"
+        )
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    pts = sess.select(
+        F.col("s_start").alias("pt"), F.lit(1).alias("delta")
+    ).unionAll(
+        sess.select(F.col("s_end").alias("pt"), F.lit(-1).alias("delta"))
+    )
+    pts = pts.withColumn("day", F.to_date("pt"))
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy("pt", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = pts.withColumn("local_run", F.sum("delta").over(w_day))
+    day_tot = pts.groupBy("day").agg(F.sum("delta").alias("day_sum"))
+    earlier = day_tot.select(
+        F.col("day").alias("src_day"), F.col("day_sum").alias("src_sum")
+    )
+    offsets = (
+        day_tot.join(
+            F.broadcast(earlier), F.col("src_day") < F.col("day"), "left"
+        )
+        .groupBy("day")
+        .agg(F.coalesce(F.sum("src_sum"), F.lit(0)).alias("offset"))
+    )
+    run = within.join(F.broadcast(offsets), "day").withColumn(
+        "conc", F.col("local_run") + F.col("offset")
+    )
+    peak = run.agg(F.max("conc").alias("peak")).select("peak")
+    n_sessions = sess.agg(F.count("*").alias("n_sessions"))
+    return (
+        run.crossJoin(F.broadcast(peak))
+        .agg(
+            F.max("conc").cast("bigint").alias("peak_concurrency"),
+            F.min(
+                F.when(F.col("conc") == F.col("peak"), F.col("pt"))
+            ).alias("first_peak_ts"),
+        )
+        .crossJoin(F.broadcast(n_sessions))
+    )
