@@ -1040,3 +1040,111 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alpha"),
         )
     )
+
+
+@register(
+    "wasserstein_value_drift",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_type, value,
+               CAST(ts AS TIMESTAMP)
+                   >= (SELECT make_timestamp(
+                           (epoch_us(CAST(MIN(ts) AS TIMESTAMP))
+                            + epoch_us(CAST(MAX(ts) AS TIMESTAMP))) // 2)
+                       FROM events)
+                   AS is_b
+        FROM events
+    ),
+    pts AS (
+        SELECT event_type, value AS v,
+               SUM(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS na,
+               SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS nb
+        FROM tagged GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb
+        FROM pts GROUP BY 1
+    ),
+    curve AS (
+        SELECT p.event_type, p.v,
+               SUM(p.na) OVER w / t.ta AS fa,
+               SUM(p.nb) OVER w / t.tb AS fb,
+               LEAD(p.v) OVER (PARTITION BY p.event_type ORDER BY p.v) AS nv
+        FROM pts p JOIN tot t USING (event_type)
+        WINDOW w AS (PARTITION BY p.event_type ORDER BY p.v
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type,
+           ROUND(SUM(ABS(fa - fb) * (nv - v)), 6) AS w1_distance
+    FROM curve
+    WHERE nv IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between each event
+    type's value distribution in the first vs second half of the time
+    range: the integral of |ECDF_A - ECDF_B| over the merged support --
+    the drift magnitude in VALUE UNITS, where the KS test
+    (ks_test_two_sample) gives only the worst single gap.  Both ECDFs
+    ride one prefix window over the per-(type, value) count table.
+
+    Scale: the scan collapses to (type, distinct value) grain with
+    side-tagged counts first; the prefix window partitions by the enum
+    type.  A type whose distinct-value support outgrows a partition
+    routes the same prefix through the value-bucketed offset form
+    (ops/scalable_rank.py; the ks_test kernel shows it) -- the
+    formulation is unchanged, only the prefix transport differs."""
+    ev = load_table(spark, sf_dir, "events")
+    # epoch-microsecond midpoint: interval/2 halves day and time
+    # components separately in some engines (DuckDB floors the day
+    # count), so both sides use integer micros arithmetic
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).select(
+        F.timestamp_micros(
+            (
+                (F.unix_micros("lo") + F.unix_micros("hi")) / F.lit(2)
+            ).cast("long")
+        ).alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.col("value").alias("v"),
+        (F.col("ts") >= F.col("mid")).alias("is_b"),
+    )
+    pts = tagged.groupBy("event_type", "v").agg(
+        F.sum(F.when(~F.col("is_b"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).alias("nb"),
+    )
+    tot = pts.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lead = Window.partitionBy("event_type").orderBy("v")
+    curve = (
+        pts.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "v",
+            (F.sum("na").over(w) / F.col("ta")).alias("fa"),
+            (F.sum("nb").over(w) / F.col("tb")).alias("fb"),
+            F.lead("v").over(w_lead).alias("nv"),
+        )
+    )
+    return (
+        curve.filter(F.col("nv").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("fa") - F.col("fb")) * (F.col("nv") - F.col("v"))),
+                6,
+            ).alias("w1_distance")
+        )
+        .orderBy("event_type")
+    )
