@@ -258,3 +258,75 @@ def sql_window_named(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id, rn
         """
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's |> operator chain, SIGMOD'24 'SQL Has
+    Problems' lineage): the same filter -> aggregate -> having -> order
+    written as a linear pipeline instead of the inside-out SELECT
+    nesting.  Semantically identical plan -- the oracle is the classic
+    form, and Catalyst compiles both to the same partial-agg shape; the
+    surface matters because generated/templated queries compose by
+    APPENDING stages."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     ROUND(SUM(o_totalprice), 2) AS total_price
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> SELECT o_orderpriority, n_orders, total_price
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "collation_case_insensitive_rollup",
+    oracle="""
+    SELECT lower(p_type) AS type_ci,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(AVG(p_retailprice), 4) AS avg_price
+    FROM part
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def collation_case_insensitive_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Collation-aware grouping (Spark 4 COLLATE): p_type grouped under
+    UTF8_LCASE so case variants collapse WITHOUT rewriting the data --
+    the engine compares collation keys instead of materializing
+    lower(); the group label is normalized explicitly for a
+    deterministic, oracle-matchable output (DuckDB proves the same
+    rollup via lower()).  At scale collation pushes into the comparator
+    everywhere -- joins, sorts, distinct -- which is the difference
+    between annotating a column once and chasing lower() through every
+    query."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT lower(p_type) AS type_ci,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               ROUND(AVG(p_retailprice), 4) AS avg_price
+        FROM part
+        GROUP BY p_type COLLATE UTF8_LCASE, lower(p_type)
+        ORDER BY type_ci
+        """
+    )
