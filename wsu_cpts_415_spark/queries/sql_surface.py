@@ -330,3 +330,50 @@ def collation_case_insensitive_rollup(
         ORDER BY type_ci
         """
     )
+
+
+BAL_THRESHOLD = 5000.0  # parameter the three surface forms all bind
+
+
+@register(
+    "sql_parameter_surfaces",
+    oracle=f"""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_bal,
+           ROUND(SUM(s_acctbal) * 2 + 1, 2) AS derived_twice
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_acctbal > {BAL_THRESHOLD}
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def sql_parameter_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Spark 4 SQL parameterization/reference surfaces in one
+    oracle-pinned query: a SESSION VARIABLE (DECLARE/SET VAR) carries
+    the balance threshold into the WHERE, a NAMED PARAMETER MARKER
+    (:threshold via spark.sql(args=...)) must bind to the same value
+    (asserted in-plan by using both and requiring equality), and a
+    LATERAL COLUMN ALIAS derives one select-list column from another
+    without a subquery.  Parameter markers are the injection-safe plan
+    cache key at scale; session variables thread config through
+    multi-statement SQL jobs; LCA kills a nesting level in generated
+    SQL."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE graft_min_bal DOUBLE DEFAULT 0.0"
+    )
+    spark.sql(f"SET VAR graft_min_bal = {BAL_THRESHOLD}")
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               ROUND(SUM(s_acctbal), 2) AS total_bal,
+               ROUND(total_bal * 2 + 1, 2) AS derived_twice
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal > graft_min_bal AND s_acctbal > :threshold
+        GROUP BY n_name
+        ORDER BY n_name
+        """,
+        args={"threshold": BAL_THRESHOLD},
+    )
