@@ -377,3 +377,40 @@ def sql_parameter_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"threshold": BAL_THRESHOLD},
     )
+
+
+@register(
+    "ansi_try_arithmetic",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(SUM(CASE WHEN l_discount = 0 THEN NULL
+                          ELSE l_extendedprice / NULLIF(l_discount, 0)
+                     END), 2) AS sum_price_per_discount,
+           CAST(COUNT(CASE WHEN l_discount = 0 THEN 1 END) AS BIGINT)
+               AS n_zero_discount
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def ansi_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: the engine runs with ANSI mode ON (errors
+    instead of silent nulls/overflow -- the correct default at scale,
+    where a corrupt row should fail loudly), and try_divide is the
+    opt-out for expressions where null-on-error IS the semantics: price
+    per discount point is undefined at zero discount, and one poisoned
+    row must not kill a 100 TB aggregate.  The oracle proves the
+    identical NULL placement via explicit guards."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(
+                F.sum(F.try_divide("l_extendedprice", "l_discount")), 2
+            ).alias("sum_price_per_discount"),
+            F.count(
+                F.when(F.col("l_discount") == 0, 1)
+            ).alias("n_zero_discount"),
+        )
+        .orderBy("l_linestatus")
+    )
