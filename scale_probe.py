@@ -88,6 +88,15 @@ SHIFT_KEYS = {
 }
 
 PROBE = [
+    # round-6 third-continuation kernels
+    "markov_next_event_accuracy",
+    "golden_record_per_user",
+    "peak_concurrent_sessions",
+    "wasserstein_value_drift",
+    "sql_pipe_syntax",
+    "collation_case_insensitive_rollup",
+    "sql_parameter_surfaces",
+    "ansi_try_arithmetic",
     # round-6 second-continuation kernels
     "theta_sketch_setops",
     "hill_tail_index",
