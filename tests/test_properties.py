@@ -504,3 +504,66 @@ def test_boilerplate_strip_reconstruction_identity(spark, monkeypatch):
         .count()
     )
     assert diff == 0
+
+
+def test_peak_concurrency_matches_bruteforce(spark, tmp_path):
+    """peak_concurrent_sessions' bucket-prefix sweep against a plain
+    Python sweep on randomized event sets: sessionization (60-min gap),
+    ends-before-starts tie rule, peak value AND first-peak timestamp
+    must all agree -- the randomized complement to the fixture-bound
+    DuckDB oracle."""
+    import datetime as dt
+    import random
+
+    from wsu_cpts_415_spark.queries.events import SESSION_GAP_MIN
+    from wsu_cpts_415_spark.registry import all_queries
+
+    q = all_queries()["peak_concurrent_sessions"].fn
+    base = dt.datetime(2024, 3, 1)
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for user in range(12):
+            t = base + dt.timedelta(minutes=rng.randint(0, 600))
+            for _ in range(rng.randint(1, 15)):
+                rows.append((eid, t, user, "click", 1.0, None))
+                eid += 1
+                # mix of intra-session steps and session-breaking gaps
+                t += dt.timedelta(
+                    minutes=rng.choice([1, 5, 20, 59, 61, 200, 1500])
+                )
+        sf_dir = str(tmp_path / f"pc_{seed}")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(f"{sf_dir}/events.parquet")
+
+        got = q(spark, sf_dir).collect()[0]
+
+        # python oracle: sessionize per user, sweep with ends-first ties
+        per_user = {}
+        for _eid, ts, user, *_ in rows:
+            per_user.setdefault(user, []).append(ts)
+        sessions = []
+        for user, tss in per_user.items():
+            tss.sort()
+            start = prev = tss[0]
+            for ts in tss[1:]:
+                if (ts - prev).total_seconds() > SESSION_GAP_MIN * 60:
+                    sessions.append((start, prev))
+                    start = ts
+                prev = ts
+            sessions.append((start, prev))
+        points = [(s, 1) for s, _ in sessions] + [(e, -1) for _, e in sessions]
+        points.sort(key=lambda p: (p[0], p[1]))
+        conc = peak = 0
+        first_peak = None
+        for ts, d in points:
+            conc += d
+            if conc > peak:
+                peak, first_peak = conc, ts
+        assert got["peak_concurrency"] == peak, f"seed {seed}"
+        assert got["first_peak_ts"] == first_peak, f"seed {seed}"
+        assert got["n_sessions"] == len(sessions), f"seed {seed}"
