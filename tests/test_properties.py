@@ -567,3 +567,54 @@ def test_peak_concurrency_matches_bruteforce(spark, tmp_path):
         assert got["peak_concurrency"] == peak, f"seed {seed}"
         assert got["first_peak_ts"] == first_peak, f"seed {seed}"
         assert got["n_sessions"] == len(sessions), f"seed {seed}"
+
+
+def test_wasserstein_drift_matches_bruteforce(spark, tmp_path):
+    """wasserstein_value_drift's prefix-window integral against a plain
+    Python ECDF integration on randomized value sets."""
+    import datetime as dt
+    import random
+
+    from wsu_cpts_415_spark.registry import all_queries
+
+    q = all_queries()["wasserstein_value_drift"].fn
+    base = dt.datetime(2024, 3, 1)
+    rng = random.Random(41)
+    rows = []
+    for eid in range(400):
+        # drift by construction: later half shifted upward
+        late = eid >= 200
+        v = round(rng.uniform(0, 100) + (25 if late else 0), 2)
+        rows.append(
+            (
+                eid,
+                base + dt.timedelta(minutes=eid * 10),
+                eid % 7,
+                "click" if eid % 2 else "view",
+                v,
+                None,
+            )
+        )
+    sf_dir = str(tmp_path / "wd")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = {r["event_type"]: r["w1_distance"] for r in q(spark, sf_dir).collect()}
+
+    ts_all = [r[1] for r in rows]
+    lo, hi = min(ts_all), max(ts_all)
+    mid = lo + (hi - lo) / 2
+    for etype in ("click", "view"):
+        a = sorted(r[4] for r in rows if r[3] == etype and r[1] < mid)
+        b = sorted(r[4] for r in rows if r[3] == etype and r[1] >= mid)
+        support = sorted(set(a) | set(b))
+        w1 = 0.0
+        for v, nv in zip(support, support[1:]):
+            fa = sum(1 for x in a if x <= v) / len(a)
+            fb = sum(1 for x in b if x <= v) / len(b)
+            w1 += abs(fa - fb) * (nv - v)
+        assert abs(got[etype] - round(w1, 6)) < 1e-4, etype
+        assert got[etype] > 5  # the planted +25 shift must register
