@@ -418,3 +418,62 @@ def runtime_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return out
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_id,
+               CASE WHEN props IS NULL THEN NULL
+                    ELSE CAST(json_extract(props, '$.k') AS BIGINT) % 3
+               END AS k,
+               value
+        FROM events
+    ),
+    dim AS (
+        SELECT NULL AS k, 'missing' AS bucket_name
+        UNION ALL SELECT 0, 'k0' UNION ALL SELECT 1, 'k1'
+        UNION ALL SELECT 2, 'k2'
+    )
+    SELECT d.bucket_name,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM keyed e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.bucket_name
+    ORDER BY d.bucket_name
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): rows whose
+    derived key is NULL join the dimension's NULL bucket instead of
+    silently vanishing -- the semantics every dimensional rollup with
+    an optional attribute needs, and the one a plain = join gets wrong
+    (NULL = NULL is NULL, so unkeyed facts drop out of an inner join).
+    The null-safe comparison is still an EQUI key to Spark: it hashes
+    a null-safe wrapper of the key, so the join stays a hash/broadcast
+    join, not a theta join -- asserted by the oracle agreeing on the
+    'missing' bucket's totals."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        F.when(
+            F.col("props").isNull(), F.lit(None).cast("bigint")
+        ).otherwise(
+            F.get_json_object("props", "$.k").cast("bigint") % 3
+        ).alias("k"),
+        "value",
+    )
+    dim = spark.createDataFrame(
+        [(None, "missing"), (0, "k0"), (1, "k1"), (2, "k2")],
+        "k bigint, bucket_name string",
+    )
+    return (
+        keyed.join(F.broadcast(dim), keyed["k"].eqNullSafe(dim["k"]))
+        .groupBy("bucket_name")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("bucket_name")
+    )
