@@ -185,6 +185,71 @@ def _sf_from_dir(path: str) -> float:
         return -1.0
 
 
+# In-harness regression guard (round-6 verdict task): compare this run's
+# per-query times to the most recent committed BENCH_r*.json at the same
+# sf and surface >1.5x movers in the artifact itself, so a plan
+# regression is flagged in the run that introduces it rather than by a
+# later reader.  Sub-threshold absolute movement is ignored (a 0.05 s ->
+# 0.09 s jitter is 1.8x but meaningless); only queries that were at
+# least MIN_PRIOR_SEC last round can regress.
+REGRESSION_RATIO = 1.5
+MIN_PRIOR_SEC = 0.20
+
+
+def _prior_bench(sf: float) -> tuple[str, dict] | None:
+    """Most recent usable per-query baseline: prefers the full-output
+    snapshots this harness writes per round (``bench_r{N}_full.json``,
+    newest round first, then ``bench_now.json``), falling back to the
+    driver's ``BENCH_r*.json`` when its ``parsed`` payload survived
+    truncation.  Accepts both shapes: a top-level ``queries`` map or a
+    driver wrapper with ``parsed.queries``."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates: list[str] = []
+    fulls = []
+    for p in glob.glob(os.path.join(here, "bench_r*_full.json")):
+        m = re.fullmatch(r"bench_r(\d+)_full\.json", os.path.basename(p))
+        if m:
+            fulls.append((int(m.group(1)), p))
+    candidates += [p for _, p in sorted(fulls, reverse=True)]
+    candidates.append(os.path.join(here, "bench_now.json"))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if m:
+            rounds.append((int(m.group(1)), p))
+    candidates += [p for _, p in sorted(rounds, reverse=True)]
+    for path in candidates:
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(prior.get("parsed"), dict):  # driver wrapper
+            prior = prior["parsed"]
+        if prior.get("sf") == sf and isinstance(prior.get("queries"), dict):
+            return os.path.basename(path), prior["queries"]
+    return None
+
+
+def _regressions(timings: dict, sf: float) -> dict:
+    found = _prior_bench(sf)
+    if found is None:
+        return {"baseline": None, "flagged": {}}
+    fname, prior = found
+    flagged = {
+        name: {"prior_sec": prior[name], "now_sec": t,
+               "ratio": round(t / prior[name], 2)}
+        for name, t in timings.items()
+        if name in prior
+        and prior[name] >= MIN_PRIOR_SEC
+        and t > prior[name] * REGRESSION_RATIO
+    }
+    return {"baseline": fname, "flagged": flagged}
+
+
 # Transform-shaped queries whose wide output projection Catalyst would
 # PRUNE under .count() (timing only the surviving join/agg cardinality):
 # these are timed through the noop sink, which materializes every output
@@ -263,6 +328,7 @@ def main() -> None:
     r4_subtotal = round(
         sum(v for k, v in timings.items() if k in R4_HEADLINE), 3
     )
+    sf = _sf_from_dir(SF_DIR)
     print(
         json.dumps(
             {
@@ -270,12 +336,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
+                "sf": sf,
                 # the headline set grows as operators land; compare rounds
                 # per-query (the "queries" map) or via the fixed subset
                 "n_queries": len(timings),
                 "r3_subtotal_sec": r3_subtotal,
                 "r4_subtotal_sec": r4_subtotal,
+                "regressions": _regressions(timings, sf),
             }
         )
     )

@@ -117,11 +117,39 @@ def test_jsonl_audit_writer_two_phase_commit(spark, tmp_path):
     assert abs(got_total - exact) < 1e-6
 
 
+def _settled_jsonl_leftovers(out, timeout=20.0):
+    """Post-settle leftover scan: Spark's save() raises while zombie
+    tasks may still be finishing their staged writes; the abort contract
+    is that those files self-clean (marker check in write()), so poll
+    until the tree holds no .jsonl for two consecutive looks or the
+    timeout expires, and return whatever is left."""
+    import os
+    import time
+
+    deadline = time.monotonic() + timeout
+    clean_streak = 0
+    leftover = []
+    while time.monotonic() < deadline:
+        leftover = []
+        if os.path.exists(out):
+            for _root, _dirs, files in os.walk(out):
+                leftover += [f for f in files if f.endswith(".jsonl")]
+        if not leftover:
+            clean_streak += 1
+            if clean_streak >= 2:
+                return []
+        else:
+            clean_streak = 0
+        time.sleep(0.1)
+    return leftover
+
+
 def test_jsonl_audit_writer_abort_cleans_staging(spark, tmp_path):
     """Failure injection on the v2 write protocol: when one task fails,
     the driver must call abort() -- staged files from the tasks that
     DID finish are discarded and nothing is published (no jsonl files,
-    no control sidecar)."""
+    no control sidecar).  Asserts on post-settle state: tasks that
+    outlive abort() must self-clean via the abort marker."""
     import os
 
     import pytest as _pytest
@@ -144,8 +172,78 @@ def test_jsonl_audit_writer_abort_cleans_staging(spark, tmp_path):
             "append"
         ).save()
     assert not os.path.exists(os.path.join(out, "_control_totals.json"))
-    leftover = []
-    if os.path.exists(out):
-        for root, _dirs, files in os.walk(out):
-            leftover += [f for f in files if f.endswith(".jsonl")]
+    leftover = _settled_jsonl_leftovers(out)
     assert leftover == [], f"staged files survived abort: {leftover}"
+
+
+def test_jsonl_audit_writer_abort_with_straggler_task(spark, tmp_path):
+    """The finish-after-sweep race, provoked deliberately: one partition
+    fails FAST (driver aborts and sweeps _staging) while another sleeps
+    past the abort and only then writes its staged file.  The straggler
+    must see the abort marker after closing its file and delete it --
+    post-settle, the tree holds no .jsonl and nothing is published."""
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from wsu_cpts_415_spark.io.pysource import register_jsonl_audit_sink
+
+    register_jsonl_audit_sink(spark)
+    out = str(tmp_path / "audit_straggler")
+
+    @F.udf("long")
+    def slow_or_boom(v):
+        import time
+
+        if v == 0:  # partition 0 dies immediately -> abort fires early
+            raise ValueError("injected failure")
+        time.sleep(2.0)  # every other task outlives the abort sweep
+        return v
+
+    df = spark.range(0, 8, 1, 8).select(slow_or_boom("id").alias("id"))
+    with _pytest.raises(Exception, match="injected failure"):
+        df.write.format("jsonl_audit").option("path", out).mode(
+            "append"
+        ).save()
+    assert not os.path.exists(os.path.join(out, "_control_totals.json"))
+    leftover = _settled_jsonl_leftovers(out)
+    assert leftover == [], f"straggler files survived abort: {leftover}"
+
+
+def test_jsonl_audit_writer_overwrite_replaces_prior_files(spark, tmp_path):
+    """mode('overwrite') must actually replace: part files from a prior
+    save may not survive alongside the new ones (a reader globbing
+    *.jsonl has to see exactly the file list the control sidecar
+    names), while mode('append') keeps accumulating."""
+    import json
+    import os
+
+    from wsu_cpts_415_spark.io.pysource import register_jsonl_audit_sink
+
+    register_jsonl_audit_sink(spark)
+    out = str(tmp_path / "audit_overwrite")
+    first = spark.range(0, 100, 1, 4).selectExpr(
+        "id", "cast(id as double) as value"
+    )
+    first.write.format("jsonl_audit").option("path", out).option(
+        "total_col", "value"
+    ).mode("append").save()
+    second = spark.range(1000, 1050, 1, 2).selectExpr(
+        "id", "cast(id as double) as value"
+    )
+    second.write.format("jsonl_audit").option("path", out).option(
+        "total_col", "value"
+    ).mode("overwrite").save()
+
+    control = json.load(open(os.path.join(out, "_control_totals.json")))
+    on_disk = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert on_disk == control["files"], (
+        f"disk/control divergence: {on_disk} vs {control['files']}"
+    )
+    assert control["n_rows"] == 50
+    back = spark.read.schema("id bigint, value double").json(
+        os.path.join(out, "*.jsonl")
+    )
+    assert back.count() == 50
+    assert back.agg({"id": "min"}).head()[0] == 1000  # old rows gone

@@ -208,3 +208,40 @@ def test_range_partitioned_row_number_matches_plain_window(spark):
     tiny = spark.createDataFrame(rows[:5], "id long, k string")
     out = range_partitioned_row_number(tiny, "k", npart=16, out_col="rn")
     assert sorted(r.rn for r in out.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_range_partitioned_row_number_beyond_sampler_reach(spark):
+    """Regression for the branch-desync bug: ``parts`` feeds both the
+    offset subtree and the windowed join, and before the localCheckpoint
+    pin each branch re-executed ``repartitionByRange`` with an
+    independently sampled RangePartitioner -- offsets from one boundary
+    set were added to local row_numbers from another.  At 500 rows the
+    sampler sees every row and both samples agree, hiding the bug; at
+    200k rows / npart=32 it corrupted 97% of ranks.  This test pins the
+    fix at exactly that scale: every rank must equal the row's position
+    in the total key order."""
+    from wsu_cpts_415_spark.ops.scalable_rank import (
+        range_partitioned_row_number,
+    )
+
+    n = 200_000
+    # unique key whose lexicographic order is deliberately NOT the
+    # insertion order, so a partition-id-based shortcut can't pass
+    df = (
+        spark.range(n)
+        .withColumn(
+            "k",
+            F.concat(
+                F.format_string("%06x", F.xxhash64("id") % 0xFFFFFF),
+                F.lit("-"),
+                F.format_string("%07d", F.col("id")),
+            ),
+        )
+        .repartition(32)
+    )
+    got = range_partitioned_row_number(df, "k", npart=32, out_col="rn")
+    pairs = got.select("k", "rn").collect()
+    assert len(pairs) == n
+    by_key = sorted(pairs, key=lambda r: r.k)
+    mismatches = sum(1 for i, r in enumerate(by_key, start=1) if r.rn != i)
+    assert mismatches == 0, f"{mismatches} of {n} ranks wrong"

@@ -177,17 +177,56 @@ class _StagedFile(WriterCommitMessage):
 
 class JsonLinesAuditWriter(DataSourceWriter):
     """Executor side of the sink: each task streams its rows to ONE
-    staged file under ``<path>/_staging/`` and returns a commit message
-    naming the file plus its control totals.  Nothing becomes visible
-    until the driver's commit() publishes it -- the two-phase protocol
-    that makes a distributed write atomic-by-rename on a filesystem (an
-    object store swaps the rename for multipart-complete; the message
-    flow is identical)."""
+    staged file under ``<path>/_staging/<write_id>/`` and returns a
+    commit message naming the file plus its control totals.  Nothing
+    becomes visible until the driver's commit() publishes it -- the
+    two-phase protocol that makes a distributed write atomic-by-rename
+    on a filesystem (an object store swaps the rename for
+    multipart-complete; the message flow is identical).
+
+    PRECONDITION: executors and driver must share the filesystem under
+    ``path`` (local mode, NFS, or a DFS mount) -- write() stages on the
+    executor's filesystem and commit() renames on the driver's, so the
+    protocol silently loses data if those differ.  This repo runs
+    single-node; a cluster deployment would swap the ``open``/
+    ``os.replace`` calls for HDFS/object-store clients with the same
+    stage-then-publish message flow.
+
+    Abort discipline (three layers, because Spark does not promise the
+    driver-side abort() runs AFTER every in-flight task stops):
+      * each write is namespaced by a driver-minted ``write_id``, so
+        concurrent/stale attempts never share a staging dir;
+      * a failing task unlinks its own staged file (try/except);
+      * abort() drops a ``<write_id>._ABORTED`` marker BEFORE sweeping,
+        and every task re-checks the marker after closing its file --
+        a task that finishes after the sweep sees the marker and
+        deletes its own file, closing the finish-after-sweep race;
+      * commit() treats anything left under ``_staging`` that its own
+        messages don't name as a stale prior attempt and sweeps it
+        (same batch-id idempotency discipline as the ingest gates).
+    """
 
     def __init__(self, options, overwrite: bool):
+        import uuid
+
         self.path = options["path"]
         self.total_col = options.get("total_col")
         self.overwrite = overwrite
+        # minted once on the driver, pickled to every task: the job's
+        # staging namespace and abort-marker identity
+        self.write_id = uuid.uuid4().hex
+
+    def _staging_dir(self):
+        import os
+
+        return os.path.join(self.path, "_staging", self.write_id)
+
+    def _abort_marker(self):
+        import os
+
+        return os.path.join(
+            self.path, "_staging", f"{self.write_id}._ABORTED"
+        )
 
     def write(self, iterator):
         import json
@@ -197,7 +236,7 @@ class JsonLinesAuditWriter(DataSourceWriter):
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        staging = os.path.join(self.path, "_staging")
+        staging = self._staging_dir()
         os.makedirs(staging, exist_ok=True)
         # attempt-unique name: a zombie task's file is simply never
         # committed (its message never reaches the driver)
@@ -206,13 +245,29 @@ class JsonLinesAuditWriter(DataSourceWriter):
             f"part-{ctx.partitionId():05d}-{uuid.uuid4().hex}.jsonl",
         )
         n, total = 0, 0.0
-        with open(fname, "w") as f:
-            for row in iterator:
-                d = row.asDict()
-                f.write(json.dumps(d, default=str) + "\n")
-                n += 1
-                if self.total_col is not None:
-                    total += float(d[self.total_col] or 0.0)
+        try:
+            with open(fname, "w") as f:
+                for row in iterator:
+                    d = row.asDict()
+                    f.write(json.dumps(d, default=str) + "\n")
+                    n += 1
+                    if self.total_col is not None:
+                        total += float(d[self.total_col] or 0.0)
+        except BaseException:
+            # failing/interrupted task cleans up its own staged file
+            try:
+                os.remove(fname)
+            except OSError:
+                pass
+            raise
+        # close the finish-after-sweep race: if the driver already
+        # aborted this write, our file was (or is about to be) orphaned
+        # by the sweep -- delete it ourselves
+        if os.path.exists(self._abort_marker()):
+            try:
+                os.remove(fname)
+            except OSError:
+                pass
         return _StagedFile(path=fname, n_rows=n, total_value=total)
 
     def commit(self, messages):
@@ -220,11 +275,33 @@ class JsonLinesAuditWriter(DataSourceWriter):
         import os
         import shutil
 
+        committed = {os.path.abspath(m.path) for m in messages}
+        old_files = set()
+        if self.overwrite and os.path.isdir(self.path):
+            old_files = {
+                f
+                for f in os.listdir(self.path)
+                if f.endswith(".jsonl")
+                and os.path.isfile(os.path.join(self.path, f))
+            }
         final_files = []
         for m in messages:
             dest = os.path.join(self.path, os.path.basename(m.path))
             os.replace(m.path, dest)  # atomic on a posix fs
             final_files.append(os.path.basename(dest))
+        if self.overwrite:
+            # overwrite semantics: pre-existing part files not re-staged
+            # this write must go, or readers globbing *.jsonl would see
+            # a union the control sidecar doesn't describe
+            for f in old_files - set(final_files):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass
+        # stale-attempt sweep: anything still under _staging -- other
+        # write_ids' leftovers, abort markers, files from task attempts
+        # whose messages never reached us -- is by definition not part
+        # of this commit
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
         control = {
             "n_rows": sum(m.n_rows for m in messages),
@@ -243,10 +320,18 @@ class JsonLinesAuditWriter(DataSourceWriter):
         import os
         import shutil
 
+        # marker FIRST: any task finishing after this point sees it and
+        # unlinks its own staged file (see write()); only then sweep
+        try:
+            os.makedirs(os.path.join(self.path, "_staging"), exist_ok=True)
+            with open(self._abort_marker(), "w") as f:
+                f.write("aborted")
+        except OSError:
+            pass
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
-        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+        shutil.rmtree(self._staging_dir(), ignore_errors=True)
 
 
 class JsonLinesAuditDataSource(DataSource):

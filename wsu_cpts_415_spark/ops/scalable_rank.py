@@ -232,9 +232,24 @@ def range_partitioned_row_number(
     distinct-value join (``tiefree_global_row_number`` is built for
     FEW distinct values and degrades to an n^2 value join on unique
     keys; this kernel is its complement for unique/high-cardinality
-    keys)."""
-    parts = df.repartitionByRange(npart, F.asc(key_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    keys).
+
+    The ``_pid`` frame is materialized ONCE (``localCheckpoint``)
+    before branching: ``parts`` feeds both the offset subtree and the
+    final windowed join, and without materialization each branch
+    re-executes ``repartitionByRange`` with an independently SAMPLED
+    RangePartitioner -- offsets computed under one set of boundaries
+    would be added to local row_numbers computed under another,
+    silently corrupting ranks once the sampler no longer sees every
+    row (verified wrong for 97% of rows at 200k rows / npart=32
+    before this pin; 0 mismatches after).  On a cluster the same pin
+    would be ``persist() + count()``; localCheckpoint additionally
+    truncates lineage so the two consumers share the materialized
+    partitions."""
+    parts = (
+        df.repartitionByRange(npart, F.asc(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = parts.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     a, b = counts.alias("a"), counts.alias("b")

@@ -58,6 +58,11 @@ def get_spark(
         # write modern annotated INT64 micros, never legacy INT96 (other
         # readers see INT96 as ns and mis-handle it; deprecated upstream)
         "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+        # zstd over the snappy default: measured on this repo's own
+        # maintenance writers (SCALE.md round 6) 21% smaller files at
+        # equal write+read cost -- at 100 TB that's 21 TB less to
+        # store, scan, and shuffle-spill
+        "spark.sql.parquet.compression.codec": "zstd",
         "spark.ui.enabled": "false",
         "spark.sql.shuffle.partitions": str(
             shuffle_partitions if shuffle_partitions is not None else _DEFAULT_CPUS
