@@ -50,6 +50,70 @@ HEADLINE_20 = [
     "training_manifest_pipeline",
 ]
 
+# Round-7 extension (round-6 verdict item 6): the 50 most expensive
+# registry queries by their round-6 sf0.1 bench time, FROZEN here so the
+# set stays a stable cross-round comparator.  Deliberately includes the
+# suite's heaviest streaming queries (Structured Streaming fixed costs
+# plus x10 state) and the iterative-graph kernels (pagerank, k-core,
+# star-contraction CC, label propagation, BFS), the two families whose
+# memory-pressure behavior the 20-query subset hides.
+EXPENSIVE_50 = [
+    "streaming_stream_stream_join",
+    "copurchase_part_pairs",
+    "prefix_filter_jaccard_join",
+    "streaming_cep_error_after_purchase",
+    "kcore_neardup_graph",
+    "pagerank_videos",
+    "boilerplate_strip",
+    "label_propagation",
+    "ingest_dedup_gate",
+    "cc_star_contraction",
+    "streaming_dedup_within_watermark",
+    "q2_min_cost_supplier",
+    "common_neighbor_sim",
+    "er_match_scores",
+    "runtime_bloom_pruned_join",
+    "pca_projection_check",
+    "q16_parts_supplier_relationship",
+    "hard_negative_mining",
+    "peak_concurrent_sessions",
+    "markov_stationary_dist",
+    "q21_suppliers_waiting",
+    "boilerplate_line_filter",
+    "crossdoc_span_dedup",
+    "streaming_seasonal_alerts",
+    "streaming_session_aggs",
+    "streaming_cms_frequency_check",
+    "streaming_distinct_users_daily",
+    "q4_order_priority",
+    "streaming_static_enrich",
+    "q3_shipping_priority",
+    "ngram_jaccard_matmul",
+    "q8_market_share",
+    "q5_local_supplier_volume",
+    "boilerplate_top_lines",
+    "tfidf_top_terms",
+    "mannwhitney_u_test",
+    "q7_volume_shipping",
+    "bfs_hops_videos",
+    "q10_returned_items",
+    "bloom_membership_audit",
+    "join_star_revenue",
+    "embedding_covariance_topdims",
+    "ann_int8_topk",
+    "streaming_sliding_counts",
+    "community_modularity",
+    "skyline_price_size",
+    "funnel_within_window",
+    "join_null_safe_eq",
+    "streaming_tumbling_counts",
+    "bigram_pmi_topk",
+]
+
+# transform-shaped: .count() would let Catalyst prune the wide output
+# projection; time through the noop sink (same set as bench.py)
+FULL_WIDTH = {"boilerplate_strip"}
+
 
 def main() -> None:
     spark = get_spark(app_name="wsu_cpts_415_spark-sf1-bench")
@@ -57,24 +121,38 @@ def main() -> None:
     qs = all_queries()
     qs["flagship_top_customers"].fn(spark, scale_probe.DST).count()  # warm
     jvm_gc = spark.sparkContext._jvm.System.gc
+    run_order = HEADLINE_20 + [
+        n for n in EXPENSIVE_50 if n not in HEADLINE_20
+    ]
     timings: dict[str, float] = {}
-    for name in HEADLINE_20:
+    for name in run_order:
         best = float("inf")
         for _ in range(2):
             jvm_gc()
             t0 = time.perf_counter()
-            qs[name].fn(spark, scale_probe.DST).count()
+            df = qs[name].fn(spark, scale_probe.DST)
+            if name in FULL_WIDTH:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     print(
         json.dumps(
             {
                 "metric": "sf1_headline_total_sec",
-                "value": round(sum(timings.values()), 3),
+                # headline subtotal stays the cross-round comparator
+                # (BENCH_sf1_r5/r6 timed exactly HEADLINE_20)
+                "value": round(
+                    sum(timings[n] for n in HEADLINE_20), 3
+                ),
                 "unit": "sec",
                 "queries": timings,
                 "sf": 1.0,
                 "n_queries": len(timings),
+                "expensive50_total_sec": round(
+                    sum(timings[n] for n in EXPENSIVE_50), 3
+                ),
             }
         )
     )

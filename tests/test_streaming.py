@@ -373,6 +373,93 @@ def test_tws_user_profile_equals_batch(spark):
     assert got == sorted(map(tuple, batch.collect()))
 
 
+def test_tws_processor_logic_against_fake_state(spark):
+    """Transport-free proof of the StatefulProcessor SEMANTICS: drive
+    UserProfileProcessor through the ValueState contract with an
+    in-memory fake handle (exists/get/update), feeding each user's rows
+    in multiple micro-batch slices and in per-batch pandas chunks, and
+    require the final emitted profile to equal the batch groupBy over
+    the same events.  This pins the processor's accumulation arithmetic
+    and replay posture (state carries across batches; the last emission
+    per user wins) independently of the protobuf state client that the
+    container cannot run (streaming/tws.py module docstring)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from wsu_cpts_415_spark.streaming.tws import UserProfileProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    events = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type", "value", "ts")
+        .toPandas()
+        .sort_values("ts", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    # three micro-batches in event-time order, each batch further split
+    # into two pandas chunks per user (the iterator-of-DataFrames shape
+    # handleInputRows actually receives)
+    cuts = [0, len(events) // 3, 2 * len(events) // 3, len(events)]
+    final = {}
+    procs = {}
+    for b in range(3):
+        batch = events.iloc[cuts[b]:cuts[b + 1]]
+        for uid, grp in batch.groupby("user_id"):
+            if uid not in procs:
+                p = UserProfileProcessor()
+                p.init(FakeHandle())
+                procs[uid] = p
+            mid = len(grp) // 2
+            chunks = [c for c in (grp.iloc[:mid], grp.iloc[mid:]) if len(c)]
+            (out,) = list(
+                procs[uid].handleInputRows((uid,), iter(chunks), None)
+            )
+            final[uid] = out  # update mode: latest emission wins
+    got = sorted(
+        (
+            int(o["user_id"][0]),
+            int(o["n_events"][0]),
+            round(float(o["total_value"][0]), 4),
+            int(o["n_purchases"][0]),
+            o["last_ts"][0].to_pydatetime(),
+        )
+        for o in final.values()
+    )
+    batch_truth = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    assert got == sorted(map(tuple, batch_truth.collect()))
+
+
 def test_watermark_drops_late_rows_and_reports_metric(spark, tmp_path):
     """Watermark semantics end-to-end, including the TWO-WATERMARK model
     (SPARK-40925): the late-events filter uses the watermark as of the

@@ -152,11 +152,13 @@ def _prefix_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged(spark, "ssjoin_prefix_tau45", sf_dir, build)
 
 
-@register("prefix_filter_jaccard_join", oracle=_DUCK_EXACT_ABOVE)
-def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All document pairs with shingle-Jaccard >= 0.8, found by an exact
-    prefix-filtered set-similarity join (module docstring has the
-    guarantee and the measured candidate funnel)."""
+def _ssjoin_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The kernel's three stages as frames -- (prefix-join rows,
+    candidates surviving the positional bound, verified pairs) -- so the
+    registered query and the scale probe's candidate-funnel counter
+    consume the same plan instead of two hand-kept copies."""
     from wsu_cpts_415_spark.queries.similarity import _hashed_staged
 
     prefix = _prefix_staged(spark, sf_dir)
@@ -239,4 +241,30 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= TAU_NUM / TAU_DEN)
     )
+    return joined, cand, verified
+
+
+@register("prefix_filter_jaccard_join", oracle=_DUCK_EXACT_ABOVE)
+def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with shingle-Jaccard >= 0.8, found by an exact
+    prefix-filtered set-similarity join (module docstring has the
+    guarantee and the measured candidate funnel)."""
+    _joined, _cand, verified = _ssjoin_frames(spark, sf_dir)
     return verified.orderBy("doc_a", "doc_b")
+
+
+def ssjoin_candidate_funnel(spark: SparkSession, sf_dir: str) -> dict:
+    """Measured candidate funnel for the probe (SCALE.md): prefix-join
+    rows -> distinct pairs sharing a prefix token (post size filter) ->
+    pairs surviving the positional bound -> verified results.  Counting
+    the funnel is how sub-quadratic growth is PROVEN rather than argued
+    from the plan shape."""
+    joined, cand, verified = _ssjoin_frames(spark, sf_dir)
+    return {
+        "prefix_join_rows": joined.count(),
+        "distinct_candidate_pairs": (
+            joined.select("doc_a", "doc_b").distinct().count()
+        ),
+        "after_positional_bound": cand.count(),
+        "verified_pairs": verified.count(),
+    }

@@ -15,7 +15,14 @@ does not ship it (and installs are not permitted), so the operator is
 NOT in the oracle registry -- tests/test_streaming.py skips the
 end-to-end run unless ``google.protobuf`` imports, and a plan-only test
 (analysis, no execution) proves the operator compiles against this
-Spark regardless.
+Spark regardless.  Round 7 verified the environment cannot supply the
+runtime (no network for a vendored wheel; installs forbidden), so the
+behavioral gap is closed from the other side:
+``test_tws_processor_logic_against_fake_state`` drives this processor
+through the ValueState contract with an in-memory fake handle across
+multiple micro-batch slices and pins its final profiles to the batch
+groupBy -- the processor SEMANTICS are proven even though the protobuf
+transport cannot execute here.
 
 Scale notes: state is ONE fixed-width row per user (four scalars), so
 state size is O(distinct users) regardless of event volume; the
