@@ -11,10 +11,15 @@ Signals per blocked candidate pair:
   * length agreement        min(n_chars) / max(n_chars)
 
 Scale posture: candidates come only from the blocking join (bounded per
-block); the Jaccard attach is a left join against the session-staged
-exact pair table, which at production scale is the LSH-verified pair
-sliver.  Scoring is row-local arithmetic; the top-k is
-TakeOrderedAndProject.
+block); every signal is then computed PER CANDIDATE PAIR -- the Jaccard
+attach joins candidates to the compact per-doc shingle-hash arrays and
+intersects two ~|doc| integer arrays per pair, O(|candidates|) work.
+Scoring is row-local arithmetic; the top-k is TakeOrderedAndProject.
+(Probe-caught lesson #5, SCALE.md: the first draft attached Jaccard
+from the globally-materialized exact pair table and measured 37.7x
+wall at x10 -- a per-candidate signal computed from a global table
+imports that table's complexity class.)  Measured x10 2.6 s / x100
+17.9 s vs 0.88 s base: sub-linear per row.
 """
 
 from __future__ import annotations
@@ -107,10 +112,7 @@ def er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     record linkage -- one weak signal misfires (word-soup prefixes look
     alike), the combination separates real near-dups from block
     coincidences."""
-    from wsu_cpts_415_spark.queries.text import (
-        SHARED_SHINGLE_TAU,
-        exact_pairs_above,
-    )
+    from wsu_cpts_415_spark.queries.similarity import _hashed_staged
 
     cand = lev_candidates(spark, sf_dir).withColumn(
         "plen",
@@ -119,26 +121,56 @@ def er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(LEV_PREFIX), F.col("len_b")),
         ),
     )
-    # the sgemm pair kernel at the shared-shingle floor = exactly the
-    # posting-list jac table, staged once and shared with the recall audit
-    jac = exact_pairs_above(spark, sf_dir, SHARED_SHINGLE_TAU).select(
-        "doc_a", "doc_b", "jaccard"
-    )
-    # The jac table is pairs-scale (10M rows at sf0.1); the candidate set
-    # is block-bounded.  Probe the big table map-side with the broadcast
-    # candidate keys, then broadcast the (candidate-sized) hits back --
-    # the pair table itself never shuffles.
-    hits = jac.join(
-        F.broadcast(cand.select("doc_a", "doc_b")), ["doc_a", "doc_b"]
+    # Jaccard attach, PER CANDIDATE PAIR: join the block-bounded
+    # candidate set to the compact 64-bit shingle-hash arrays and
+    # intersect two ~|doc| integer arrays per pair -- O(|candidates|)
+    # work.  (The first draft attached Jaccard by computing the GLOBAL
+    # pair table with the sgemm exactness kernel and probing it; the
+    # x10 probe measured that at 37x wall for 10x docs -- the kernel is
+    # all-pairs-quadratic by design, and this query only ever needed
+    # the candidate sliver.  Probe-caught lesson #5, SCALE.md.)
+    # Non-sharing pairs intersect to 0 shingles -> jaccard 0, exactly
+    # the oracle's COALESCE over its absent sinter row; a pair of
+    # shingle-less docs divides 0/0 -> null -> coalesced to 0 likewise.
+    compact = _hashed_staged(spark, sf_dir).select(
+        "doc_id",
+        F.expr("transform(shingles, s -> xxhash64(s))").alias("h64"),
     )
     scored = (
-        cand.join(F.broadcast(hits), ["doc_a", "doc_b"], "left")
+        cand.join(
+            compact.select(
+                F.col("doc_id").alias("doc_a"), F.col("h64").alias("hs_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            compact.select(
+                F.col("doc_id").alias("doc_b"), F.col("h64").alias("hs_b")
+            ),
+            "doc_b",
+        )
+        .withColumn("ncomm", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.coalesce(
+                F.round(
+                    F.col("ncomm").cast("double")
+                    / (
+                        F.size("hs_a")
+                        + F.size("hs_b")
+                        - F.col("ncomm")
+                    ),
+                    6,
+                ),
+                F.lit(0.0),
+            ),
+        )
         .select(
             "doc_a",
             "doc_b",
             F.round(
                 W_EDIT * (1 - F.col("dist").cast("double") / F.col("plen"))
-                + W_JAC * F.coalesce("jaccard", F.lit(0.0))
+                + W_JAC * F.col("jaccard")
                 + W_LEN
                 * (
                     F.least("len_a", "len_b")
@@ -147,7 +179,7 @@ def er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("match_score"),
             F.col("dist").cast("int").alias("dist"),
-            F.round(F.coalesce("jaccard", F.lit(0.0)), 6).alias("jaccard"),
+            "jaccard",
         )
     )
     return scored.orderBy(

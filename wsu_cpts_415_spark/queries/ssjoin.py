@@ -48,6 +48,9 @@ threshold tau=0.8 (all true dup pairs in the fixtures sit above 0.8)
 the measured funnel at sf0.1 is still 10.3M sharing pairs -> 2.25M
 prefix-join rows -> 0.67M after the positional filter -> 256 verified
 results -- a 15x cut before the first intersection is computed.
+Counted again at x10 and x100 (scale_probe_er_x{10,100}_r7.json):
+every funnel stage grows exactly linearly in corpus size (226.8M ->
+67.5M -> 25,743 at x100), wall 90.7x for 100x docs.
 
 Reference scope: the reference engine's duplicate detection is exact
 key equality (big_data/scripts/duplicate_checker.py:24-61); threshold

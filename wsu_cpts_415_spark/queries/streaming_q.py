@@ -366,11 +366,24 @@ def streaming_cep_error_after_purchase(
     operator carries; swap the kernel body for any other rule.
 
     Scale: state is O(users) scalars; the kernel sees Arrow batches,
-    never Python rows; alerts stream out in update mode."""
+    never Python rows; alerts stream out in update mode.  Replay reads
+    64 files per trigger (lesson #3 extended, SCALE.md round 7): the
+    kernel calls ``state.update`` for every user present in a batch,
+    and nearly every user appears in every fixture file, so
+    one-file-at-a-time replay rewrites O(users) state rows per batch --
+    total state writes = batches x users, SUPER-linear in replay length
+    (measured 67.8x wall at x10 before this change; after it, base
+    2.14 s -> x10 7.88 s = 3.7x for 10x data).
+    Larger slices are also strictly safer for this rule: the kernel
+    sorts each batch by event time, so fewer/bigger batches bring
+    arrival order closer to the global event-time order the oracle
+    assumes."""
     from wsu_cpts_415_spark.streaming.jobs import cep_error_after_purchase
 
     out = run_available_now(
-        cep_error_after_purchase(read_events_stream(spark, sf_dir)),
+        cep_error_after_purchase(
+            read_events_stream(spark, sf_dir, files_per_trigger=64)
+        ),
         "q_streaming_cep",
         output_mode="update",
     )
