@@ -189,11 +189,15 @@ def _sf_from_dir(path: str) -> float:
 # per-query times to the most recent committed BENCH_r*.json at the same
 # sf and surface >1.5x movers in the artifact itself, so a plan
 # regression is flagged in the run that introduces it rather than by a
-# later reader.  Sub-threshold absolute movement is ignored (a 0.05 s ->
-# 0.09 s jitter is 1.8x but meaningless); only queries that were at
-# least MIN_PRIOR_SEC last round can regress.
+# later reader.  Flagging needs BOTH a ratio and an absolute delta:
+# measured across two idle runs of identical code, sub-0.5 s queries
+# jitter by up to ~1.7x (0.21 s <-> 0.35 s) while their deltas stay
+# under ~0.15 s, so a ratio-only rule drowns the signal; a real plan
+# regression on a query worth guarding moves the needle by whole tenths
+# of a second at sf0.1.
 REGRESSION_RATIO = 1.5
 MIN_PRIOR_SEC = 0.20
+MIN_DELTA_SEC = 0.25
 
 
 def _prior_bench(sf: float) -> tuple[str, dict] | None:
@@ -246,6 +250,7 @@ def _regressions(timings: dict, sf: float) -> dict:
         if name in prior
         and prior[name] >= MIN_PRIOR_SEC
         and t > prior[name] * REGRESSION_RATIO
+        and t - prior[name] > MIN_DELTA_SEC
     }
     return {"baseline": fname, "flagged": flagged}
 
