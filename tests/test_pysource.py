@@ -211,6 +211,52 @@ def test_jsonl_audit_writer_abort_with_straggler_task(spark, tmp_path):
     assert leftover == [], f"straggler files survived abort: {leftover}"
 
 
+def test_jsonl_audit_writer_next_write_sweeps_abort_residue(spark, tmp_path):
+    """Abort-only workloads must not accumulate staging residue: the
+    abort marker (which must OUTLIVE stragglers, so abort() leaves it)
+    and any straggler-recreated staging dir are swept by the NEXT
+    writer to the path -- driver-side, before its first task runs --
+    under the one-writer-per-path contract."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from wsu_cpts_415_spark.io.pysource import register_jsonl_audit_sink
+
+    register_jsonl_audit_sink(spark)
+    out = str(tmp_path / "audit_residue")
+
+    @F.udf("long")
+    def boom(v):
+        if v == 0:
+            raise ValueError("injected failure")
+        return v
+
+    bad = spark.range(0, 8, 1, 4).select(boom("id").alias("id"))
+    with _pytest.raises(Exception, match="injected failure"):
+        bad.write.format("jsonl_audit").option("path", out).mode(
+            "append"
+        ).save()
+    _settled_jsonl_leftovers(out)
+    staging = os.path.join(out, "_staging")
+    markers = [
+        f for f in os.listdir(staging) if f.endswith("._ABORTED")
+    ] if os.path.isdir(staging) else []
+    assert markers, "abort() should leave its marker for stragglers"
+
+    good = spark.range(0, 50, 1, 2).selectExpr(
+        "id", "cast(id as double) as value"
+    )
+    good.write.format("jsonl_audit").option("path", out).option(
+        "total_col", "value"
+    ).mode("append").save()
+    assert not os.path.exists(staging), "commit must sweep all residue"
+    control = json.load(open(os.path.join(out, "_control_totals.json")))
+    assert control["n_rows"] == 50
+
+
 def test_jsonl_audit_writer_overwrite_replaces_prior_files(spark, tmp_path):
     """mode('overwrite') must actually replace: part files from a prior
     save may not survive alongside the new ones (a reader globbing

@@ -194,16 +194,29 @@ class JsonLinesAuditWriter(DataSourceWriter):
 
     Abort discipline (three layers, because Spark does not promise the
     driver-side abort() runs AFTER every in-flight task stops):
-      * each write is namespaced by a driver-minted ``write_id``, so
-        concurrent/stale attempts never share a staging dir;
+      * each write is namespaced by a driver-minted ``write_id``, so a
+        retried/aborted attempt of THIS path never shares a staging dir
+        with a later attempt;
       * a failing task unlinks its own staged file (try/except);
       * abort() drops a ``<write_id>._ABORTED`` marker BEFORE sweeping,
         and every task re-checks the marker after closing its file --
         a task that finishes after the sweep sees the marker and
-        deletes its own file, closing the finish-after-sweep race;
-      * commit() treats anything left under ``_staging`` that its own
-        messages don't name as a stale prior attempt and sweeps it
-        (same batch-id idempotency discipline as the ingest gates).
+        deletes its own file, closing the finish-after-sweep race.
+        The marker itself must OUTLIVE every straggler, so abort()
+        deliberately leaves it behind;
+      * staleness is swept at the next write to the same path: a new
+        writer's __init__ (driver-side, before any task runs) and
+        commit() both treat anything under ``_staging`` from another
+        write_id -- leftover markers, dirs a straggler re-created --
+        as a finished prior attempt and remove it, so abort-only
+        workloads accumulate at most one write's residue.
+
+    CONTRACT: one writer per path at a time.  The stale sweeps above
+    assume any foreign ``_staging`` entry belongs to a FINISHED prior
+    job; a concurrent write to the same path would have its staged
+    files silently swept.  (Spark itself gives the same guarantee only
+    per-job; cross-job output commit coordination is the deployment's
+    responsibility on any sink.)
     """
 
     def __init__(self, options, overwrite: bool):
@@ -215,6 +228,30 @@ class JsonLinesAuditWriter(DataSourceWriter):
         # minted once on the driver, pickled to every task: the job's
         # staging namespace and abort-marker identity
         self.write_id = uuid.uuid4().hex
+        # stale sweep (driver-side, before any task of THIS write runs):
+        # under the one-writer-per-path contract, anything already under
+        # _staging -- abort markers, dirs a straggler re-created after
+        # its job's abort() -- belongs to a finished prior attempt
+        self._sweep_stale_staging()
+
+    def _sweep_stale_staging(self):
+        import os
+        import shutil
+
+        root = os.path.join(self.path, "_staging")
+        try:
+            entries = os.listdir(root)
+        except OSError:
+            return
+        for e in entries:
+            p = os.path.join(root, e)
+            try:
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    os.remove(p)
+            except OSError:
+                pass
 
     def _staging_dir(self):
         import os
@@ -275,7 +312,6 @@ class JsonLinesAuditWriter(DataSourceWriter):
         import os
         import shutil
 
-        committed = {os.path.abspath(m.path) for m in messages}
         old_files = set()
         if self.overwrite and os.path.isdir(self.path):
             old_files = {

@@ -132,6 +132,12 @@ def er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Non-sharing pairs intersect to 0 shingles -> jaccard 0, exactly
     # the oracle's COALESCE over its absent sinter row; a pair of
     # shingle-less docs divides 0/0 -> null -> coalesced to 0 likewise.
+    # Hash-collision bound vs the oracle's exact string-shingle Jaccard:
+    # a cross-doc xxhash64 collision would inflate one intersection; at
+    # ~hundreds of shingles per doc the per-pair probability is
+    # ~|A||B|/2^64 < 1e-13, and the conformance gate would surface any
+    # hit.  exact_pairs_with_jaccard intersects the string arrays when
+    # bit-exactness must be unconditional.
     compact = _hashed_staged(spark, sf_dir).select(
         "doc_id",
         F.expr("transform(shingles, s -> xxhash64(s))").alias("h64"),
