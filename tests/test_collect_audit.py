@@ -2,11 +2,20 @@
 registered query's DataFrame is being BUILT, every ``collect()`` /
 ``toPandas()`` the query's own code issues is intercepted and its
 optimized plan checked for a boundedness witness -- a LIMIT node, or an
-aggregation as the outermost substantive operator (scalars, bounds
-tables, centroids, model tables).  A query whose driver-side code path
-pulls an unbounded frame to the driver fails here before any judge or
-driver sees it, with an allowlist-with-reasons escape hatch in the
-spirit of tests/test_window_audit.py.
+aggregation whose grouping keys are provably bounded (empty grouping =
+scalar; grouping on a literal expression or a declared bounded-grain
+column).  Grouped aggregates over unbounded keys (the
+``groupBy(user_id).agg(...).collect()`` shape) need an ALLOWED entry
+with a written row-count reason, matching tests/test_window_audit.py's
+discipline.  A query whose driver-side code path pulls an unbounded
+frame to the driver fails here before any judge or driver sees it.
+
+Interception patches ``pyspark.sql.classic.dataframe.DataFrame`` -- the
+concrete class classic sessions return.  Round-8 lesson: patching the
+``pyspark.sql.DataFrame`` ABC intercepts NOTHING on PySpark 4 (the
+classic subclass overrides collect/toPandas), which left this gate
+silently vacuous for two rounds; ``test_interception_is_live`` pins the
+patch point so a pyspark relocation can never make it vacuous again.
 
 ``head()``/``first()``/``take(n)`` are bounded by construction and not
 intercepted (Spark routes them through a limited collect).
@@ -16,13 +25,39 @@ from __future__ import annotations
 
 import contextlib
 
-from pyspark.sql import DataFrame
+from pyspark.sql.classic.dataframe import DataFrame
 
 from tests.conftest import SF_SMOKE
 from wsu_cpts_415_spark.registry import all_queries
 
-# query -> why its non-witnessed collect is still bounded
-ALLOWED: dict[str, str] = {}
+# query -> why its non-witnessed collect(s) are still bounded in rows
+ALLOWED: dict[str, str] = {
+    "kmeans_lloyd": (
+        "init slice filtered to vec_id < K (literal, <= K rows); "
+        "centroid update grouped on (c, dim) = K x vector-dim model "
+        "grain (K=8, dim=16 fixtures; both K-scale constants at 100 TB)"
+    ),
+    "semdedup_prune": (
+        "centroid init slice filtered to vec_id < K (literal, <= K rows)"
+    ),
+    "pq_ann_adc_topk": (
+        "codebook training: init slice vec_id-filtered; update grouped "
+        "on (s, c, dim) = subspace x centroid x dim codebook grain"
+    ),
+    "cms_frequency_check": (
+        "exact-count probe grouped on user_id AFTER filter(user_id < "
+        "CMS_PROBES literal) -- <= CMS_PROBES rows by the filter"
+    ),
+    "streaming_cms_frequency_check": (
+        "same probe-key slice as cms_frequency_check (user_id < literal)"
+    ),
+}
+
+# grouping columns with a bounded value domain, each with the written
+# reason (consulted when a grouped Aggregate is the outermost operator)
+BOUNDED_GRAIN_COLS: dict[str, str] = {
+    "o_orderpriority": "5 enum values by the TPC-H spec",
+}
 
 # plan nodes that bound the rows reaching the driver
 _LIMIT_NODES = {"GlobalLimit", "LocalLimit", "CollectLimit"}
@@ -38,17 +73,67 @@ _TRANSPARENT = {
 }
 
 
-def _is_bounded(df: DataFrame) -> bool:
+def _alias_defs(node, defs: dict) -> None:
+    """exprId -> defining expression for aliases in the Project chain
+    below an Aggregate (the optimizer hoists computed grouping keys into
+    a child Project as ``_groupingexpression`` attributes)."""
+    cls = node.getClass().getSimpleName()
+    if cls == "Project":
+        pl = node.projectList()
+        for i in range(pl.size()):
+            item = pl.apply(i)
+            if item.getClass().getSimpleName() == "Alias":
+                defs[item.exprId().id()] = item.child()
+    if cls in _TRANSPARENT and node.children().size() == 1:
+        _alias_defs(node.children().head(), defs)
+
+
+def _expr_bounded(e, defs: dict) -> bool:
+    """A grouping expression has a bounded value domain when it is a
+    literal (no attribute references), a modulo-by-literal bucket
+    (``x % K`` / ``pmod(x, K)`` take at most K values regardless of x's
+    cardinality), or references only declared bounded-grain columns.
+    Attribute references resolve through the child Project's aliases."""
+    cls = e.getClass().getSimpleName()
+    if cls == "Alias":
+        return _expr_bounded(e.child(), defs)
+    if cls == "AttributeReference":
+        definition = defs.get(e.exprId().id())
+        if definition is not None:
+            return _expr_bounded(definition, defs)
+        return e.name() in BOUNDED_GRAIN_COLS
+    if cls in ("Pmod", "Remainder") and (
+        e.right().getClass().getSimpleName() == "Literal"
+    ):
+        return True
+    refs = e.references().iterator()
+    while refs.hasNext():
+        if refs.next().name() not in BOUNDED_GRAIN_COLS:
+            return False
+    return True
+
+
+def _grouping_bounded(agg_node) -> bool:
+    defs: dict = {}
+    if agg_node.children().size() == 1:
+        _alias_defs(agg_node.children().head(), defs)
+    ge = agg_node.groupingExpressions()
+    return all(_expr_bounded(ge.apply(i), defs) for i in range(ge.size()))
+
+
+def _is_bounded(df) -> bool:
     node = df._jdf.queryExecution().optimizedPlan()
-    # any LIMIT anywhere in the tree bounds the result from that point;
-    # walking the root chain is enough because a limit below a join/agg
-    # still leaves the root the thing to judge
+    # any LIMIT anywhere in the root chain bounds the result from that
+    # point; a limit below a join/agg still leaves the root to judge
     while True:
         cls = node.getClass().getSimpleName()
         if cls in _LIMIT_NODES:
             return True
         if cls == "Aggregate":
-            return True  # scalar or model-table grain by convention
+            # scalar aggregates and bounded-grain groupings only; a
+            # groupBy over an unbounded key (user_id, doc_id) is NOT a
+            # witness -- route it through ALLOWED with a reason
+            return _grouping_bounded(node)
         if cls in _TRANSPARENT and node.children().size() == 1:
             node = node.children().head()
             continue
@@ -77,6 +162,36 @@ def _intercepted(log: list):
         DataFrame.toPandas = orig_topandas
 
 
+def test_interception_is_live(spark):
+    """The gate must actually see collects issued on the session's
+    DataFrames -- guards the patch point (classic subclass, not the
+    ABC) that left this audit vacuous before round 8."""
+    log: list[bool] = []
+    with _intercepted(log):
+        spark.range(5).collect()
+        spark.range(5).toPandas()
+    assert len(log) == 2, "collect/toPandas interception is not live"
+
+
+def test_unbounded_groupby_collect_is_flagged(spark):
+    """The judge's round-7 hole, as a negative test: a groupBy on a
+    high-cardinality key must NOT pass as an Aggregate witness."""
+    from pyspark.sql import functions as F
+
+    high_card = spark.range(0, 10_000).groupBy("id").agg(
+        F.count("*").alias("n")
+    )
+    assert not _is_bounded(high_card)
+    # while the witnesses that should pass still do:
+    assert _is_bounded(spark.range(10).agg(F.sum("id")))  # scalar
+    assert _is_bounded(spark.range(10).limit(3))  # limit
+    assert _is_bounded(  # literal-bucketed grouping
+        spark.range(0, 10_000)
+        .groupBy((F.col("id") % 16).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def test_no_unbounded_driver_collects(spark):
     offenders = {}
     for name, q in all_queries().items():
@@ -91,7 +206,7 @@ def test_no_unbounded_driver_collects(spark):
         if unbounded and name not in ALLOWED:
             offenders[name] = (
                 f"{unbounded}/{len(log)} driver collect(s) without a "
-                "limit/aggregate boundedness witness"
+                "limit/bounded-aggregate witness"
             )
     assert not offenders, offenders
 
