@@ -321,9 +321,10 @@ def main() -> None:
     # (same set + reasoning as bench.py's FULL_WIDTH)
     full_width = {"boilerplate_strip"}
     timings = {}
+    cold = {}
     for name in PROBE:
         best = float("inf")
-        for _ in range(2):
+        for run in range(2):
             jvm_gc()
             t0 = time.perf_counter()
             df = qs[name].fn(spark, DST)
@@ -331,7 +332,17 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
             else:
                 df.count()
-            best = min(best, time.perf_counter() - t0)
+            took = time.perf_counter() - t0
+            if run == 0:
+                # Round-8 methodology fix: session-staged tables
+                # (ops/staging.py) build during run 1, so a min-of-two
+                # silently HID staging cost (er_match_scores' x100
+                # blocking build -- 404 s -- reported as 17.9 s in the
+                # r7 artifact).  The warm number stays `queries` (the
+                # steady-state per-query cost); `queries_cold` is the
+                # first run including any staging it triggered.
+                cold[name] = round(took, 3)
+            best = min(best, took)
         timings[name] = round(best, 3)
     out = {
         "metric": "scale_probe_total_sec",
@@ -339,6 +350,7 @@ def main() -> None:
         "build_sec": build_s,
         "value": round(sum(timings.values()), 3),
         "queries": timings,
+        "queries_cold": cold,
     }
     # SSJoin candidate funnel (round-6 verdict item 4): counted at the
     # replica scale whenever the kernel is probed, so sub-quadratic
@@ -347,6 +359,25 @@ def main() -> None:
         from wsu_cpts_415_spark.queries.ssjoin import ssjoin_candidate_funnel
 
         out["ssjoin_funnel"] = ssjoin_candidate_funnel(spark, DST)
+    # ER blocking funnel (round-8): the blocking keys (lang,
+    # length-block, first-token) have BOUNDED cardinality, so replica
+    # growth packs more docs into the same blocks and block-pairs grow
+    # ~quadratically in N -- measure it so blocking saturation is a
+    # number, not a surprise (SCALE.md lesson #7)
+    if "er_match_scores" in PROBE:
+        from wsu_cpts_415_spark.queries.semdedup import lev_candidates
+
+        cand = lev_candidates(spark, DST)
+        blocks = cand.groupBy("lang", "blk").count()
+        stats = blocks.agg(
+            F.count("*").alias("n_blocks"),
+            F.max("count").alias("max_block_pairs"),
+        ).collect()[0]
+        out["er_blocking_funnel"] = {
+            "candidate_pairs": cand.count(),
+            "nonempty_blocks": stats["n_blocks"],
+            "max_block_pairs": stats["max_block_pairs"],
+        }
     print(json.dumps(out))
 
 

@@ -717,7 +717,9 @@ def test_prefix_filter_ssjoin_plan(spark, qs):
     plan = fmt_plan(qs["prefix_filter_jaccard_join"].fn(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # df table broadcast at this sf
-    assert "partial_min" in plan  # positional-filter agg combines map-side
+    # positional-filter agg combines map-side (accumulated-overlap form:
+    # count + max-rank per pair)
+    assert "partial_max" in plan
     for read in (l for l in plan.splitlines() if "ReadSchema" in l):
         assert read.count(":") - 1 <= 2, f"scan too wide: {read}"
 

@@ -65,6 +65,18 @@ def staged_model(
     return _MODEL_CACHE[key]
 
 
+def maybe_broadcast(df: DataFrame, bound: int) -> DataFrame:
+    """Broadcast a doc-grain side table below ``bound`` rows (one cheap
+    count action, typically riding an already-persisted staged frame);
+    above the bound the consuming join falls back to a shuffle join --
+    at 100 TB scale a bucketed layout co-locates these joins instead of
+    broadcasting.  Shared by the SSJoin filter/verify joins and the ER
+    scorer's per-candidate signal attach."""
+    from pyspark.sql import functions as F
+
+    return F.broadcast(df) if df.count() <= bound else df
+
+
 _TRACKED: list[DataFrame] = []
 
 

@@ -10,16 +10,27 @@ Signals per blocked candidate pair:
                             shares a shingle -- the left join's null)
   * length agreement        min(n_chars) / max(n_chars)
 
-Scale posture: candidates come only from the blocking join (bounded per
-block); every signal is then computed PER CANDIDATE PAIR -- the Jaccard
-attach joins candidates to the compact per-doc shingle-hash arrays and
+Scale posture: every signal is computed PER CANDIDATE PAIR -- the
+Jaccard attach joins candidates to the compact per-doc shingle-hash
+arrays (broadcast under the SSJoin family's doc-side bound) and
 intersects two ~|doc| integer arrays per pair, O(|candidates|) work.
 Scoring is row-local arithmetic; the top-k is TakeOrderedAndProject.
 (Probe-caught lesson #5, SCALE.md: the first draft attached Jaccard
 from the globally-materialized exact pair table and measured 37.7x
 wall at x10 -- a per-candidate signal computed from a global table
-imports that table's complexity class.)  Measured x10 2.6 s / x100
-17.9 s vs 0.88 s base: sub-linear per row.
+imports that table's complexity class.)
+
+Candidate COUNT, however, is set by the blocking POLICY, and the
+blocking keys here (lang, length-block, first-token) have bounded
+cardinality -- so replica growth saturates the blocks and candidate
+pairs grow super-linearly (measured, scale_probe_er_x100_r8.json
+``er_blocking_funnel``: 26.5M candidates in 15 nonempty blocks at
+x100, max block 7.4M pairs; SCALE.md lesson #7).  The engine's cost is
+linear IN the candidates (x100 warm: 13.9 s for 26.5M pairs); the
+recall-vs-cost dial is the key selectivity, which a production corpus
+tunes by extending the key (more prefix chars / tokens) until blocks
+are bounded -- the same dial the oracle SQL shares, so conformance
+pins whatever policy is chosen.
 """
 
 from __future__ import annotations
@@ -138,9 +149,20 @@ def er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~|A||B|/2^64 < 1e-13, and the conformance gate would surface any
     # hit.  exact_pairs_with_jaccard intersects the string arrays when
     # bit-exactness must be unconditional.
-    compact = _hashed_staged(spark, sf_dir).select(
-        "doc_id",
-        F.expr("transform(shingles, s -> xxhash64(s))").alias("h64"),
+    # doc-grain side table: broadcast under the same bound as the SSJoin
+    # filter/verify joins, so the candidate pairs stream through two
+    # broadcast-hash joins instead of being shuffled twice with the
+    # arrays attached (x100 probe: the candidate table is 26.5M pairs
+    # while the compact side is corpus-grain)
+    from wsu_cpts_415_spark.ops.staging import maybe_broadcast
+    from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
+
+    compact = maybe_broadcast(
+        _hashed_staged(spark, sf_dir).select(
+            "doc_id",
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("h64"),
+        ),
+        DOC_SIDE_BCAST_ROWS,
     )
     scored = (
         cand.join(

@@ -71,13 +71,16 @@ _NEARDUP_DUCK_CTES = f"""{LSH_PAIRS_DUCK_CTES},
     )"""
 
 
-def min_label_components(pairs: DataFrame) -> DataFrame:
+def min_label_components(
+    pairs: DataFrame, stats: dict | None = None
+) -> DataFrame:
     """Connected components of an undirected pair graph by min-label
     propagation: (doc_a, doc_b) pairs in, (doc_id, label) out for every
     vertex incident to a pair, label = component-minimum vertex id.
     Converges in graph-diameter rounds with per-round convergence check
     and lineage truncation (generic kernel; property-tested against a
-    union-find oracle in tests/test_pipelines.py)."""
+    union-find oracle in tests/test_pipelines.py).  ``stats`` records
+    ``rounds`` for the pathological-topology probe."""
     # The pair graph is a sliver of the corpus; keep the iteration loop on
     # a handful of partitions so per-round task overhead tracks GRAPH size
     # (on a cluster this would be `coalesce(edges_bytes / target)`).
@@ -101,7 +104,9 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
     # old-vs-new join needed).
     prev_sum = None
     converged = False
-    for _ in range(MAX_CC_ROUNDS):
+    for _rnd in range(MAX_CC_ROUNDS):
+        if stats is not None:
+            stats["rounds"] = _rnd + 1
         prop = edges.join(
             labels, edges["src"] == labels["doc_id"], "inner"
         ).select(F.col("dst").alias("doc_id"), "label")

@@ -81,10 +81,18 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return links.distinct()
 
 
-def star_contraction_components(pairs: DataFrame) -> DataFrame:
+def star_contraction_components(
+    pairs: DataFrame, stats: dict | None = None
+) -> DataFrame:
     """(doc_id, label) for every vertex incident to a pair; label = the
     component-minimum vertex id.  Same contract as
-    ``graph_ops.min_label_components``, diameter-independent rounds."""
+    ``graph_ops.min_label_components``, diameter-independent rounds.
+
+    ``stats`` (optional out-param): records ``rounds`` -- the number of
+    contraction rounds to fixpoint -- for the pathological-topology
+    probe (graph_topology_probe.py), which verifies the O(log n) round
+    bound on adversarial shapes the fixtures' dense 2-3-diameter
+    near-dup clusters never exercise."""
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -111,7 +119,7 @@ def star_contraction_components(pairs: DataFrame) -> DataFrame:
 
     prev = fingerprint(edges)
     converged = False
-    for _ in range(MAX_STAR_ROUNDS):
+    for rnd in range(MAX_STAR_ROUNDS):
         edges = (
             _small_star(_large_star(edges))
             .coalesce(4)
@@ -120,6 +128,8 @@ def star_contraction_components(pairs: DataFrame) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         cur = fingerprint(edges)
+        if stats is not None:
+            stats["rounds"] = rnd + 1
         if cur == prev:
             converged = True
             break

@@ -25,16 +25,30 @@ of magnitude below the full posting-list join.  Plan shape:
     into the tagging join under an explicit row bound
     (``VOCAB_BCAST_ROWS``) and falls back to a shuffle join above it;
   * size filter pushed into the self-join in exact integer form
-    (``5*nb >= 4*na`` for tau=4/5 -- no float boundary risk);
-  * positional filter: for the earliest shared prefix token at ranks
-    ``(i, j)``, overlap ``<= 1 + min(na - i, nb - j)``; pairs whose
-    bound misses ``ceil(tau/(1+tau)*(na+nb))`` die in one hash
-    aggregate on the (doc_a, doc_b) pair key -- two columns, not the
-    packed-long trick of ``text.exact_jaccard_pairs``, because SSJoin
-    must accept full 64-bit doc ids -- before any intersection is
-    computed;
-  * verification joins only survivors back to the compact per-doc hash
-    arrays and intersects two ~|doc| integer arrays per pair.
+    (``5*nb >= 4*na`` for tau=4/5 -- no float boundary risk), with
+    ASYMMETRIC prefixes (PPJoin's probing-prefix refinement): the
+    larger side keeps the full ``n - ceil(tau*n) + 1`` prefix, the
+    smaller side only its ``n - ceil(2*tau/(1+tau)*n) + 1`` probing
+    prefix (proof in ``_ssjoin_frames``);
+  * positional filter with ACCUMULATED overlap (the actual PPJoin
+    filter): one hash aggregate per (doc_a, doc_b) pair counts the
+    shared prefix tokens ``c`` and the LAST shared ranks
+    ``(imax, jmax)``; pairs with
+    ``c + min(na - imax, nb - jmax) < ceil(tau/(1+tau)*(na+nb))`` die
+    before any doc-grain table is joined;
+  * histogram suffix filter (PPJoin+'s suffix filter, flattened to
+    vectorized expressions): per doc a ``HIST_BUCKETS``-int histogram
+    of ``pmod(xxhash64(shingle), B)``; ``sum_k min(ha[k], hb[k])`` is
+    an exact upper bound on the intersection, so pairs whose bound
+    misses the required overlap die before the wide compact arrays are
+    attached -- this is the stage that kills coincidental
+    rare-prefix-collision pairs the positional bound structurally
+    cannot (an early shared rare token leaves min(na-i, nb-j) ~ n);
+  * verification joins only suffix survivors back to the compact
+    per-doc hash arrays and intersects two ~|doc| integer arrays per
+    pair; the doc-grain histogram/compact sides broadcast under
+    ``DOC_SIDE_BCAST_ROWS`` (above it: shuffle join locally, bucketed
+    co-location at 100 TB).
 
 The prefix table is session-staged (ops/staging.py) so the self-join
 reads one persisted table from both sides instead of re-aggregating
@@ -45,12 +59,15 @@ Honest fixture note: this synthetic corpus has a deliberately narrow
 vocabulary (931 distinct shingles at sf0.1), so prefix df's stay large
 and pruning is weaker than on real text; at the production near-dup
 threshold tau=0.8 (all true dup pairs in the fixtures sit above 0.8)
-the measured funnel at sf0.1 is still 10.3M sharing pairs -> 2.25M
-prefix-join rows -> 0.67M after the positional filter -> 256 verified
-results -- a 15x cut before the first intersection is computed.
-Counted again at x10 and x100 (scale_probe_er_x{10,100}_r7.json):
-every funnel stage grows exactly linearly in corpus size (226.8M ->
-67.5M -> 25,743 at x100), wall 90.7x for 100x docs.
+the round-8 funnel (scale_probe_er_x10_r8.json) at x10 measures 14.5M
+prefix-join rows -> 11.2M distinct candidate pairs -> 5.93M after the
+accumulated positional bound -> 2,569 after the histogram suffix
+filter = exactly the 2,569 verified pairs: the filter stack eliminates
+EVERY false candidate before the first intersection is computed
+(round 7's stack fed 6.76M pairs into verification for the same 2,569
+results -- ~2,600 candidates verified per true pair; the suffix filter
+closed that gap).  Every funnel stage grows linearly in corpus size
+across x10/x100.
 
 Reference scope: the reference engine's duplicate detection is exact
 key equality (big_data/scripts/duplicate_checker.py:24-61); threshold
@@ -71,6 +88,19 @@ TAU_NUM, TAU_DEN = 4, 5
 # Broadcast the (token, df) table only below this row count; above it
 # the tagging join falls back to a shuffle join on the token hash.
 VOCAB_BCAST_ROWS = 2_000_000
+
+# Broadcast the doc-grain histogram/compact-array side tables only below
+# this row count (they carry ~0.3-0.5 KB per doc); above it the filter
+# and verify joins fall back to shuffle joins -- at true 100 TB scale
+# the bucketed layout co-locates them instead.
+DOC_SIDE_BCAST_ROWS = 1_000_000
+
+# suffix-filter histogram width: shingle hashes bucketed by
+# pmod(xxhash64, HIST_BUCKETS); sum-of-per-bucket-minima is an EXACT
+# upper bound on |A intersect B| (the intersection partitions across
+# buckets), tight enough at 64 buckets to separate near-dups from
+# coincidental prefix collisions (measured: see module docstring)
+HIST_BUCKETS = 64
 
 _DUCK_EXACT_ABOVE = """
     WITH shingles AS (
@@ -155,24 +185,86 @@ def _prefix_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged(spark, "ssjoin_prefix_tau45", sf_dir, build)
 
 
+def _hist_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hist): per document, the {HIST_BUCKETS}-bucket histogram
+    of its shingle hashes (``pmod(xxhash64(s), B)``) as an exact
+    ``array<int>``.  For any two docs, ``sum_k min(hist_a[k],
+    hist_b[k]) >= |A intersect B|`` (the intersection partitions across
+    buckets and each bucket's share is at most the smaller occupancy) --
+    the PPJoin+ suffix filter's divide-and-conquer bound, flattened to
+    one fixed partition of the token space so it evaluates as pure
+    vectorized expressions per candidate instead of per-pair binary
+    searches.  Session-staged: doc-count rows x ~0.3 KB."""
+    from wsu_cpts_415_spark.ops.staging import staged
+    from wsu_cpts_415_spark.queries.similarity import _hashed_staged
+
+    def build() -> DataFrame:
+        return _hashed_staged(spark, sf_dir).select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {HIST_BUCKETS - 1}), k ->"
+                f" size(filter(shingles, s ->"
+                f" pmod(xxhash64(s), {HIST_BUCKETS}) = k)))"
+            ).alias("hist"),
+        )
+
+    return staged(spark, f"ssjoin_hist{HIST_BUCKETS}", sf_dir, build)
+
+
 def _ssjoin_frames(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The kernel's three stages as frames -- (prefix-join rows,
-    candidates surviving the positional bound, verified pairs) -- so the
-    registered query and the scale probe's candidate-funnel counter
-    consume the same plan instead of two hand-kept copies."""
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The kernel's four stages as frames -- (prefix-join rows,
+    candidates surviving the positional bound, candidates surviving the
+    histogram suffix filter, verified pairs) -- so the registered query
+    and the scale probe's candidate-funnel counter consume the same plan
+    instead of two hand-kept copies.
+
+    Pair generation is ASYMMETRIC (PPJoin's probing-prefix refinement,
+    Xiao et al. §3.2): the pair's larger document keeps the standard
+    prefix ``na - ceil(tau*na) + 1`` while the smaller side only needs
+    its SHORT prefix ``nb - ceil(2*tau/(1+tau)*nb) + 1`` (8/9 at
+    tau=4/5).  Exactness: J >= tau forces overlap
+    t = ceil(tau/(1+tau)*(na+nb)); with nb <= na that gives
+    t >= ceil(2*tau/(1+tau)*nb) and (with the size filter nb >= tau*na)
+    t >= ceil(tau*na), so both used prefixes have length >= n - t + 1,
+    and two sets with overlap >= t whose first (n - t + 1) tokens under
+    one global total order are disjoint cannot exist (the earlier
+    boundary token w would leave all >= t common tokens above w on one
+    side, but only n - prefix_len < t tokens sit above w there).
+
+    Positional filter with ACCUMULATED overlap (the actual PPJoin
+    filter; the previous revision used only the earliest shared token):
+    let c = number of shared (full-prefix x short-prefix) tokens and
+    (imax, jmax) the ranks of the LAST shared token w.  Every common
+    token ordered before w lies below rank imax in a and jmax in b,
+    hence inside both used prefixes, hence is one of the c join rows --
+    so common tokens <= w number exactly c, common tokens > w number at
+    most min(na - imax, nb - jmax), and
+    overlap <= c + min(na - imax, nb - jmax).
+    """
     from wsu_cpts_415_spark.queries.similarity import _hashed_staged
 
     prefix = _prefix_staged(spark, sf_dir)
     a, b = prefix.alias("a"), prefix.alias("b")
+    # short (probing) prefix bound for the smaller side, integer-exact:
+    # rk <= n - ceil(2*tau/(1+tau) * n) + 1
+    b_short = F.col("b.rk") <= F.col("b.n") - _ceil_frac(
+        F.col("b.n"), 2 * TAU_NUM, TAU_NUM + TAU_DEN
+    ) + 1
     joined = a.join(
         b,
         (F.col("a.sh") == F.col("b.sh"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        # size filter tau*na <= nb and tau*nb <= na, integer-exact
+        # canonical roles: a = larger doc (full prefix), b = smaller doc
+        # (short prefix); doc_id breaks size ties, so each unordered
+        # pair is generated under exactly one role assignment
+        & (
+            (F.col("a.n") > F.col("b.n"))
+            | ((F.col("a.n") == F.col("b.n")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        )
+        # size filter tau*na <= nb, integer-exact (nb <= na by the role)
         & (TAU_DEN * F.col("b.n") >= TAU_NUM * F.col("a.n"))
-        & (TAU_DEN * F.col("a.n") >= TAU_NUM * F.col("b.n")),
+        & b_short,
     ).select(
         # two-column pair key: unlike text.exact_jaccard_pairs' packed
         # long (ids < 2^32 by that table's contract), SSJoin must accept
@@ -185,36 +277,64 @@ def _ssjoin_frames(
         F.col("a.n").alias("na"),
         F.col("b.n").alias("nb"),
     )
-    # Earliest shared prefix token: both rankings follow the one global
-    # order, so MIN(rka) and MIN(rkb) name the same token.  Positional
-    # bound: overlap <= 1 + min(na - i, nb - j); required overlap is
-    # t = ceil(tau/(1+tau)*(na+nb)).
+    # required overlap t = ceil(tau/(1+tau)*(na+nb)), shared by every
+    # downstream filter
+    t_req = _ceil_frac(F.col("na") + F.col("nb"), TAU_NUM, TAU_NUM + TAU_DEN)
     cand = (
         joined.groupBy("doc_a", "doc_b")
         .agg(
-            F.min("rka").alias("i"),
-            F.min("rkb").alias("j"),
+            F.count("*").alias("c"),
+            F.max("rka").alias("imax"),
+            F.max("rkb").alias("jmax"),
             F.first("na").alias("na"),
             F.first("nb").alias("nb"),
         )
         .filter(
-            1
-            + F.least(F.col("na") - F.col("i"), F.col("nb") - F.col("j"))
-            >= _ceil_frac(
-                F.col("na") + F.col("nb"), TAU_NUM, TAU_NUM + TAU_DEN
+            F.col("c")
+            + F.least(
+                F.col("na") - F.col("imax"), F.col("nb") - F.col("jmax")
             )
+            >= t_req
         )
+        .select("doc_a", "doc_b", "na", "nb")
+    )
+    # Suffix filter: attach the two {HIST_BUCKETS}-int histograms and
+    # keep only pairs whose bucket-minima sum reaches t -- kills the
+    # coincidental-prefix-collision pairs the positional bound cannot
+    # (an early shared rare token makes min(na-i, nb-j) ~ min(na, nb)),
+    # BEFORE the wider compact hash arrays are ever joined.
+    from wsu_cpts_415_spark.ops.staging import maybe_broadcast
+
+    hist = maybe_broadcast(_hist_staged(spark, sf_dir), DOC_SIDE_BCAST_ROWS)
+    hist_bound = F.aggregate(
+        F.zip_with("ha", "hb", lambda x, y: F.least(x, y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    suffix_surv = (
+        cand.join(
+            hist.select(F.col("doc_id").alias("doc_a"), F.col("hist").alias("ha")),
+            "doc_a",
+        )
+        .join(
+            hist.select(F.col("doc_id").alias("doc_b"), F.col("hist").alias("hb")),
+            "doc_b",
+        )
+        .filter(hist_bound >= t_req)
         .select("doc_a", "doc_b", "na", "nb")
     )
     # Verify: intersect two compact 64-bit hash arrays per surviving
     # pair (the same compact form text.exact_pairs_above intersects;
     # document text never moves).
-    compact = _hashed_staged(spark, sf_dir).select(
-        "doc_id",
-        F.expr("transform(shingles, s -> xxhash64(s))").alias("h64"),
+    compact = maybe_broadcast(
+        _hashed_staged(spark, sf_dir).select(
+            "doc_id",
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("h64"),
+        ),
+        DOC_SIDE_BCAST_ROWS,
     )
     verified = (
-        cand.join(
+        suffix_surv.join(
             compact.select(
                 F.col("doc_id").alias("doc_a"), F.col("h64").alias("hs_a")
             ),
@@ -234,8 +354,10 @@ def _ssjoin_frames(
             "nb",
         )
         .select(
-            "doc_a",
-            "doc_b",
+            # output canonicalization: generation ordered by SIZE (a =
+            # larger); the contract (and oracle) order by doc id
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
             F.round(
                 F.col("ncomm").cast("double")
                 / (F.col("na") + F.col("nb") - F.col("ncomm")),
@@ -244,7 +366,7 @@ def _ssjoin_frames(
         )
         .filter(F.col("jaccard") >= TAU_NUM / TAU_DEN)
     )
-    return joined, cand, verified
+    return joined, cand, suffix_surv, verified
 
 
 @register("prefix_filter_jaccard_join", oracle=_DUCK_EXACT_ABOVE)
@@ -252,22 +374,24 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs with shingle-Jaccard >= 0.8, found by an exact
     prefix-filtered set-similarity join (module docstring has the
     guarantee and the measured candidate funnel)."""
-    _joined, _cand, verified = _ssjoin_frames(spark, sf_dir)
+    _joined, _cand, _suffix, verified = _ssjoin_frames(spark, sf_dir)
     return verified.orderBy("doc_a", "doc_b")
 
 
 def ssjoin_candidate_funnel(spark: SparkSession, sf_dir: str) -> dict:
     """Measured candidate funnel for the probe (SCALE.md): prefix-join
     rows -> distinct pairs sharing a prefix token (post size filter) ->
-    pairs surviving the positional bound -> verified results.  Counting
-    the funnel is how sub-quadratic growth is PROVEN rather than argued
-    from the plan shape."""
-    joined, cand, verified = _ssjoin_frames(spark, sf_dir)
+    pairs surviving the positional bound -> pairs surviving the
+    histogram suffix filter -> verified results.  Counting the funnel is
+    how sub-quadratic growth is PROVEN rather than argued from the plan
+    shape."""
+    joined, cand, suffix_surv, verified = _ssjoin_frames(spark, sf_dir)
     return {
         "prefix_join_rows": joined.count(),
         "distinct_candidate_pairs": (
             joined.select("doc_a", "doc_b").distinct().count()
         ),
         "after_positional_bound": cand.count(),
+        "after_suffix_filter": suffix_surv.count(),
         "verified_pairs": verified.count(),
     }
