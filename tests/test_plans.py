@@ -790,3 +790,15 @@ def test_weighted_reservoir_window_group_limit(spark, qs):
     plan = fmt_plan(qs["weighted_reservoir_topk"].fn(spark, SF_ORACLE))
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_topk_with_ties_window_group_limit(spark, qs):
+    """topk_with_ties_dense_rank: the dense_rank filter must compile to
+    WindowGroupLimit, which requires the plan to carry EXACTLY ONE
+    window node -- the round-8 audit found the tie count written as a
+    second window function, which disables InferWindowGroupLimit and
+    ranks every supplier; the count is a post-filter hash aggregate
+    instead (all-or-none by dense-rank tie semantics)."""
+    plan = fmt_plan(qs["topk_with_ties_dense_rank"].fn(spark, SF_ORACLE))
+    assert "WindowGroupLimit" in plan, "ties top-k fell off the group limit"
+    assert plan.count("Window ") - plan.count("WindowGroupLimit") <= 1

@@ -335,20 +335,27 @@ def topk_with_ties_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: window partitioned by the nation dim; the dense_rank filter
     is rank-pushdown eligible (WindowGroupLimit) since Spark 3.5 --
-    only candidate ranks survive each partition's sort."""
+    only candidate ranks survive each partition's sort.  The tie count
+    is deliberately NOT a second window function: a non-rank window in
+    the same subtree disables InferWindowGroupLimit (round-8 plan
+    audit caught exactly that -- two Window nodes, no group limit).
+    Because dense_rank keeps ALL ties, the rank filter keeps each
+    (nation, balance) group wholly or not at all, so counting AFTER
+    the filter is semantically identical and runs as a hash aggregate
+    over the pruned rows instead of a full-width window over every
+    supplier."""
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     j = sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
     w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"))
-    wt = Window.partitionBy("n_name", "s_acctbal")
     return (
         j.select(
             "n_name",
             F.dense_rank().over(w).cast("int").alias("rnk"),
             "s_acctbal",
-            F.count("*").over(wt).alias("n_suppliers"),
         )
         .filter(F.col("rnk") <= TIES_TOP_K)
-        .distinct()
+        .groupBy("n_name", "rnk", "s_acctbal")
+        .agg(F.count("*").alias("n_suppliers"))
         .orderBy("n_name", "rnk")
     )
