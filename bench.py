@@ -199,6 +199,20 @@ REGRESSION_RATIO = 1.5
 MIN_PRIOR_SEC = 0.20
 MIN_DELTA_SEC = 0.25
 
+# Intentional algorithm trades, in tests/test_window_audit.py's ALLOWED
+# discipline: a query whose time moved because its algorithm changed
+# for scale reasons, with the written reason.  Reported under
+# "expected" (visible in the artifact, distinct from regressions);
+# entries are pruned once a committed baseline carries the new time.
+EXPECTED_MOVES = {
+    "lsh_recall_audit": (
+        "round 8: ground truth re-grounded from the sgemm all-pairs"
+        " kernel (quadratic: 117 s at x10 in BENCH_sf1_r8) onto the"
+        " parameterized PPJoin+ kernel at tau=1/2 -- sf0.1 0.39->2.5 s,"
+        " x10 117->46 s, linear on growing-vocab corpora (SCALE.md r8)"
+    ),
+}
+
 
 def _prior_bench(sf: float) -> tuple[str, dict] | None:
     """Most recent usable per-query baseline: prefers the full-output
@@ -243,16 +257,25 @@ def _regressions(timings: dict, sf: float) -> dict:
     if found is None:
         return {"baseline": None, "flagged": {}}
     fname, prior = found
-    flagged = {
-        name: {"prior_sec": prior[name], "now_sec": t,
-               "ratio": round(t / prior[name], 2)}
-        for name, t in timings.items()
-        if name in prior
-        and prior[name] >= MIN_PRIOR_SEC
-        and t > prior[name] * REGRESSION_RATIO
-        and t - prior[name] > MIN_DELTA_SEC
-    }
-    return {"baseline": fname, "flagged": flagged}
+    flagged, expected = {}, {}
+    for name, t in timings.items():
+        if (
+            name in prior
+            and prior[name] >= MIN_PRIOR_SEC
+            and t > prior[name] * REGRESSION_RATIO
+            and t - prior[name] > MIN_DELTA_SEC
+        ):
+            entry = {"prior_sec": prior[name], "now_sec": t,
+                     "ratio": round(t / prior[name], 2)}
+            if name in EXPECTED_MOVES:
+                entry["reason"] = EXPECTED_MOVES[name]
+                expected[name] = entry
+            else:
+                flagged[name] = entry
+    out = {"baseline": fname, "flagged": flagged}
+    if expected:
+        out["expected"] = expected
+    return out
 
 
 # Transform-shaped queries whose wide output projection Catalyst would

@@ -155,3 +155,41 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     assert len(df.collect()) == 50
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead coalesced" in plan
+
+
+def test_ngram_jaccard_pairs_wide_doc_ids(spark, tmp_path):
+    """The packed-long pair key (a*2^32+b) is only sound for ids < 2^32;
+    the build must CHECK the bound and route wide ids through the
+    two-column pair key (round-8 catch: the x10 replica probe shifts
+    doc ids past 2^32 and the packed multiply overflows under ANSI
+    mode).  Same corpus, small vs +2^32-shifted ids: identical pair
+    results modulo the shift, no overflow."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    from wsu_cpts_415_spark.registry import all_queries
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    shift = 2**32
+    small_dir, wide_dir = tmp_path / "small", tmp_path / "wide"
+    for d in (small_dir, wide_dir):
+        d.mkdir()
+    pq.write_table(src, str(small_dir / "documents.parquet"))
+    pq.write_table(
+        src.set_column(
+            src.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(src["doc_id"], shift),
+        ),
+        str(wide_dir / "documents.parquet"),
+    )
+    fn = all_queries()["ngram_jaccard_pairs"].fn
+    small = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in fn(spark, str(small_dir)).collect()
+    }
+    wide = {
+        (r["doc_a"] - shift, r["doc_b"] - shift, r["jaccard"])
+        for r in fn(spark, str(wide_dir)).collect()
+    }
+    assert small == wide and len(small) > 0

@@ -495,17 +495,20 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both pair tables are session-staged slivers; the audit itself is one
     full-outer join on the pair key plus one aggregate.  Ground truth
-    comes from the block-matmul kernel (``exact_pairs_above``) rather
-    than the posting-list join: on this narrow-vocabulary fixture the
-    join path materializes ~all-pairs (10.3M rows, 47 s at sf0.1) to
-    keep a few hundred survivors; the sgemm kernel computes the same
-    exact counts in ~2 s and emits survivors only."""
-    from wsu_cpts_415_spark.queries.text import SHARED_SHINGLE_TAU, exact_pairs_above
+    comes from the parameterized PPJoin+ kernel
+    (``ssjoin.ssjoin_pairs_above`` at tau = 1/2, exact by the
+    prefix-filter lemma at any rational tau) rather than an all-pairs
+    kernel: the round-8 sf1 bench measured the previous sgemm ground
+    truth at 117 s at x10 -- quadratic in corpus size by design --
+    while the prefix-filtered kernel's funnel is measured linear at
+    x10/x100, which is the only ground-truth generator a 100 TB
+    calibration run can actually afford."""
+    from wsu_cpts_415_spark.queries.ssjoin import ssjoin_pairs_above
 
-    exact = (
-        exact_pairs_above(spark, sf_dir, SHARED_SHINGLE_TAU)
-        .filter(F.col("jaccard") >= NEARDUP_THRESHOLD)
-        .select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
+    # NEARDUP_THRESHOLD = 0.5 exactly; the kernel's tau is the same
+    # fraction so its output IS the ground-truth pair set
+    exact = ssjoin_pairs_above(spark, sf_dir, 1, 2).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_exact")
     )
     lshp = (
         lsh_verified_pairs(spark, sf_dir)

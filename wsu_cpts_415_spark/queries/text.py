@@ -512,25 +512,46 @@ def exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # All ordered pairs per shingle, packed into ONE long
         # (a*2^32 + b, a < b): a single 8-byte group key shuffles and
-        # hash-aggregates far faster than a two-column row.
-        pairs = lists.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (x, i) ->"
-                    " transform(slice(ds, i + 2, size(ds)),"
-                    " y -> x * 4294967296L + y)))"
-                )
-            ).alias("pk")
-        )
-        inter = (
-            pairs.groupBy("pk")
-            .agg(F.count("*").alias("n_common"))
-            .select(
-                F.shiftright("pk", 32).alias("doc_a"),
-                F.col("pk").bitwiseAND(F.lit(4294967295)).alias("doc_b"),
-                "n_common",
+        # hash-aggregates far faster than a two-column row.  The pack
+        # is only sound for ids < 2^32, and that contract is CHECKED,
+        # not assumed: one scalar aggregate on the staged shingle table
+        # (round-8 catch -- the x10 replica probe shifts doc ids past
+        # 2^32 and the multiply overflows under ANSI mode; at 100 TB,
+        # 64-bit ids are the norm, so the wide-id path is the default
+        # posture and the packed key is the small-corpus fast path).
+        max_id = shingles.agg(F.max("doc_id")).collect()[0][0] or 0
+        if max_id < 2**32:
+            pairs = lists.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ds, (x, i) ->"
+                        " transform(slice(ds, i + 2, size(ds)),"
+                        " y -> x * 4294967296L + y)))"
+                    )
+                ).alias("pk")
             )
-        )
+            inter = (
+                pairs.groupBy("pk")
+                .agg(F.count("*").alias("n_common"))
+                .select(
+                    F.shiftright("pk", 32).alias("doc_a"),
+                    F.col("pk").bitwiseAND(F.lit(4294967295)).alias("doc_b"),
+                    "n_common",
+                )
+            )
+        else:
+            pairs = lists.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ds, (x, i) ->"
+                        " transform(slice(ds, i + 2, size(ds)),"
+                        " y -> struct(x AS doc_a, y AS doc_b))))"
+                    )
+                ).alias("p")
+            ).select("p.doc_a", "p.doc_b")
+            inter = pairs.groupBy("doc_a", "doc_b").agg(
+                F.count("*").alias("n_common")
+            )
         sa = sizes.alias("sa")
         sb = sizes.alias("sb")
         return (
