@@ -520,13 +520,24 @@ def exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 64-bit ids are the norm, so the wide-id path is the default
         # posture and the packed key is the small-corpus fast path).
         max_id = shingles.agg(F.max("doc_id")).collect()[0][0] or 0
+        # Pair generation is a NESTED explode -- (x at position i) then
+        # (each y after i) -- NOT a single flatten(transform(transform))
+        # expression: the flattened form materializes a shingle's whole
+        # df^2 pair list as ONE in-memory array per row, so a hot
+        # shingle OOMs the executor (round-8 catch: df=50k at the x10
+        # probe scale = a 1.25B-element array in a single task).  The
+        # nested form's per-row memory is bounded by df (one slice
+        # array), and the pair stream flows straight into the partial
+        # aggregate, which can spill.
+        exploded = lists.select(
+            "ds", F.posexplode("ds").alias("i", "x")
+        )
         if max_id < 2**32:
-            pairs = lists.select(
+            pairs = exploded.select(
                 F.explode(
                     F.expr(
-                        "flatten(transform(ds, (x, i) ->"
-                        " transform(slice(ds, i + 2, size(ds)),"
-                        " y -> x * 4294967296L + y)))"
+                        "transform(slice(ds, i + 2, size(ds)),"
+                        " y -> x * 4294967296L + y)"
                     )
                 ).alias("pk")
             )
@@ -540,15 +551,12 @@ def exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         else:
-            pairs = lists.select(
-                F.explode(
-                    F.expr(
-                        "flatten(transform(ds, (x, i) ->"
-                        " transform(slice(ds, i + 2, size(ds)),"
-                        " y -> struct(x AS doc_a, y AS doc_b))))"
-                    )
-                ).alias("p")
-            ).select("p.doc_a", "p.doc_b")
+            pairs = exploded.select(
+                F.col("x").alias("doc_a"),
+                F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias(
+                    "doc_b"
+                ),
+            )
             inter = pairs.groupBy("doc_a", "doc_b").agg(
                 F.count("*").alias("n_common")
             )
