@@ -382,3 +382,90 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.col("match_score").desc(), "doc_a", "doc_b"
     ).limit(SNM_TOP_K)
+
+
+# Bucket edges for the block-size histogram: fixed literals so the
+# grouping key is bounded-cardinality by construction (collect-audit
+# witness discipline) and both engines bucket identically.
+BLOCK_SIZE_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+
+
+@register(
+    "blocking_saturation_audit",
+    oracle=f"""
+    WITH blocked AS (
+        SELECT lang,
+               CAST(n_chars // {LEV_BLOCK_CHARS} AS BIGINT) AS blk,
+               string_split(text, ' ')[1] AS tok0,
+               CAST(COUNT(*) AS BIGINT) AS block_docs
+        FROM documents
+        GROUP BY 1, 2, 3
+    ),
+    bucketed AS (
+        SELECT CASE
+                 WHEN block_docs >= 256 THEN 256
+                 WHEN block_docs >= 128 THEN 128
+                 WHEN block_docs >= 64 THEN 64
+                 WHEN block_docs >= 32 THEN 32
+                 WHEN block_docs >= 16 THEN 16
+                 WHEN block_docs >= 8 THEN 8
+                 WHEN block_docs >= 4 THEN 4
+                 WHEN block_docs >= 2 THEN 2
+                 ELSE 1
+               END AS size_bucket,
+               block_docs
+        FROM blocked
+    )
+    SELECT CAST(size_bucket AS INT) AS size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(block_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(block_docs * (block_docs - 1) / 2) AS BIGINT)
+               AS n_pairs
+    FROM bucketed
+    GROUP BY size_bucket
+    ORDER BY size_bucket
+    """,
+)
+def blocking_saturation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-size histogram for the ER blocking keys (lang,
+    length-block, first-token), with the implied candidate-pair count
+    per size bucket -- the audit a 100 TB corpus runs BEFORE an ER pass
+    (SCALE.md lesson #7: a blocking key with bounded cardinality
+    saturates as the corpus grows, and a saturated block is quadratic
+    work no per-candidate efficiency can absorb; the x100 probe
+    measured 26.5M candidate pairs packed into 15 blocks).  One
+    aggregate over the corpus, grouped to the fixed bucket-edge grain:
+    reading the top bucket's n_pairs tells you the comparison bill
+    before you pay it, and whether the key needs extending.
+
+    Reference scope: the reference has no blocking audit (its dedup is
+    exact key equality, big_data/scripts/duplicate_checker.py); this
+    belongs to the repo's mandated LLM-data surface."""
+    from wsu_cpts_415_spark.io.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    blocks = docs.groupBy(
+        "lang",
+        (F.col("n_chars") / LEV_BLOCK_CHARS).cast("bigint").alias("blk"),
+        F.split("text", " ").getItem(0).alias("tok0"),
+    ).agg(F.count("*").alias("block_docs"))
+    edges = list(BLOCK_SIZE_BUCKETS)
+    bucket = F.lit(1)
+    for e in edges[1:]:
+        bucket = F.when(F.col("block_docs") >= e, e).otherwise(bucket)
+    return (
+        blocks.select(
+            bucket.cast("int").alias("size_bucket"), "block_docs"
+        )
+        .groupBy("size_bucket")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("block_docs").alias("n_docs"),
+            F.sum(
+                F.col("block_docs") * (F.col("block_docs") - 1) / 2
+            )
+            .cast("bigint")
+            .alias("n_pairs"),
+        )
+        .orderBy("size_bucket")
+    )
