@@ -534,6 +534,163 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic 1-in-20 doc sample for the sampled calibration: at
+# 100 TB this predicate would be pmod(xxhash64(doc_id), 20) (id
+# distribution unknown); the oracle engine lacks xxhash64, so the
+# fixture protocol uses the id residue directly and documents the swap.
+RECALL_SAMPLE_MOD, RECALL_SAMPLE_REM = 20, 7
+
+_SAMPLED_RECALL_DUCK = f"""
+    WITH {{lsh_ctes}},
+    exact_sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1]
+               ))) AS shingle
+        FROM documents
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+        FROM exact_sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM exact_sh a
+        JOIN exact_sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    exact AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.doc_a
+        JOIN sizes sb ON sb.doc_id = inter.doc_b
+        WHERE ROUND(CAST(n_common AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - n_common), 6)
+              >= {{thr}}
+          AND (CASE WHEN sa.n_sh < sb.n_sh THEN doc_a ELSE doc_b END)
+              % {RECALL_SAMPLE_MOD} = {RECALL_SAMPLE_REM}
+    ),
+    lshp AS (
+        SELECT l.doc_a, l.doc_b
+        FROM lsh_pairs l
+        JOIN sizes sa ON sa.doc_id = l.doc_a
+        JOIN sizes sb ON sb.doc_id = l.doc_b
+        WHERE l.jaccard >= {{thr}}
+          AND (CASE WHEN sa.n_sh < sb.n_sh THEN l.doc_a ELSE l.doc_b END)
+              % {RECALL_SAMPLE_MOD} = {RECALL_SAMPLE_REM}
+    ),
+    matched AS (
+        SELECT e.doc_a AS e_a, l.doc_a AS l_a
+        FROM exact e
+        FULL JOIN lshp l
+          ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE e_a IS NOT NULL) AS BIGINT)
+               AS n_exact_sampled,
+           CAST(COUNT(*) FILTER (WHERE l_a IS NOT NULL) AS BIGINT)
+               AS n_lsh_sampled,
+           CAST(COUNT(*) FILTER (WHERE e_a IS NOT NULL AND l_a IS NOT NULL)
+                AS BIGINT) AS n_common,
+           ROUND(COUNT(*) FILTER (WHERE e_a IS NOT NULL AND l_a IS NOT NULL)
+                 * 1.0 / NULLIF(COUNT(*) FILTER (WHERE e_a IS NOT NULL), 0),
+                 6) AS recall_est,
+           ROUND(COUNT(*) FILTER (WHERE e_a IS NOT NULL AND l_a IS NOT NULL)
+                 * 1.0 / NULLIF(COUNT(*) FILTER (WHERE l_a IS NOT NULL), 0),
+                 6) AS precision_est
+    FROM matched
+"""
+
+
+@register(
+    "lsh_recall_sampled",
+    oracle=_SAMPLED_RECALL_DUCK.format(
+        lsh_ctes=LSH_PAIRS_DUCK_CTES, thr=NEARDUP_THRESHOLD
+    ),
+)
+def lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAMPLED calibration protocol -- what a 100 TB corpus actually
+    runs: recall/precision of the LSH candidate generator estimated
+    from the 1-in-{RECALL_SAMPLE_MOD} deterministic doc sample, where a
+    pair enters the estimate iff its PROBING endpoint (the smaller doc
+    under the SSJoin role rule; ties to the larger id) is sampled.
+    Every pair has exactly one probe endpoint, so a uniform doc sample
+    is a uniform pair sample and the estimates are unbiased; the exact
+    ground-truth join's PROBE INPUT shrinks by the sample rate (the
+    predicate is pushed into the prefix table before the self-join --
+    ``_ssjoin_frames(probe_pred=...)``), so ground-truth cost is
+    ~rate x the full audit's.  ``lsh_recall_audit`` stays the
+    registered exhaustive twin the sample is judged against."""
+    from wsu_cpts_415_spark.queries.similarity import (
+        _hashed_staged,
+        lsh_verified_pairs,
+    )
+    from wsu_cpts_415_spark.queries.ssjoin import _ssjoin_frames
+
+    probe_pred = (
+        F.pmod(F.col("doc_id"), F.lit(RECALL_SAMPLE_MOD))
+        == RECALL_SAMPLE_REM
+    )
+    _j, _c, _s, verified = _ssjoin_frames(
+        spark, sf_dir, 1, 2, probe_pred=probe_pred
+    )
+    exact = verified.select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
+    sizes = _hashed_staged(spark, sf_dir).select(
+        "doc_id", F.size("shingles").alias("n_sh")
+    )
+    # same probe-endpoint rule on the LSH side: probe = smaller doc,
+    # ties -> larger id (pairs are already id-ordered doc_a < doc_b)
+    lshp = (
+        lsh_verified_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= NEARDUP_THRESHOLD)
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "probe_doc",
+            F.when(F.col("na") < F.col("nb"), F.col("doc_a")).otherwise(
+                F.col("doc_b")
+            ),
+        )
+        .filter(
+            F.pmod(F.col("probe_doc"), F.lit(RECALL_SAMPLE_MOD))
+            == RECALL_SAMPLE_REM
+        )
+        .select("doc_a", "doc_b", F.lit(1).alias("in_lsh"))
+    )
+    matched = exact.join(lshp, ["doc_a", "doc_b"], "full_outer")
+    both = (
+        F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull()
+    ).cast("long")
+    # coalesce: an EMPTY sample must read 0/0/0 + null estimates (the
+    # oracle's COUNT FILTER yields 0, Spark's sum-over-nothing null)
+    n_exact = F.coalesce(
+        F.sum(F.col("in_exact").isNotNull().cast("long")), F.lit(0)
+    )
+    n_lsh = F.coalesce(
+        F.sum(F.col("in_lsh").isNotNull().cast("long")), F.lit(0)
+    )
+    n_common = F.coalesce(F.sum(both), F.lit(0))
+    return matched.agg(
+        n_exact.alias("n_exact_sampled"),
+        n_lsh.alias("n_lsh_sampled"),
+        n_common.alias("n_common"),
+        F.round(F.try_divide(n_common, F.nullif(n_exact, F.lit(0))), 6).alias(
+            "recall_est"
+        ),
+        F.round(F.try_divide(n_common, F.nullif(n_lsh, F.lit(0))), 6).alias(
+            "precision_est"
+        ),
+    )
+
+
 def _langid_confusion_oracle() -> str:
     """Wrap the registered lang_id_heuristic oracle as a CTE: the eval
     consumes the classifier's own cross-checked definition, so the two

@@ -222,6 +222,7 @@ def _ssjoin_frames(
     sf_dir: str,
     tau_num: int = TAU_NUM,
     tau_den: int = TAU_DEN,
+    probe_pred=None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """The kernel's four stages as frames -- (prefix-join rows,
     candidates surviving the positional bound, candidates surviving the
@@ -255,7 +256,15 @@ def _ssjoin_frames(
     from wsu_cpts_415_spark.queries.similarity import _hashed_staged
 
     prefix = _prefix_staged(spark, sf_dir, tau_num, tau_den)
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # probe_pred restricts the PROBING (smaller-doc) side BEFORE the
+    # self-join -- the sampled-calibration hook: a deterministic doc
+    # sample on the probe side shrinks one join input by the sample
+    # rate, which an OR-filter after the join could never do.  Every
+    # pair has exactly one probe endpoint under the canonical role
+    # assignment below, so a uniform probe sample is a uniform pair
+    # sample (unbiased recall/precision estimates).
+    probe = prefix if probe_pred is None else prefix.filter(probe_pred)
+    a, b = prefix.alias("a"), probe.alias("b")
     # short (probing) prefix bound for the smaller side, integer-exact:
     # rk <= n - ceil(2*tau/(1+tau) * n) + 1
     b_short = F.col("b.rk") <= F.col("b.n") - _ceil_frac(
