@@ -469,3 +469,79 @@ def blocking_saturation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_bucket")
     )
+
+
+@register(
+    "blocking_key_extension_audit",
+    oracle=f"""
+    WITH k1 AS (
+        SELECT lang,
+               CAST(n_chars // {LEV_BLOCK_CHARS} AS BIGINT) AS blk,
+               string_split(text, ' ')[1] AS tok0,
+               CAST(COUNT(*) AS BIGINT) AS bd
+        FROM documents GROUP BY 1, 2, 3
+    ),
+    k2 AS (
+        SELECT lang,
+               CAST(n_chars // {LEV_BLOCK_CHARS} AS BIGINT) AS blk,
+               string_split(text, ' ')[1] AS tok0,
+               string_split(text, ' ')[2] AS tok1,
+               CAST(COUNT(*) AS BIGINT) AS bd
+        FROM documents GROUP BY 1, 2, 3, 4
+    )
+    SELECT * FROM (
+        SELECT 'lang_blk_tok0' AS blocking_key,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(MAX(bd) AS BIGINT) AS max_block_docs,
+               CAST(SUM(bd * (bd - 1) / 2) AS BIGINT) AS candidate_pairs
+        FROM k1
+        UNION ALL
+        SELECT 'lang_blk_tok0_tok1',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(MAX(bd) AS BIGINT),
+               CAST(SUM(bd * (bd - 1) / 2) AS BIGINT)
+        FROM k2
+    ) ORDER BY blocking_key
+    """,
+)
+def blocking_key_extension_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lesson-#7 DIAL, measured: candidate-pair count under the
+    deployed ER blocking key (lang, length-block, first-token) vs the
+    same key extended by one more token -- the exact move SCALE.md
+    lesson #7 prescribes when `blocking_saturation_audit` shows a
+    saturated block ("extend the key until max block size is bounded").
+    One grouped aggregate per arity over the corpus; reading the two
+    candidate_pairs values side by side is the recall-vs-cost quote for
+    the extension before an ER pass commits to it."""
+    from wsu_cpts_415_spark.io.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        (F.col("n_chars") / LEV_BLOCK_CHARS).cast("bigint").alias("blk"),
+        F.split("text", " ").getItem(0).alias("tok0"),
+        F.split("text", " ").getItem(1).alias("tok1"),
+    )
+
+    def arity(name: str, keys: list[str]) -> DataFrame:
+        return (
+            toks.groupBy(*keys)
+            .agg(F.count("*").alias("bd"))
+            .agg(
+                F.count("*").alias("n_blocks"),
+                F.max("bd").alias("max_block_docs"),
+                F.sum(F.col("bd") * (F.col("bd") - 1) / 2)
+                .cast("bigint")
+                .alias("candidate_pairs"),
+            )
+            .select(
+                F.lit(name).alias("blocking_key"),
+                "n_blocks",
+                "max_block_docs",
+                "candidate_pairs",
+            )
+        )
+
+    return arity("lang_blk_tok0", ["lang", "blk", "tok0"]).unionByName(
+        arity("lang_blk_tok0_tok1", ["lang", "blk", "tok0", "tok1"])
+    ).orderBy("blocking_key")
