@@ -1368,3 +1368,64 @@ def chi2_keywords_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "rank")
     )
+
+
+@register(
+    "tokenizer_fertility_audit",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                   AS ws_tokens,
+               CAST(len(string_split_regex(text, '[^a-z0-9]+')) AS BIGINT)
+                   AS bpe_ish_tokens
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(bpe_ish_tokens) AS BIGINT) AS total_tokens,
+           ROUND(SUM(n_bytes) * 1.0 / SUM(bpe_ish_tokens), 6)
+               AS bytes_per_token,
+           ROUND(SUM(bpe_ish_tokens) * 1.0 / SUM(ws_tokens), 6)
+               AS fertility_vs_words
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer economics: bytes/token and fertility
+    (subword-ish tokens per whitespace word) under the engine's BPE-ish
+    regex tokenizer -- the numbers a training-data plan converts corpus
+    bytes into token budgets with, and the first signal that a
+    tokenizer underserves a language (high fertility = more tokens per
+    word = higher training cost per byte of that language).  One
+    grouped aggregate over per-row expressions; the token counters are
+    the same definitions as ``token_count_regex``, so the two queries
+    cannot drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.expr(r"size(split(text, '\\s+'))").cast("bigint").alias("ws_tokens"),
+        F.expr(r"size(split(text, '[^a-z0-9]+'))")
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("bpe_ish_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("n_bytes") / F.sum("bpe_ish_tokens"), 6
+            ).alias("bytes_per_token"),
+            F.round(
+                F.sum("bpe_ish_tokens") / F.sum("ws_tokens"), 6
+            ).alias("fertility_vs_words"),
+        )
+        .orderBy("lang")
+    )
