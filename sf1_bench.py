@@ -179,15 +179,18 @@ def main() -> None:
                 "metric": "sf1_headline_total_sec",
                 # headline subtotal stays the cross-round comparator
                 # (BENCH_sf1_r5/r6 timed exactly HEADLINE_20)
+                # .get(): a stable-subset query that errored has no
+                # timing row -- the subtotal must still print so the
+                # artifact (with its errors map) is never lost
                 "value": round(
-                    sum(timings[n] for n in HEADLINE_20), 3
+                    sum(timings.get(n, 0.0) for n in HEADLINE_20), 3
                 ),
                 "unit": "sec",
                 "queries": timings,
                 "sf": 1.0,
                 "n_queries": len(timings),
                 "expensive50_total_sec": round(
-                    sum(timings[n] for n in EXPENSIVE_50), 3
+                    sum(timings.get(n, 0.0) for n in EXPENSIVE_50), 3
                 ),
                 "full_registry_total_sec": round(
                     sum(timings.values()), 3

@@ -205,11 +205,14 @@ class JsonLinesAuditWriter(DataSourceWriter):
         The marker itself must OUTLIVE every straggler, so abort()
         deliberately leaves it behind;
       * staleness is swept at the next write to the same path: a new
-        writer's __init__ (driver-side, before any task runs) and
-        commit() both treat anything under ``_staging`` from another
-        write_id -- leftover markers, dirs a straggler re-created --
-        as a finished prior attempt and remove it, so abort-only
-        workloads accumulate at most one write's residue.
+        writer's __init__ (driver-side, before any task runs) removes
+        foreign staging DIRS but preserves foreign ``._ABORTED``
+        markers -- a prior aborted write's stragglers may still be
+        running, and the marker is what makes them self-delete, so it
+        must survive the init sweep; commit() then rmtrees the whole
+        ``_staging`` (markers included), so abort-only workloads
+        accumulate at most one write's dirs plus the tiny markers
+        until the next successful commit.
 
     CONTRACT: one writer per path at a time.  The stale sweeps above
     assume any foreign ``_staging`` entry belongs to a FINISHED prior
@@ -248,8 +251,17 @@ class JsonLinesAuditWriter(DataSourceWriter):
             try:
                 if os.path.isdir(p):
                     shutil.rmtree(p, ignore_errors=True)
-                else:
+                elif not e.endswith("._ABORTED"):
                     os.remove(p)
+                # foreign ._ABORTED markers are PRESERVED here: an
+                # aborted prior write's straggler tasks may still be
+                # running (Spark does not preclude that interleaving),
+                # and the marker is what makes them self-delete their
+                # re-landed staged files -- "the marker must outlive
+                # every straggler" has to hold across back-to-back
+                # writes to the same path.  Markers die at commit()'s
+                # full _staging rmtree, the point where this write has
+                # already won and any residue is unreachable anyway.
             except OSError:
                 pass
 

@@ -65,16 +65,47 @@ def staged_model(
     return _MODEL_CACHE[key]
 
 
-def maybe_broadcast(df: DataFrame, bound: int) -> DataFrame:
-    """Broadcast a doc-grain side table below ``bound`` rows (one cheap
-    count action, typically riding an already-persisted staged frame);
-    above the bound the consuming join falls back to a shuffle join --
-    at 100 TB scale a bucketed layout co-locates these joins instead of
-    broadcasting.  Shared by the SSJoin filter/verify joins and the ER
-    scorer's per-candidate signal attach."""
-    from pyspark.sql import functions as F
+MAYBE_BCAST_MAX_BYTES = 512 << 20  # hinted-broadcast ceiling, estimated
 
-    return F.broadcast(df) if df.count() <= bound else df
+
+def maybe_broadcast(
+    df: DataFrame, bound: int, max_bytes: int = MAYBE_BCAST_MAX_BYTES
+) -> DataFrame:
+    """Broadcast a doc-grain side table only below ``bound`` rows AND
+    below ``max_bytes`` estimated serialized size (one cheap aggregate
+    action, typically riding an already-persisted staged frame); above
+    either bound the consuming join falls back to a shuffle join -- at
+    100 TB scale a bucketed layout co-locates these joins instead of
+    broadcasting.  Shared by the SSJoin filter/verify joins and the ER
+    scorer's per-candidate signal attach.
+
+    The byte bound exists because a row bound alone under-constrains
+    VARIABLE-WIDTH tables: the compact shingle-hash side carries ~|doc|
+    8-byte hashes per row, so a corpus of long documents near the row
+    bound would otherwise force a multi-GB ``F.broadcast`` (the hint
+    bypasses ``spark.sql.autoBroadcastJoinThreshold``) and risk
+    executor/driver OOM.  Estimation is schema-driven per row: arrays
+    at 8 bytes per element, strings/binary at their length, everything
+    else a flat 8 -- measured in the same single aggregate as the row
+    count, so the check adds no extra action."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    per_row = F.lit(16)
+    for field in df.schema.fields:
+        c = F.col(field.name)
+        if isinstance(field.dataType, T.ArrayType):
+            per_row = per_row + 16 + 8 * F.greatest(F.size(c), F.lit(0))
+        elif isinstance(field.dataType, (T.StringType, T.BinaryType)):
+            per_row = per_row + 16 + F.coalesce(F.length(c), F.lit(0))
+        else:
+            per_row = per_row + 8
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(per_row.cast("bigint")), F.lit(0)).alias("b"),
+    ).collect()[0]
+    small = stats["n"] <= bound and stats["b"] <= max_bytes
+    return F.broadcast(df) if small else df
 
 
 _TRACKED: list[DataFrame] = []

@@ -456,9 +456,12 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM inter
         JOIN sizes sa ON sa.doc_id = inter.doc_a
         JOIN sizes sb ON sb.doc_id = inter.doc_b
-        WHERE ROUND(CAST(n_common AS DOUBLE)
-                    / (sa.n_sh + sb.n_sh - n_common), 6)
-              >= {NEARDUP_THRESHOLD}
+        -- exact rational J >= 1/2 (matches the PPJoin+ kernel's
+        -- integer threshold; rounding first would admit pairs within
+        -- 5e-7 below tau that the prefix-filter lemma never promises
+        -- to enumerate): n_common/(na+nb-n_common) >= 1/2 iff
+        -- 3*n_common >= na+nb
+        WHERE 3 * n_common >= sa.n_sh + sb.n_sh
     ),
     lshp AS (
         SELECT doc_a, doc_b FROM lsh_pairs
@@ -567,9 +570,8 @@ _SAMPLED_RECALL_DUCK = f"""
         FROM inter
         JOIN sizes sa ON sa.doc_id = inter.doc_a
         JOIN sizes sb ON sb.doc_id = inter.doc_b
-        WHERE ROUND(CAST(n_common AS DOUBLE)
-                    / (sa.n_sh + sb.n_sh - n_common), 6)
-              >= {{thr}}
+        -- exact rational J >= 1/2, same reasoning as lsh_recall_audit
+        WHERE 3 * n_common >= sa.n_sh + sb.n_sh
           AND (CASE WHEN sa.n_sh < sb.n_sh THEN doc_a ELSE doc_b END)
               % {RECALL_SAMPLE_MOD} = {RECALL_SAMPLE_REM}
     ),

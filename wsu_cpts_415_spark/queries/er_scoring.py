@@ -20,17 +20,17 @@ from the globally-materialized exact pair table and measured 37.7x
 wall at x10 -- a per-candidate signal computed from a global table
 imports that table's complexity class.)
 
-Candidate COUNT, however, is set by the blocking POLICY, and the
-blocking keys here (lang, length-block, first-token) have bounded
-cardinality -- so replica growth saturates the blocks and candidate
-pairs grow super-linearly (measured, scale_probe_er_x100_r8.json
-``er_blocking_funnel``: 26.5M candidates in 15 nonempty blocks at
-x100, max block 7.4M pairs; SCALE.md lesson #7).  The engine's cost is
-linear IN the candidates (x100 warm: 13.9 s for 26.5M pairs); the
-recall-vs-cost dial is the key selectivity, which a production corpus
-tunes by extending the key (more prefix chars / tokens) until blocks
-are bounded -- the same dial the oracle SQL shares, so conformance
-pins whatever policy is chosen.
+Candidate COUNT, however, is set by the blocking POLICY.  Round 8
+measured the one-token key (lang, length-block, tok0) SATURATING at
+x100 (``er_blocking_funnel``: 26.5M candidates, max block 7.4M pairs,
+cold wall 559.8 s) and priced the extension
+(``blocking_key_extension_audit``: +tok1 cuts x100 candidates 37x);
+round 9 DEPLOYED the two-token key (lang, length-block, tok0, tok1) in
+``semdedup.lev_candidates`` -- the dial SCALE.md lesson #7 prescribes.
+The recall each key keeps against exact near-dup ground truth is a
+registered measurement (``er_blocking_recall_audit``), so the
+recall-vs-cost trade is quantified, not asserted; the oracle SQL
+shares the same key, so conformance pins the deployed policy.
 """
 
 from __future__ import annotations
@@ -86,6 +86,7 @@ _DUCK_EXACT_PAIRS = """exact_sh AS (
         SELECT doc_id, lang,
                CAST(n_chars // {LEV_BLOCK_CHARS} AS BIGINT) AS blk,
                string_split(text, ' ')[1] AS tok0,
+               COALESCE(string_split(text, ' ')[2], '') AS tok1,
                substr(text, 1, {LEV_PREFIX}) AS prefix,
                n_chars AS len_chars
         FROM documents
@@ -98,6 +99,7 @@ _DUCK_EXACT_PAIRS = """exact_sh AS (
         FROM blocked a
         JOIN blocked b
           ON a.lang = b.lang AND a.blk = b.blk AND a.tok0 = b.tok0
+         AND a.tok1 = b.tok1
          AND a.doc_id < b.doc_id
         WHERE levenshtein(a.prefix, b.prefix) <= {LEV_MAX_DIST}
     ),
@@ -544,4 +546,131 @@ def blocking_key_extension_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return arity("lang_blk_tok0", ["lang", "blk", "tok0"]).unionByName(
         arity("lang_blk_tok0_tok1", ["lang", "blk", "tok0", "tok1"])
+    ).orderBy("blocking_key")
+
+
+@register(
+    "er_blocking_recall_audit",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1]
+               ))) AS shingle
+        FROM documents
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+        FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truep AS (
+        -- exact rational J >= 4/5: 9*n_common >= 4*(na+nb)
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.doc_a
+        JOIN sizes sb ON sb.doc_id = inter.doc_b
+        WHERE 9 * n_common >= 4 * (sa.n_sh + sb.n_sh)
+    ),
+    keys AS (
+        SELECT doc_id, lang,
+               CAST(n_chars // {LEV_BLOCK_CHARS} AS BIGINT) AS blk,
+               string_split(text, ' ')[1] AS tok0,
+               COALESCE(string_split(text, ' ')[2], '') AS tok1
+        FROM documents
+    ),
+    flags AS (
+        SELECT CASE WHEN ka.lang = kb.lang AND ka.blk = kb.blk
+                     AND ka.tok0 = kb.tok0 THEN 1 ELSE 0 END AS c1,
+               CASE WHEN ka.lang = kb.lang AND ka.blk = kb.blk
+                     AND ka.tok0 = kb.tok0 AND ka.tok1 = kb.tok1
+                    THEN 1 ELSE 0 END AS c2
+        FROM truep
+        JOIN keys ka ON ka.doc_id = truep.doc_a
+        JOIN keys kb ON kb.doc_id = truep.doc_b
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2
+        FROM flags
+    )
+    SELECT * FROM (
+        SELECT 'lang_blk_tok0' AS blocking_key,
+               n_true AS n_true_pairs, n1 AS n_covered,
+               ROUND(n1 * 1.0 / NULLIF(n_true, 0), 6) AS recall
+        FROM tot
+        UNION ALL
+        SELECT 'lang_blk_tok0_tok1', n_true, n2,
+               ROUND(n2 * 1.0 / NULLIF(n_true, 0), 6)
+        FROM tot
+    ) ORDER BY blocking_key
+    """,
+)
+def er_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking RECALL against exact near-dup ground truth, per key
+    arity: of the pairs with true shingle-Jaccard >= 4/5 (the PPJoin+
+    kernel's output -- the only exact ground truth a 100 TB calibration
+    can afford), what fraction lands in the same block under the
+    one-token key vs the deployed two-token key.  The cost side of the
+    same dial is ``blocking_key_extension_audit`` (x100: 37x fewer
+    candidates for +tok1); this is the recall side, so the round-9 key
+    deployment is a measured trade, not an assertion.  Ground-truth
+    pair count is corpus-bounded (near-dup slivers), the key attach is
+    two joins against a doc-grain projection, and the rollup is one
+    aggregate."""
+    from wsu_cpts_415_spark.io.tables import load_table
+    from wsu_cpts_415_spark.queries.ssjoin import ssjoin_pairs_above
+
+    truep = ssjoin_pairs_above(spark, sf_dir, 4, 5).select("doc_a", "doc_b")
+    keys = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / LEV_BLOCK_CHARS).cast("bigint").alias("blk"),
+        F.split("text", " ").getItem(0).alias("tok0"),
+        F.coalesce(F.split("text", " ").getItem(1), F.lit("")).alias("tok1"),
+    )
+    ka = keys.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"{c}_a") for c in ("lang", "blk", "tok0", "tok1")],
+    )
+    kb = keys.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"{c}_b") for c in ("lang", "blk", "tok0", "tok1")],
+    )
+    k1 = (
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("blk_a") == F.col("blk_b"))
+        & (F.col("tok0_a") == F.col("tok0_b"))
+    )
+    k2 = k1 & (F.col("tok1_a") == F.col("tok1_b"))
+    tot = (
+        truep.join(ka, "doc_a")
+        .join(kb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.coalesce(F.sum(k1.cast("long")), F.lit(0)).alias("n1"),
+            F.coalesce(F.sum(k2.cast("long")), F.lit(0)).alias("n2"),
+        )
+    )
+    return tot.selectExpr(
+        "stack(2, 'lang_blk_tok0', n1, 'lang_blk_tok0_tok1', n2)"
+        " AS (blocking_key, n_covered)",
+        "n_true AS n_true_pairs",
+    ).select(
+        "blocking_key",
+        "n_true_pairs",
+        "n_covered",
+        F.round(
+            F.try_divide("n_covered", F.nullif(F.col("n_true_pairs"), F.lit(0))),
+            6,
+        ).alias("recall"),
     ).orderBy("blocking_key")

@@ -185,6 +185,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang,
                CAST(n_chars // {LEV_BLOCK_CHARS} AS BIGINT) AS blk,
                string_split(text, ' ')[1] AS tok0,
+               COALESCE(string_split(text, ' ')[2], '') AS tok1,
                substr(text, 1, {LEV_PREFIX}) AS prefix
         FROM documents
     )
@@ -194,6 +195,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM blocked a
     JOIN blocked b
       ON a.lang = b.lang AND a.blk = b.blk AND a.tok0 = b.tok0
+     AND a.tok1 = b.tok1
      AND a.doc_id < b.doc_id
     WHERE levenshtein(a.prefix, b.prefix) <= {LEV_MAX_DIST}
     ORDER BY a.lang, a.blk, doc_a, doc_b
@@ -201,21 +203,27 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def levenshtein_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance candidate pairs under (language, length-bucket,
-    leading-token) blocking: prefix-{LEV_PREFIX} Levenshtein <=
+    first-two-tokens) blocking: prefix-{LEV_PREFIX} Levenshtein <=
     {LEV_MAX_DIST} within a block, doc_a < doc_b.  The Spark side uses
     the three-argument ``levenshtein(a, b, threshold)`` (banded DP that
     abandons once the distance provably exceeds the threshold, returning
     -1) -- the filter keeps 0..{LEV_MAX_DIST}, which is exactly the
     oracle's unbounded ``levenshtein <= {LEV_MAX_DIST}`` result set.
 
-    The join is a plain shuffle on the block key.  The leading token is
-    the load-bearing blocking component: its cardinality GROWS with the
-    corpus (vocabulary), so block populations -- and the per-block
-    quadratic term -- stay bounded as the corpus scales, where a
-    fixed-cardinality (lang, length) key alone degrades quadratically
-    (measured 53 s vs 0.7 s at sf0.1).  Production stacks several such
-    passes with different keys to recover blocking misses (standard
-    multi-pass record linkage, Christen 2012)."""
+    The join is a plain shuffle on the block key.  The leading tokens
+    are the load-bearing blocking component: their cardinality GROWS
+    with the corpus (vocabulary), so block populations -- and the
+    per-block quadratic term -- stay bounded as the corpus scales,
+    where a fixed-cardinality (lang, length) key alone degrades
+    quadratically (measured 53 s vs 0.7 s at sf0.1).  The key was
+    extended from one leading token to two in round 9 after the x100
+    probe measured the one-token key SATURATING (26.5M candidate pairs,
+    max block 7.4M; ``blocking_key_extension_audit`` priced +tok1 at
+    37x fewer candidates) -- the exact dial SCALE.md lesson #7
+    prescribes; ``er_blocking_recall_audit`` quantifies the recall each
+    key keeps against exact near-dup ground truth.  Production stacks
+    several such passes with different keys to recover blocking misses
+    (standard multi-pass record linkage, Christen 2012)."""
     return lev_candidates(spark, sf_dir).select(
         "lang", "blk", "doc_a", "doc_b", "dist"
     ).orderBy("lang", "blk", "doc_a", "doc_b")
@@ -241,6 +249,9 @@ def _lev_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.col("n_chars") / LEV_BLOCK_CHARS).cast("bigint").alias("blk"),
         F.split("text", " ").getItem(0).alias("tok0"),
+        # coalesce: a one-token doc's missing second token blocks as ''
+        # on both engines (plain equality would silently drop it)
+        F.coalesce(F.split("text", " ").getItem(1), F.lit("")).alias("tok1"),
         F.substring("text", 1, LEV_PREFIX).alias("prefix"),
         F.col("n_chars").alias("len_chars"),
     )
@@ -248,6 +259,7 @@ def _lev_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "blk",
         "tok0",
+        "tok1",
         F.col("doc_id").alias("doc_a"),
         F.col("prefix").alias("pa"),
         F.col("len_chars").alias("len_a"),
@@ -256,13 +268,14 @@ def _lev_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "blk",
         "tok0",
+        "tok1",
         F.col("doc_id").alias("doc_b"),
         F.col("prefix").alias("pb"),
         F.col("len_chars").alias("len_b"),
     )
     dist = F.levenshtein(F.col("pa"), F.col("pb"), LEV_MAX_DIST)
     return (
-        a.join(b, ["lang", "blk", "tok0"])
+        a.join(b, ["lang", "blk", "tok0", "tok1"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "lang",

@@ -102,6 +102,18 @@ DOC_SIDE_BCAST_ROWS = 1_000_000
 # coincidental prefix collisions (measured: see module docstring)
 HIST_BUCKETS = 64
 
+# generation-time sketch: the same bucket-minima bound, shrunk to
+# SKETCH_BUCKETS byte counters packed into SKETCH_BUCKETS/8 longs and
+# carried ON each prefix row, so the bound evaluates INSIDE the join
+# condition (pure shifts/ands/leasts, whole-stage codegen) and a false
+# pair dies before it is ever emitted into the positional aggregate's
+# shuffle.  Counters saturate at 255 (saturated-vs-saturated minima are
+# treated as unbounded, so the bound stays a true UPPER bound); a
+# different hash seed than the 64-bucket histogram keeps the two
+# filters' misses independent.
+SKETCH_BUCKETS = 16
+_SKETCH_LONGS = SKETCH_BUCKETS // 8
+
 _DUCK_EXACT_ABOVE = """
     WITH shingles AS (
         SELECT doc_id,
@@ -129,15 +141,76 @@ _DUCK_EXACT_ABOVE = """
     FROM inter
     JOIN sizes sa ON sa.doc_id = inter.doc_a
     JOIN sizes sb ON sb.doc_id = inter.doc_b
-    WHERE ROUND(CAST(n_common AS DOUBLE)
-                / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.8
+    -- exact rational threshold J >= num/den, integer arithmetic on
+    -- BOTH engines: n_common/(na+nb-n_common) >= num/den iff
+    -- (num+den)*n_common >= num*(na+nb).  Thresholding the ROUNDED
+    -- double instead would admit pairs whose true Jaccard sits within
+    -- 5e-7 below tau -- pairs the prefix-filter lemma never promises
+    -- to enumerate, i.e. a theoretical engine/oracle edge.
+    WHERE {tn_plus_td} * n_common >= {tn} * (sa.n_sh + sb.n_sh)
     ORDER BY doc_a, doc_b
-"""
+""".format(tn=TAU_NUM, tn_plus_td=TAU_NUM + TAU_DEN)
 
 
 def _ceil_frac(expr, num: int, den: int):
     """ceil(num*expr/den) for a non-negative integer column, exactly."""
     return F.floor((num * expr + den - 1) / den)
+
+
+def _len_bucket_bounds(
+    tau_num: int, tau_den: int, max_n: int = 1 << 40
+) -> list[int]:
+    """Geometric length-bucket lower bounds, integer-exact: t[0] = 1,
+    t[k+1] = floor(t[k]*den/num) + 1 (the smallest integer strictly
+    above t[k]*den/num).  bucket(n) = #bounds <= n, minus 1.  For any
+    valid pair (na >= nb, tau_den*nb >= tau_num*na):
+    bucket(na) - bucket(nb) in {{0, 1}} -- let k = bucket(nb), so
+    nb <= t[k+1] - 1; then na <= nb*den/num <= (t[k+1]-1)*den/num
+    < t[k+2], hence bucket(na) <= k+1.  Integer recurrence, so no
+    float-boundary doc can ever be mis-bucketed (a log-based bucket
+    would risk exactly that at boundary sizes)."""
+    bounds = [1]
+    while bounds[-1] <= max_n:
+        bounds.append(bounds[-1] * tau_den // tau_num + 1)
+    return bounds
+
+
+def _sketch_cols() -> list:
+    """Per-doc generation-time sketch: SKETCH_BUCKETS byte counters of
+    ``pmod(xxhash64(shingle, 1), SKETCH_BUCKETS)`` occupancy, packed 8
+    to a long (disjoint byte lanes, so lane-wise addition never
+    carries).  Saturation at 255 keeps each lane one byte; extraction
+    uses unsigned shifts because the top lane's bit pattern may set the
+    sign bit."""
+    cols = []
+    for li in range(_SKETCH_LONGS):
+        terms = " + ".join(
+            "shiftleft(least(size(filter(shingles, s ->"
+            f" pmod(xxhash64(s, 1), {SKETCH_BUCKETS}) = {8 * li + j})),"
+            f" 255L), {8 * j})"
+            for j in range(8)
+        )
+        cols.append(F.expr(f"({terms})").cast("long").alias(f"sk{li}"))
+    return cols
+
+
+def _sketch_bound(prefix_a: str, prefix_b: str):
+    """Upper bound on |A intersect B| from the packed sketches of two
+    join aliases: sum over buckets of min(byte_a, byte_b), with the
+    both-saturated case treated as unbounded (a saturated counter only
+    means ">= 255", so min(255, 255) may understate the true minimum --
+    every other combination is exact-or-over on at least one side,
+    hence a valid upper bound)."""
+    total = F.lit(0).cast("long")
+    for li in range(_SKETCH_LONGS):
+        xa = F.col(f"{prefix_a}.sk{li}")
+        xb = F.col(f"{prefix_b}.sk{li}")
+        for j in range(8):
+            a_k = F.shiftrightunsigned(xa, 8 * j).bitwiseAND(F.lit(255))
+            b_k = F.shiftrightunsigned(xb, 8 * j).bitwiseAND(F.lit(255))
+            m = F.least(a_k, b_k)
+            total = total + F.when(m >= 255, F.lit(1 << 20)).otherwise(m)
+    return total
 
 
 def _prefix_staged(
@@ -146,11 +219,13 @@ def _prefix_staged(
     tau_num: int = TAU_NUM,
     tau_den: int = TAU_DEN,
 ) -> DataFrame:
-    """(sh, doc_id, rk, n): one row per PREFIX shingle-hash of each
-    document -- its ``n - ceil(tau*n) + 1`` globally-rarest shingles,
-    ranked by the (df asc, hash asc) total order.  Session-staged PER
-    TAU so the self-join consumes one persisted table from both
-    aliases."""
+    """(sh, doc_id, rk, n, bkt, sk0..): one row per PREFIX shingle-hash
+    of each document -- its ``n - ceil(tau*n) + 1`` globally-rarest
+    shingles, ranked by the (df asc, hash asc) total order -- carrying
+    the doc's integer length bucket (join key component; see
+    ``_len_bucket_bounds``) and its packed generation-time sketch (join
+    condition component; see ``_sketch_cols``).  Session-staged PER TAU
+    so the self-join consumes one persisted table from both aliases."""
     from wsu_cpts_415_spark.ops.staging import staged
     from wsu_cpts_415_spark.queries.similarity import _hashed_staged
 
@@ -169,6 +244,13 @@ def _prefix_staged(
         p = (F.col("n") - _ceil_frac(F.col("n"), tau_num, tau_den) + 1).cast(
             "int"
         )
+        bounds = _len_bucket_bounds(tau_num, tau_den)
+        bkt = F.expr(
+            "size(filter(array({}), t -> t <= n)) - 1".format(
+                ", ".join(f"{b}L" for b in bounds)
+            )
+        ).cast("int")
+        docmeta = hashed.select("doc_id", *_sketch_cols())
         return (
             ex.join(dfreq, "sh")
             .groupBy("doc_id", "n")
@@ -177,14 +259,21 @@ def _prefix_staged(
                     "arr"
                 )
             )
+            .join(docmeta, "doc_id")
             .select(
-                "doc_id", "n", F.posexplode(F.slice("arr", 1, p))
+                "doc_id",
+                "n",
+                bkt.alias("bkt"),
+                *[f"sk{i}" for i in range(_SKETCH_LONGS)],
+                F.posexplode(F.slice("arr", 1, p)),
             )
             .select(
                 F.col("col.sh").alias("sh"),
                 "doc_id",
                 (F.col("pos") + 1).alias("rk"),
                 "n",
+                "bkt",
+                *[f"sk{i}" for i in range(_SKETCH_LONGS)],
             )
         )
 
@@ -264,15 +353,32 @@ def _ssjoin_frames(
     # assignment below, so a uniform probe sample is a uniform pair
     # sample (unbiased recall/precision estimates).
     probe = prefix if probe_pred is None else prefix.filter(probe_pred)
+    # length bucket pushed INTO the equi-join key: a valid pair's larger
+    # doc sits in the probe doc's bucket or the one above
+    # (_len_bucket_bounds proof), so the probe side emits BOTH and the
+    # join hashes on (sh, bkt) -- pairs violating tau*|a| <= |b| by more
+    # than one bucket never even reach the non-equi predicates, instead
+    # of being enumerated by the token hash and filtered after.
+    probe = probe.withColumn(
+        "jbkt", F.explode(F.array(F.col("bkt"), F.col("bkt") + 1))
+    )
     a, b = prefix.alias("a"), probe.alias("b")
     # short (probing) prefix bound for the smaller side, integer-exact:
     # rk <= n - ceil(2*tau/(1+tau) * n) + 1
     b_short = F.col("b.rk") <= F.col("b.n") - _ceil_frac(
         F.col("b.n"), 2 * tau_num, tau_num + tau_den
     ) + 1
+    # generation-time sketch bound (pair-level predicate: every row of a
+    # surviving pair passes, so the positional aggregate's c/imax/jmax
+    # are unchanged for survivors; a pair it kills provably has
+    # overlap < t and would die in verification anyway)
+    t_req_ab = _ceil_frac(
+        F.col("a.n") + F.col("b.n"), tau_num, tau_num + tau_den
+    )
     joined = a.join(
         b,
         (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.bkt") == F.col("b.jbkt"))
         # canonical roles: a = larger doc (full prefix), b = smaller doc
         # (short prefix); doc_id breaks size ties, so each unordered
         # pair is generated under exactly one role assignment
@@ -282,7 +388,8 @@ def _ssjoin_frames(
         )
         # size filter tau*na <= nb, integer-exact (nb <= na by the role)
         & (tau_den * F.col("b.n") >= tau_num * F.col("a.n"))
-        & b_short,
+        & b_short
+        & (_sketch_bound("a", "b") >= t_req_ab),
     ).select(
         # two-column pair key: unlike text.exact_jaccard_pairs' packed
         # long (ids < 2^32 by that table's contract), SSJoin must accept
@@ -371,6 +478,16 @@ def _ssjoin_frames(
             "na",
             "nb",
         )
+        # exact rational threshold, BEFORE any rounding: J >= num/den
+        # iff (num+den)*ncomm >= num*(na+nb) -- integer arithmetic on
+        # both engines, so no pair whose true Jaccard sits within 5e-7
+        # of tau can straddle the cut via round-to-6 (the prefix-filter
+        # lemma only guarantees enumeration of TRUE J >= tau pairs, so
+        # a rounded threshold was a theoretical engine/oracle edge)
+        .filter(
+            (tau_num + tau_den) * F.col("ncomm")
+            >= tau_num * (F.col("na") + F.col("nb"))
+        )
         .select(
             # output canonicalization: generation ordered by SIZE (a =
             # larger); the contract (and oracle) order by doc id
@@ -382,7 +499,6 @@ def _ssjoin_frames(
                 6,
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= tau_num / tau_den)
     )
     return joined, cand, suffix_surv, verified
 
