@@ -204,13 +204,9 @@ MIN_DELTA_SEC = 0.25
 # for scale reasons, with the written reason.  Reported under
 # "expected" (visible in the artifact, distinct from regressions);
 # entries are pruned once a committed baseline carries the new time.
-EXPECTED_MOVES = {
-    "lsh_recall_audit": (
-        "round 8: ground truth re-grounded from the sgemm all-pairs"
-        " kernel (quadratic: 117 s at x10 in BENCH_sf1_r8) onto the"
-        " parameterized PPJoin+ kernel at tau=1/2 -- sf0.1 0.39->2.5 s,"
-        " x10 117->46 s, linear on growing-vocab corpora (SCALE.md r8)"
-    ),
+EXPECTED_MOVES: dict[str, str] = {
+    # (round 8's lsh_recall_audit re-grounding entry pruned: the
+    # committed bench_r8_full.json baseline carries the new time)
 }
 
 

@@ -26,11 +26,19 @@ contract); the chain is listed for it as "excluded by design".
 Run manually (not part of the driver contract):
 
     python graph_topology_probe.py            # writes one JSON line
+
+Scale knobs (round-9 verdict task 6 -- confirm the ~1-round-per-
+diameter-doubling budget and the MAX_STAR_ROUNDS=30 headroom at
+x100-equivalent vertex counts):
+
+    SPARK_GRAFT_GRAPH_V=1000000 SPARK_GRAFT_GRAPH_M=1000 \\
+    SPARK_GRAFT_GRAPH_K=1000 python graph_topology_probe.py
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 from pyspark.sql import DataFrame, functions as F
@@ -41,9 +49,11 @@ from wsu_cpts_415_spark.queries.graph_ops3 import (
 )
 from wsu_cpts_415_spark.session import get_spark
 
-CHAIN_V = 100_000  # path vertices (diameter 99,999)
-STARS_M = 300  # sub-hubs
-STARS_K = 300  # leaves per sub-hub (total ~90k vertices, diameter 4)
+# path vertices (diameter V-1)
+CHAIN_V = int(os.environ.get("SPARK_GRAFT_GRAPH_V", "100000"))
+# sub-hubs / leaves per sub-hub (default ~90k vertices, diameter 4)
+STARS_M = int(os.environ.get("SPARK_GRAFT_GRAPH_M", "300"))
+STARS_K = int(os.environ.get("SPARK_GRAFT_GRAPH_K", "300"))
 N_CHAINS = 50  # disjoint chains of CHAIN_V / N_CHAINS vertices each
 
 
@@ -108,7 +118,13 @@ def _run(kernel, pairs: DataFrame, expect_components: int) -> dict:
 
 def main() -> None:
     spark = get_spark(app_name="graph-topology-probe")
-    out = {"metric": "graph_topology_probe", "topologies": {}}
+    out = {
+        "metric": "graph_topology_probe",
+        "chain_v": CHAIN_V,
+        "stars_m": STARS_M,
+        "stars_k": STARS_K,
+        "topologies": {},
+    }
     cases = [
         ("long_chain", _chain(spark, CHAIN_V, False), 1),
         ("long_chain_perm", _chain(spark, CHAIN_V, True), 1),

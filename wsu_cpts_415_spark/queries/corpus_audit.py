@@ -505,7 +505,15 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth at 117 s at x10 -- quadratic in corpus size by design --
     while the prefix-filtered kernel's funnel is measured linear at
     x10/x100, which is the only ground-truth generator a 100 TB
-    calibration run can actually afford."""
+    calibration run can actually afford.
+
+    OPERATING RULE (round 9, SCALE.md): this exhaustive audit is the
+    labeled EXACTNESS TWIN -- run it to validate the estimator, not as
+    the routine calibration.  The default calibration any pipeline or
+    ops runbook should reference is ``lsh_recall_sampled``, whose cost
+    grows with the SAMPLE's pair count instead of the corpus's (x100:
+    9.0 s vs this audit's exhaustive join; estimate within 0.003 of
+    the exhaustive recall at both probe scales)."""
     from wsu_cpts_415_spark.queries.ssjoin import ssjoin_pairs_above
 
     # NEARDUP_THRESHOLD = 0.5 exactly; the kernel's tau is the same

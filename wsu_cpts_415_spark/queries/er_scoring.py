@@ -234,6 +234,19 @@ def er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # block, W <= block width), so no range-condition nested loop and no
 # cartesian anywhere.  The sort key is a packed fixed-width string so
 # Spark and the oracle compare byte-identically.
+#
+# Blocking-saturation audit (round 9, same question as the lev key):
+# SNM is IMMUNE to key saturation on the cost axis by construction --
+# candidates are exactly (W-1) * n regardless of how many docs share a
+# key prefix, because the window is over SORT POSITIONS, not key-equal
+# blocks (measured: x100 candidate count is 100x the x10 count to
+# within the W-1 boundary rows; wall 6.7 s warm at x100 in
+# scale_probe_er_x100_r8.json, vs the lev key's 26.5M-pair blowup).
+# Saturation of the leading key components only shifts WHICH docs are
+# adjacent -- a recall policy, tuned like any SNM key (multi-pass with
+# rotated keys in production); the key already ends with (n_chars,
+# doc_id), so ordering inside a saturated prefix stays deterministic
+# and conformance pins it.
 
 SNM_WINDOW = 5  # pair records within W-1 sort positions
 SNM_TOP_K = 50

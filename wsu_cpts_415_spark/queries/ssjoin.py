@@ -30,6 +30,17 @@ of magnitude below the full posting-list join.  Plan shape:
     larger side keeps the full ``n - ceil(tau*n) + 1`` prefix, the
     smaller side only its ``n - ceil(2*tau/(1+tau)*n) + 1`` probing
     prefix (proof in ``_ssjoin_frames``);
+  * the size filter is ALSO a join-key component: docs carry an
+    integer-exact geometric length bucket (``_len_bucket_bounds``) and
+    the hash join matches on (token, bucket) with the probe side
+    exploded to its own and the next bucket -- postings of
+    size-incompatible docs never even meet in the hash table;
+  * generation-time sketch (round 9): each prefix row carries
+    ``SKETCH_BUCKETS`` byte counters packed into 2 longs; the
+    sum-of-bucket-minima upper bound on the intersection evaluates
+    branch-free INSIDE the join condition, so a coincidental
+    rare-token pair dies before the positional aggregate's shuffle
+    ever materializes it (x100: 144.6M join rows -> 284,686);
   * positional filter with ACCUMULATED overlap (the actual PPJoin
     filter): one hash aggregate per (doc_a, doc_b) pair counts the
     shared prefix tokens ``c`` and the LAST shared ranks
@@ -57,17 +68,20 @@ as a staged layer, which is exactly how a 100 TB SSJoin deploys.
 
 Honest fixture note: this synthetic corpus has a deliberately narrow
 vocabulary (931 distinct shingles at sf0.1), so prefix df's stay large
-and pruning is weaker than on real text; at the production near-dup
-threshold tau=0.8 (all true dup pairs in the fixtures sit above 0.8)
-the round-8 funnel (scale_probe_er_x10_r8.json) at x10 measures 14.5M
-prefix-join rows -> 11.2M distinct candidate pairs -> 5.93M after the
-accumulated positional bound -> 2,569 after the histogram suffix
-filter = exactly the 2,569 verified pairs: the filter stack eliminates
-EVERY false candidate before the first intersection is computed
-(round 7's stack fed 6.76M pairs into verification for the same 2,569
-results -- ~2,600 candidates verified per true pair; the suffix filter
-closed that gap).  Every funnel stage grows linearly in corpus size
-across x10/x100.
+and token order alone prunes weakly -- which is exactly why round 9
+moved two more bounds INTO pair generation.  Measured funnel
+(scale_probe_er_x100_r9.json) at x100: 284,686 prefix-join rows ->
+116,014 distinct candidate pairs -> 90,396 after the accumulated
+positional bound -> 25,743 after the histogram suffix filter = exactly
+the 25,743 verified pairs.  Round 8's generation (token-hash key only,
+no generation-time sketch) enumerated 144.6M join rows at the same
+scale for the same verified output -- a 508x cut from (a) the length
+bucket keeping size-incompatible postings out of the hash match and
+(b) the packed sketch killing coincidental-rare-token pairs inside the
+join condition, before the positional aggregate's shuffle ever sees
+them.  x100 wall fell 104 s -> 19.1 s warm / 52.4 s cold incl.
+staging.  Every funnel stage grows linearly in corpus size across
+x10/x100 (x10: 28,728 -> 11,721 -> 9,104 -> 2,569 = 2,569).
 
 Reference scope: the reference engine's duplicate detection is exact
 key equality (big_data/scripts/duplicate_checker.py:24-61); threshold
@@ -175,32 +189,62 @@ def _len_bucket_bounds(
     return bounds
 
 
-def _sketch_cols() -> list:
-    """Per-doc generation-time sketch: SKETCH_BUCKETS byte counters of
-    ``pmod(xxhash64(shingle, 1), SKETCH_BUCKETS)`` occupancy, packed 8
-    to a long (disjoint byte lanes, so lane-wise addition never
-    carries).  Saturation at 255 keeps each lane one byte; extraction
-    uses unsigned shifts because the top lane's bit pattern may set the
-    sign bit."""
-    cols = []
-    for li in range(_SKETCH_LONGS):
-        terms = " + ".join(
-            "shiftleft(least(size(filter(shingles, s ->"
-            f" pmod(xxhash64(s, 1), {SKETCH_BUCKETS}) = {8 * li + j})),"
-            f" 255L), {8 * j})"
-            for j in range(8)
+def _sketch_of(ex: DataFrame) -> DataFrame:
+    """(doc_id, sk0..): per-doc generation-time sketch from the exploded
+    (doc_id, sh) token table -- SKETCH_BUCKETS byte counters of
+    ``pmod(xxhash64(sh, 1), SKETCH_BUCKETS)`` occupancy, packed 8 to a
+    long (disjoint byte lanes, so lane-wise addition never carries).
+    Extraction uses unsigned shifts because the top lane's bit pattern
+    may set the sign bit.  A doc with ANY bucket count above 255 (a
+    byte lane cannot hold it) gets NULL sketch longs -- the sentinel
+    the bound coalesces to "unbounded", keeping the filter a true
+    upper bound without any per-byte branch at probe time.  Built as
+    two grouped aggregates over the ALREADY-exploded rows (a per-token
+    partial-aggregating shuffle at staging time) -- the first cut
+    evaluated 16 ``filter(shingles, ...)`` array scans per doc instead
+    and doubled the staging build's wall at x10."""
+    bucketed = ex.groupBy(
+        "doc_id",
+        F.pmod(F.xxhash64("sh", F.lit(1)), F.lit(SKETCH_BUCKETS)).alias(
+            "b16"
+        ),
+    ).agg(F.count("*").alias("cnt"))
+    sk_exprs = [
+        F.expr(
+            f"sum(CASE WHEN b16 >= {8 * li} AND b16 < {8 * li + 8} THEN"
+            f" shiftleft(least(cnt, 255L), CAST((b16 - {8 * li}) * 8 AS INT))"
+            " ELSE 0L END)"
         )
-        cols.append(F.expr(f"({terms})").cast("long").alias(f"sk{li}"))
-    return cols
+        .cast("long")
+        .alias(f"_rawsk{li}")
+        for li in range(_SKETCH_LONGS)
+    ]
+    packed = bucketed.groupBy("doc_id").agg(
+        F.max("cnt").alias("_mx"), *sk_exprs
+    )
+    overflow = F.col("_mx") > 255
+    return packed.select(
+        "doc_id",
+        *[
+            F.when(overflow, F.lit(None).cast("long"))
+            .otherwise(F.col(f"_rawsk{li}"))
+            .alias(f"sk{li}")
+            for li in range(_SKETCH_LONGS)
+        ],
+    )
 
 
 def _sketch_bound(prefix_a: str, prefix_b: str):
     """Upper bound on |A intersect B| from the packed sketches of two
-    join aliases: sum over buckets of min(byte_a, byte_b), with the
-    both-saturated case treated as unbounded (a saturated counter only
-    means ">= 255", so min(255, 255) may understate the true minimum --
-    every other combination is exact-or-over on at least one side,
-    hence a valid upper bound)."""
+    join aliases: sum over buckets of min(byte_a, byte_b).  Validity:
+    any doc whose true bucket count would not fit a byte carries NULL
+    sketch longs (see ``_sketch_of``), the NULL propagates through the
+    shift/add chain, and the final coalesce turns it into "unbounded"
+    -- so every stored byte is EXACT and per-bucket min is a true
+    bound, with zero per-byte branches.  Branch-freedom is
+    load-bearing: a CASE WHEN per byte made the generated join-
+    condition code fall off the fast path and cost ~30 s where this
+    form costs ~2 s on the same 14.5M evaluated pairs (x10 probe)."""
     total = F.lit(0).cast("long")
     for li in range(_SKETCH_LONGS):
         xa = F.col(f"{prefix_a}.sk{li}")
@@ -208,9 +252,9 @@ def _sketch_bound(prefix_a: str, prefix_b: str):
         for j in range(8):
             a_k = F.shiftrightunsigned(xa, 8 * j).bitwiseAND(F.lit(255))
             b_k = F.shiftrightunsigned(xb, 8 * j).bitwiseAND(F.lit(255))
-            m = F.least(a_k, b_k)
-            total = total + F.when(m >= 255, F.lit(1 << 20)).otherwise(m)
-    return total
+            total = total + F.least(a_k, b_k)
+    # NULL (either side unbounded) -> pass unconditionally
+    return F.coalesce(total, F.lit(1 << 62))
 
 
 def _prefix_staged(
@@ -250,7 +294,7 @@ def _prefix_staged(
                 ", ".join(f"{b}L" for b in bounds)
             )
         ).cast("int")
-        docmeta = hashed.select("doc_id", *_sketch_cols())
+        docmeta = _sketch_of(ex)
         return (
             ex.join(dfreq, "sh")
             .groupBy("doc_id", "n")
