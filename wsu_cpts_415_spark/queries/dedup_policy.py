@@ -415,7 +415,13 @@ def ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < NEW_BATCH_BUCKET)
         .select(
             F.col("doc_id").alias("old_doc"),
-            F.col("shingles").alias("old_shingles"),
+            # the gate's standing-store row format is the compact
+            # 64-bit hash array (streaming/ingest_dedup.py round 9);
+            # the oracle intersects the STRING shingles, pinning the
+            # compact form against exact string Jaccard
+            F.expr("transform(shingles, s -> xxhash64(s))").alias(
+                "old_h64"
+            ),
         )
     )
     return (

@@ -28,8 +28,18 @@ the parquet twins of the bucketed layout in
 queries/dedup_policy.py:_inc_bucketed_layout (at 100 TB they are written
 bucketed by the nightly maintenance job and the band join is
 bucket-co-located; here they are plain parquet because each batch's band
-table broadcasts).  Text never shuffles: the gates move digests, band
-keys, and shingle arrays only.
+table broadcasts).  Text never leaves the batch's scan stage: the
+standing stores hold md5 digests, band keys, and COMPACT 64-bit
+shingle-hash arrays (round 9; previously raw shingle strings) -- the
+per-batch store scan moves 8 bytes per shingle instead of ~15-char
+n-gram text, and verification intersects long arrays.  Hash-collision
+bound vs exact string Jaccard: same argument as queries/er_scoring.py's
+signal attach -- a cross-doc xxhash64 collision inflates one
+intersection with probability ~|A||B|/2^64 < 1e-13 per pair, and the
+oracle-checked batch face (queries/dedup_policy.py:ingest_dedup_gate,
+whose DuckDB oracle intersects the STRING shingles) would surface any
+hit.  Measured cost curve: streaming_store_probe_r9.json -- steady
+per-batch wall flat from x10 to x100 standing corpora.
 """
 
 from __future__ import annotations
@@ -46,6 +56,16 @@ def _digests_of(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("digest"))
 
 
+def _h64_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, h64): the compact 64-bit shingle-hash array per doc --
+    the standing shingle store's row format (8 bytes per shingle; the
+    raw n-gram strings never leave the batch that produced them)."""
+    return hashed_of(docs).select(
+        "doc_id",
+        F.expr("transform(shingles, s -> xxhash64(s))").alias("h64"),
+    )
+
+
 def init_standing_stores(
     spark: SparkSession, corpus_docs: DataFrame, store_dir: str
 ) -> None:
@@ -59,11 +79,9 @@ def init_standing_stores(
     bands_of(base).withColumn("_batch", F.lit(-1)).write.mode(
         "overwrite"
     ).partitionBy("_batch").parquet(f"{store_dir}/bands")
-    hashed_of(base).select("doc_id", "shingles").withColumn(
-        "_batch", F.lit(-1)
-    ).write.mode("overwrite").partitionBy("_batch").parquet(
-        f"{store_dir}/shingles"
-    )
+    _h64_of(base).withColumn("_batch", F.lit(-1)).write.mode(
+        "overwrite"
+    ).partitionBy("_batch").parquet(f"{store_dir}/shingles")
 
 
 def gate_batch(
@@ -106,10 +124,8 @@ def gate_batch(
     std_bands = read_store("bands", bands_of(nil)).select(
         F.col("doc_id").alias("old_doc"), "b", "h1", "h2"
     )
-    std_sh = read_store(
-        "shingles", hashed_of(nil).select("doc_id", "shingles")
-    ).select(
-        F.col("doc_id").alias("old_doc"), F.col("shingles").alias("old_shingles")
+    std_sh = read_store("shingles", _h64_of(nil)).select(
+        F.col("doc_id").alias("old_doc"), F.col("h64").alias("old_h64")
     )
     return gate_against(
         batch_df, std_digests, std_bands, std_sh, threshold, _persists=_persists
@@ -128,8 +144,13 @@ def gate_against(
     exact digest gate (within-batch keeps the min doc_id), LSH + exact
     Jaccard near-dup gate vs the standing corpus, and the deterministic
     within-batch rule (a doc is dropped if it verifies >= threshold
-    against ANY smaller-id batch doc).  Registered as the oracle-checked
-    query ``ingest_dedup_gate`` (queries/dedup_policy.py)."""
+    against ANY smaller-id batch doc).  ``std_sh`` carries the compact
+    form, (old_doc, old_h64); verification intersects 64-bit hash
+    arrays on both sides (collision bound in the module docstring).
+    Registered as the oracle-checked query ``ingest_dedup_gate``
+    (queries/dedup_policy.py), whose DuckDB oracle intersects the raw
+    STRING shingles -- so the compact representation is pinned against
+    exact string Jaccard."""
     docs = batch_df
     digests = _digests_of(docs)
     # within-batch exact dedup: keep the min doc_id per digest
@@ -156,7 +177,10 @@ def gate_against(
         else:
             track_persist(hashed)
     b_bands = bands_from_hashed(hashed)
-    b_sh = hashed.select("doc_id", "shingles")
+    b_sh = hashed.select(
+        "doc_id",
+        F.expr("transform(shingles, s -> xxhash64(s))").alias("h64"),
+    )
     cand_corpus = (
         std_bands.join(
             F.broadcast(b_bands.withColumnRenamed("doc_id", "new_doc")),
@@ -165,7 +189,7 @@ def gate_against(
         .select("new_doc", "old_doc")
         .dropDuplicates(["new_doc", "old_doc"])
     )
-    inter_c = F.size(F.array_intersect("shingles", "old_shingles"))
+    inter_c = F.size(F.array_intersect("h64", "old_h64"))
     rejected_vs_corpus = (
         cand_corpus.join(
             F.broadcast(b_sh.withColumnRenamed("doc_id", "new_doc")), "new_doc"
@@ -174,7 +198,7 @@ def gate_against(
         .withColumn(
             "jaccard",
             inter_c.cast("double")
-            / (F.size("shingles") + F.size("old_shingles") - inter_c),
+            / (F.size("h64") + F.size("old_h64") - inter_c),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("new_doc")
@@ -197,8 +221,8 @@ def gate_against(
         )
         .dropDuplicates(["keep_doc", "drop_doc"])
     )
-    sa = b_sh.select(F.col("doc_id").alias("keep_doc"), F.col("shingles").alias("ka"))
-    sb = b_sh.select(F.col("doc_id").alias("drop_doc"), F.col("shingles").alias("kb"))
+    sa = b_sh.select(F.col("doc_id").alias("keep_doc"), F.col("h64").alias("ka"))
+    sb = b_sh.select(F.col("doc_id").alias("drop_doc"), F.col("h64").alias("kb"))
     inter_s = F.size(F.array_intersect("ka", "kb"))
     rejected_in_batch = (
         cand_self.join(F.broadcast(sa), "keep_doc")
@@ -293,7 +317,7 @@ def apply_ingest_batch(
         for name, df in (
             ("digests", _digests_of(landed)),
             ("bands", bands_of(landed)),
-            ("shingles", hashed_of(landed).select("doc_id", "shingles")),
+            ("shingles", _h64_of(landed)),
         ):
             (
                 df.withColumn("_batch", F.lit(batch_id))
