@@ -125,6 +125,11 @@ PROBE = [
     "cc_star_contraction",
     "sorted_neighborhood_pairs",
     "er_match_scores",
+    # round-9 ER measurement pair: blocking recall per key arity and
+    # the three-generator multi-pass recall (both ride the staged
+    # ssjoin/lev/SNM/LSH tables the other probed queries build)
+    "er_blocking_recall_audit",
+    "er_multipass_recall",
     "multimodal_bmp_meta",
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -44,6 +44,7 @@ from wsu_cpts_415_spark.queries.semdedup import (
     LEV_PREFIX,
     lev_candidates,
 )
+from wsu_cpts_415_spark.queries.similarity import LSH_PAIRS_DUCK_CTES
 from wsu_cpts_415_spark.registry import register
 
 W_EDIT, W_JAC, W_LEN = 0.5, 0.3, 0.2
@@ -258,6 +259,41 @@ _SNM_KEY_DUCK = (
 )
 
 
+def _snm_ranked_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, prefix, n_chars, rn): the corpus under the SNM sort key
+    with its exact global rank -- session-staged so the windowed
+    self-join (and the multi-pass recall audit) read ONE persisted table
+    instead of running the rank kernel per consumer.  skey embeds
+    doc_id, so it is unique: the range-partitioned rank kernel (built
+    for high-cardinality keys) gives the exact global order in one
+    range shuffle."""
+    from wsu_cpts_415_spark.io.tables import load_table
+    from wsu_cpts_415_spark.ops.scalable_rank import (
+        range_partitioned_row_number,
+    )
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    def build_ranked() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        keyed = docs.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                "lang",
+                F.split("text", " ").getItem(0),
+                F.lpad(F.col("n_chars").cast("string"), 8, "0"),
+                F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+            ).alias("skey"),
+            F.substring("text", 1, LEV_PREFIX).alias("prefix"),
+            "n_chars",
+        )
+        return range_partitioned_row_number(
+            keyed, "skey", out_col="rn"
+        ).select("doc_id", "prefix", "n_chars", "rn")
+
+    return staged(spark, "snm_ranked", sf_dir, build_ranked)
+
+
 @register(
     "sorted_neighborhood_pairs",
     oracle=f"""
@@ -301,37 +337,7 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores: sort by (lang, first token, length, id), pair every record
     with its W-1 successors, score by prefix edit similarity + length
     agreement, keep the top-K (see block comment for the scale story)."""
-    from wsu_cpts_415_spark.io.tables import load_table
-    from wsu_cpts_415_spark.ops.scalable_rank import (
-        range_partitioned_row_number,
-    )
-
-    from wsu_cpts_415_spark.ops.staging import staged
-
-    def build_ranked() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        keyed = docs.select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                "lang",
-                F.split("text", " ").getItem(0),
-                F.lpad(F.col("n_chars").cast("string"), 8, "0"),
-                F.lpad(F.col("doc_id").cast("string"), 12, "0"),
-            ).alias("skey"),
-            F.substring("text", 1, LEV_PREFIX).alias("prefix"),
-            "n_chars",
-        )
-        # skey embeds doc_id, so it is unique: the range-partitioned
-        # rank kernel (built for high-cardinality keys) gives the exact
-        # global order in one range shuffle
-        return range_partitioned_row_number(
-            keyed, "skey", out_col="rn"
-        ).select("doc_id", "prefix", "n_chars", "rn")
-
-    # staged so the windowed self-join reads ONE persisted table from
-    # both aliases instead of running the rank kernel once per side
-    ranked = staged(spark, "snm_ranked", sf_dir, build_ranked)
+    ranked = _snm_ranked_staged(spark, sf_dir)
     w = SNM_WINDOW
     left = ranked.select(
         F.col("doc_id").alias("doc_a"),
@@ -687,3 +693,192 @@ def er_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     ).orderBy("blocking_key")
+
+
+@register(
+    "er_multipass_recall",
+    oracle=f"""
+    WITH {{LSH}},
+    tex AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1]
+               ))) AS shingle
+        FROM documents
+    ),
+    tsz AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+        FROM tex GROUP BY doc_id
+    ),
+    tin AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM tex a
+        JOIN tex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truep AS (
+        SELECT doc_a, doc_b
+        FROM tin
+        JOIN tsz sa ON sa.doc_id = tin.doc_a
+        JOIN tsz sb ON sb.doc_id = tin.doc_b
+        WHERE 9 * n_common >= 4 * (sa.n_sh + sb.n_sh)
+    ),
+    keysx AS (
+        SELECT doc_id, lang,
+               CAST(n_chars // {LEV_BLOCK_CHARS} AS BIGINT) AS blk,
+               string_split(text, ' ')[1] AS tok0,
+               COALESCE(string_split(text, ' ')[2], '') AS tok1,
+               substr(text, 1, {LEV_PREFIX}) AS prefix
+        FROM documents
+    ),
+    levp AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS m
+        FROM keysx a
+        JOIN keysx b
+          ON a.lang = b.lang AND a.blk = b.blk AND a.tok0 = b.tok0
+         AND a.tok1 = b.tok1 AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.prefix, b.prefix) <= {LEV_MAX_DIST}
+    ),
+    snmk AS (SELECT doc_id, {_SNM_KEY_DUCK} AS skey FROM documents),
+    snmr AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY skey) AS rn FROM snmk
+    ),
+    snmp AS (
+        SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+               GREATEST(a.doc_id, b.doc_id) AS doc_b, 1 AS m
+        FROM snmr a
+        JOIN snmr b ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW - 1}
+    ),
+    lshc AS (SELECT DISTINCT doc_a, doc_b, 1 AS m FROM cand),
+    flags AS (
+        SELECT CASE WHEN lv.m IS NOT NULL THEN 1 ELSE 0 END AS c_lev,
+               CASE WHEN sp.m IS NOT NULL THEN 1 ELSE 0 END AS c_snm,
+               CASE WHEN cd.m IS NOT NULL THEN 1 ELSE 0 END AS c_lsh
+        FROM truep t
+        LEFT JOIN levp lv ON lv.doc_a = t.doc_a AND lv.doc_b = t.doc_b
+        LEFT JOIN snmp sp ON sp.doc_a = t.doc_a AND sp.doc_b = t.doc_b
+        LEFT JOIN lshc cd ON cd.doc_a = t.doc_a AND cd.doc_b = t.doc_b
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c_lev) AS BIGINT) AS nl,
+               CAST(SUM(c_snm) AS BIGINT) AS ns,
+               CAST(SUM(c_lsh) AS BIGINT) AS nh,
+               CAST(SUM(CASE WHEN c_lev + c_snm + c_lsh > 0 THEN 1
+                             ELSE 0 END) AS BIGINT) AS nu
+        FROM flags
+    )
+    SELECT * FROM (
+        SELECT 'lev_block' AS blocking_pass, n AS n_true_pairs,
+               nl AS n_covered, ROUND(nl * 1.0 / NULLIF(n, 0), 6) AS recall
+        FROM tot
+        UNION ALL
+        SELECT 'lsh_bands', n, nh, ROUND(nh * 1.0 / NULLIF(n, 0), 6) FROM tot
+        UNION ALL
+        SELECT 'snm_window', n, ns, ROUND(ns * 1.0 / NULLIF(n, 0), 6) FROM tot
+        UNION ALL
+        SELECT 'union', n, nu, ROUND(nu * 1.0 / NULLIF(n, 0), 6) FROM tot
+    ) ORDER BY blocking_pass
+    """.format(LSH=LSH_PAIRS_DUCK_CTES),
+)
+def er_multipass_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass blocking recall -- the claim every blocking docstring
+    makes ("production stacks several passes with different keys to
+    recover blocking misses", Christen 2012), finally DEMONSTRATED as a
+    measurement: recall of each deployed candidate GENERATOR (lev key
+    blocking, sorted-neighborhood window, MinHash-LSH bands) against
+    exact J >= 4/5 ground truth, plus the recall of their UNION.  The
+    three generators miss differently by construction -- the lev key
+    misses pairs differing in leading tokens, SNM misses pairs far
+    apart under the sort key, LSH misses only by signature chance --
+    so the union is the number a production ER pass actually operates
+    at, and the per-pass rows price each generator's contribution.
+
+    Scale posture: ground truth from the PPJoin+ kernel (linear
+    funnel), each candidate set is its deployed generator's own bounded
+    output, coverage is three broadcast-size left joins at the
+    true-pair sliver's grain, rollup is one aggregate."""
+    from wsu_cpts_415_spark.queries.similarity import lsh_band_candidates
+    from wsu_cpts_415_spark.queries.ssjoin import ssjoin_pairs_above
+
+    truep = ssjoin_pairs_above(spark, sf_dir, 4, 5).select("doc_a", "doc_b")
+    lev = (
+        lev_candidates(spark, sf_dir)
+        .select("doc_a", "doc_b", F.lit(1).alias("m_lev"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ranked = _snm_ranked_staged(spark, sf_dir)
+    w = SNM_WINDOW
+    left = ranked.select(
+        F.col("doc_id").alias("ida"),
+        F.col("rn").alias("rna"),
+        F.explode(
+            F.array(
+                F.floor((F.col("rn") - 1) / w),
+                F.floor((F.col("rn") - 1) / w) + 1,
+            )
+        ).alias("jb"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("idb"),
+        F.col("rn").alias("rnb"),
+        F.floor((F.col("rn") - 1) / w).alias("jb"),
+    )
+    snm = (
+        left.join(right, "jb")
+        .filter(
+            (F.col("rnb") > F.col("rna"))
+            & (F.col("rnb") <= F.col("rna") + (w - 1))
+        )
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            F.lit(1).alias("m_snm"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    lsh = lsh_band_candidates(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("m_lsh")
+    )
+    flags = (
+        truep.join(lev, ["doc_a", "doc_b"], "left")
+        .join(snm, ["doc_a", "doc_b"], "left")
+        .join(lsh, ["doc_a", "doc_b"], "left")
+        .select(
+            F.coalesce("m_lev", F.lit(0)).alias("c_lev"),
+            F.coalesce("m_snm", F.lit(0)).alias("c_snm"),
+            F.coalesce("m_lsh", F.lit(0)).alias("c_lsh"),
+        )
+    )
+    tot = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("c_lev"), F.lit(0)).alias("nl"),
+        F.coalesce(F.sum("c_snm"), F.lit(0)).alias("ns"),
+        F.coalesce(F.sum("c_lsh"), F.lit(0)).alias("nh"),
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("c_lev") + F.col("c_snm") + F.col("c_lsh")) > 0
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("nu"),
+    )
+    return tot.selectExpr(
+        "stack(4, 'lev_block', nl, 'lsh_bands', nh, 'snm_window', ns,"
+        " 'union', nu) AS (blocking_pass, n_covered)",
+        "n AS n_true_pairs",
+    ).select(
+        "blocking_pass",
+        "n_true_pairs",
+        "n_covered",
+        F.round(
+            F.try_divide(
+                "n_covered", F.nullif(F.col("n_true_pairs"), F.lit(0))
+            ),
+            6,
+        ).alias("recall"),
+    ).orderBy("blocking_pass")

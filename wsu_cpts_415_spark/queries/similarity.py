@@ -223,15 +223,16 @@ def _bands_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged(spark, "minhash_bands", sf_dir, build)
 
 
-def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Stage 1: slim band table (doc_id, band, two signature slots) -- the
-    # self-join shuffles ONLY ids + hashes, never text or shingle arrays.
-    # The staged projection is computed once and read by the band build
-    # AND both candidate-verification sides below.
+def lsh_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNVERIFIED band-collision candidate pairs (doc_a < doc_b),
+    deduped: the LSH generator's output before any Jaccard is computed.
+    Shared by the verified-pair build below and the multi-pass blocking
+    recall audit (queries/er_scoring.py), which scores each candidate
+    GENERATOR -- not the verified survivors -- against ground truth."""
     bands = _bands_staged(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.b") == F.col("b.b"))
@@ -242,6 +243,14 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stage 1: slim band table (doc_id, band, two signature slots) -- the
+    # self-join shuffles ONLY ids + hashes, never text or shingle arrays.
+    # The staged projection is computed once and read by the band build
+    # AND both candidate-verification sides below.
+    cand = lsh_band_candidates(spark, sf_dir)
     # Stage 2: attach shingle sets to the (deduped) candidates only.
     sh = _hashed_staged(spark, sf_dir).select("doc_id", "shingles")
     sa = sh.alias("sa")
