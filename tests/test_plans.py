@@ -722,6 +722,29 @@ def test_prefix_filter_ssjoin_plan(spark, qs):
     assert "partial_max" in plan
     for read in (l for l in plan.splitlines() if "ReadSchema" in l):
         assert read.count(":") - 1 <= 2, f"scan too wide: {read}"
+    # round-9 generation-time bounds, pinned so a refactor cannot
+    # silently undo the measured 508x enumeration cut
+    # (scale_probe_er_x100_r9.json):
+    # (a) the length bucket is an EQUI-key of the self-join -- bkt must
+    #     appear among the join keys, not only as a filter condition;
+    # (b) the packed-sketch intersection bound evaluates INSIDE the
+    #     join (its unsigned byte-lane extraction is the marker) --
+    #     moving it to a later Filter re-materializes every false pair
+    #     into the positional aggregate's shuffle.
+    key_lines = [
+        ln for ln in plan.splitlines()
+        if ln.lstrip().startswith(("Left keys", "Right keys"))
+    ]
+    assert any("bkt" in ln for ln in key_lines), (
+        f"length bucket not a join key: {key_lines}"
+    )
+    cond_lines = [
+        ln for ln in plan.splitlines()
+        if ln.lstrip().startswith(("Join condition", "Condition"))
+    ]
+    assert any("shiftrightunsigned" in ln for ln in cond_lines), (
+        "sketch bound not inside the prefix self-join condition"
+    )
 
 
 def test_sorted_neighborhood_equi_join_no_cartesian(spark, qs):

@@ -541,7 +541,9 @@ def blocking_key_extension_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.col("n_chars") / LEV_BLOCK_CHARS).cast("bigint").alias("blk"),
         F.split("text", " ").getItem(0).alias("tok0"),
-        F.split("text", " ").getItem(1).alias("tok1"),
+        # F.get: ANSI-safe on one-token docs (NULL, grouped as the
+        # oracle's NULL string_split(...)[2] group)
+        F.get(F.split("text", " "), 1).alias("tok1"),
     )
 
     def arity(name: str, keys: list[str]) -> DataFrame:
@@ -655,7 +657,7 @@ def er_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.col("n_chars") / LEV_BLOCK_CHARS).cast("bigint").alias("blk"),
         F.split("text", " ").getItem(0).alias("tok0"),
-        F.coalesce(F.split("text", " ").getItem(1), F.lit("")).alias("tok1"),
+        F.coalesce(F.get(F.split("text", " "), 1), F.lit("")).alias("tok1"),
     )
     ka = keys.select(
         F.col("doc_id").alias("doc_a"),

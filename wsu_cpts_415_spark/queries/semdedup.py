@@ -249,9 +249,13 @@ def _lev_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.col("n_chars") / LEV_BLOCK_CHARS).cast("bigint").alias("blk"),
         F.split("text", " ").getItem(0).alias("tok0"),
-        # coalesce: a one-token doc's missing second token blocks as ''
-        # on both engines (plain equality would silently drop it)
-        F.coalesce(F.split("text", " ").getItem(1), F.lit("")).alias("tok1"),
+        # F.get (NOT getItem): under ANSI mode getItem(1) THROWS
+        # INVALID_ARRAY_INDEX on a one-token doc where get() yields
+        # NULL (caught by tests/test_er_blocking.py); the coalesce then
+        # blocks the missing token as '' on both engines, matching the
+        # oracle's COALESCE(string_split(...)[2], '') -- plain equality
+        # on a NULL would silently drop the doc from every candidate
+        F.coalesce(F.get(F.split("text", " "), 1), F.lit("")).alias("tok1"),
         F.substring("text", 1, LEV_PREFIX).alias("prefix"),
         F.col("n_chars").alias("len_chars"),
     )

@@ -182,9 +182,19 @@ def _len_bucket_bounds(
     nb <= t[k+1] - 1; then na <= nb*den/num <= (t[k+1]-1)*den/num
     < t[k+2], hence bucket(na) <= k+1.  Integer recurrence, so no
     float-boundary doc can ever be mis-bucketed (a log-based bucket
-    would risk exactly that at boundary sizes)."""
+    would risk exactly that at boundary sizes).
+
+    tau = 1 degenerates: the recurrence's geometric factor is 1, the
+    list would enumerate every integer up to max_n (an effective hang
+    -- caught by tests/test_ssjoin_bounds.py's property sweep over
+    tau fractions), and valid pairs have na == nb anyway, so ONE
+    bucket is exact.  The length cap is a second guard for tau within
+    1/max_len of 1."""
+    if tau_num >= tau_den:
+        return [1]
     bounds = [1]
-    while bounds[-1] <= max_n:
+    max_len = 100_000
+    while bounds[-1] <= max_n and len(bounds) < max_len:
         bounds.append(bounds[-1] * tau_den // tau_num + 1)
     return bounds
 
