@@ -130,6 +130,10 @@ PROBE = [
     # ssjoin/lev/SNM/LSH tables the other probed queries build)
     "er_blocking_recall_audit",
     "er_multipass_recall",
+    # round-10: the composed production ER path (union of all three
+    # generators -> composite scorer -> top-k); its funnel is emitted
+    # below whenever it is probed
+    "er_multipass_match_scores",
     "multimodal_bmp_meta",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -382,6 +386,25 @@ def main() -> None:
             "candidate_pairs": cand.count(),
             "nonempty_blocks": stats["n_blocks"],
             "max_block_pairs": stats["max_block_pairs"],
+        }
+    # Multi-pass ER funnel (round-10): candidate volume of the deployed
+    # union vs each generator's own bounded funnel -- the union must be
+    # <= the sum of the three (it is a distinct), so reading these four
+    # numbers side by side proves the composed query imports no
+    # complexity class beyond its parts
+    if "er_multipass_match_scores" in PROBE:
+        from wsu_cpts_415_spark.queries.er_scoring import (
+            _multipass_candidates,
+        )
+        from wsu_cpts_415_spark.queries.semdedup import lev_candidates
+        from wsu_cpts_415_spark.queries.similarity import (
+            lsh_band_candidates,
+        )
+
+        out["er_multipass_funnel"] = {
+            "lev_pairs": lev_candidates(spark, DST).count(),
+            "lsh_pairs": lsh_band_candidates(spark, DST).count(),
+            "union_pairs": _multipass_candidates(spark, DST).count(),
         }
     print(json.dumps(out))
 

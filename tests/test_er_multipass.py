@@ -1,0 +1,86 @@
+"""Round-10 composed multi-pass ER (queries/er_scoring.py
+``er_multipass_match_scores``): the union-of-generators candidate set
+and the unbounded-distance scoring semantics.  The conformance gate pins
+the full query against DuckDB; these tests pin the COMPOSITION
+properties the oracle can't localize -- that the union really is a
+superset of each deployed generator, that pairs only a non-lev pass can
+reach survive into scoring, and that the pair normalization never emits
+a duplicate or a reversed pair."""
+
+from __future__ import annotations
+
+from conftest import SF_SMOKE
+from pyspark.sql import functions as F
+
+from wsu_cpts_415_spark.queries.er_scoring import (
+    ER_TOP_K,
+    _multipass_candidates,
+    er_multipass_match_scores,
+)
+from wsu_cpts_415_spark.queries.semdedup import LEV_MAX_DIST, lev_candidates
+from wsu_cpts_415_spark.queries.similarity import lsh_band_candidates
+
+
+def _pairset(df):
+    return {(r.doc_a, r.doc_b) for r in df.select("doc_a", "doc_b").collect()}
+
+
+def test_union_superset_of_each_generator(spark):
+    union = _pairset(_multipass_candidates(spark, SF_SMOKE))
+    lev = _pairset(lev_candidates(spark, SF_SMOKE))
+    lsh = _pairset(lsh_band_candidates(spark, SF_SMOKE))
+    assert lev <= union
+    assert lsh <= union
+    # SNM contributes (W-1)*n pairs by construction; the union must be
+    # strictly larger than the lev set alone on any corpus with >W docs
+    assert len(union) > len(lev)
+
+
+def test_candidates_normalized_and_distinct(spark):
+    cand = _multipass_candidates(spark, SF_SMOKE)
+    n = cand.count()
+    assert cand.dropDuplicates(["doc_a", "doc_b"]).count() == n
+    assert cand.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+def test_scorer_keeps_beyond_lev_distance(spark):
+    """The composed scorer must NOT re-apply the lev generator's
+    distance cutoff: SNM/LSH candidates with prefix dist > LEV_MAX_DIST
+    legitimately flow through and simply score low."""
+    scored = er_multipass_match_scores(spark, SF_SMOKE)
+    # recompute the full (pre-top-k) scored set via the internal pieces:
+    # the candidate union must contain pairs beyond the lev cutoff
+    from wsu_cpts_415_spark.io.tables import load_table
+    from wsu_cpts_415_spark.queries.semdedup import LEV_PREFIX
+
+    cand = _multipass_candidates(spark, SF_SMOKE)
+    keys = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.substring("text", 1, LEV_PREFIX).alias("prefix")
+    )
+    far = (
+        cand.join(
+            keys.select(
+                F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa")
+            ),
+            "doc_a",
+        )
+        .join(
+            keys.select(
+                F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb")
+            ),
+            "doc_b",
+        )
+        .filter(F.levenshtein("pa", "pb") > LEV_MAX_DIST)
+        .count()
+    )
+    assert far > 0  # non-lev passes really do widen the scored set
+    assert scored.count() <= ER_TOP_K
+
+
+def test_topk_scores_sorted_and_bounded(spark):
+    rows = er_multipass_match_scores(spark, SF_SMOKE).collect()
+    scores = [r.match_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    # every row carries the unbounded dist and the attached jaccard
+    assert all(r.dist >= 0 and 0.0 <= r.jaccard <= 1.0 for r in rows)

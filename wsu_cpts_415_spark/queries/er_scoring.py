@@ -884,3 +884,253 @@ def er_multipass_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     ).orderBy("blocking_pass")
+
+
+def _multipass_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped union of the three deployed candidate generators
+    (doc_a < doc_b normalized): lev-key blocking, sorted-neighborhood
+    window, MinHash-LSH bands.  Each input is its generator's own
+    bounded funnel; the union is a distinct over id pairs only (no
+    payload columns shuffle)."""
+    from wsu_cpts_415_spark.queries.similarity import lsh_band_candidates
+
+    lev = lev_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    ranked = _snm_ranked_staged(spark, sf_dir)
+    w = SNM_WINDOW
+    left = ranked.select(
+        F.col("doc_id").alias("ida"),
+        F.col("rn").alias("rna"),
+        F.explode(
+            F.array(
+                F.floor((F.col("rn") - 1) / w),
+                F.floor((F.col("rn") - 1) / w) + 1,
+            )
+        ).alias("jb"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("idb"),
+        F.col("rn").alias("rnb"),
+        F.floor((F.col("rn") - 1) / w).alias("jb"),
+    )
+    snm = (
+        left.join(right, "jb")
+        .filter(
+            (F.col("rnb") > F.col("rna"))
+            & (F.col("rnb") <= F.col("rna") + (w - 1))
+        )
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+        )
+    )
+    lsh = lsh_band_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        lev.unionByName(snm)
+        .unionByName(lsh)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+@register(
+    "er_multipass_match_scores",
+    oracle=f"""
+    WITH {{LSH}},
+    keysx AS (
+        SELECT doc_id, lang,
+               CAST(n_chars // {LEV_BLOCK_CHARS} AS BIGINT) AS blk,
+               string_split(text, ' ')[1] AS tok0,
+               COALESCE(string_split(text, ' ')[2], '') AS tok1,
+               substr(text, 1, {LEV_PREFIX}) AS prefix,
+               n_chars AS len_chars
+        FROM documents
+    ),
+    levp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM keysx a
+        JOIN keysx b
+          ON a.lang = b.lang AND a.blk = b.blk AND a.tok0 = b.tok0
+         AND a.tok1 = b.tok1 AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.prefix, b.prefix) <= {LEV_MAX_DIST}
+    ),
+    snmk AS (SELECT doc_id, {_SNM_KEY_DUCK} AS skey FROM documents),
+    snmr AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY skey) AS rn FROM snmk
+    ),
+    snmp AS (
+        SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+               GREATEST(a.doc_id, b.doc_id) AS doc_b
+        FROM snmr a
+        JOIN snmr b ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW - 1}
+    ),
+    allc AS (
+        SELECT doc_a, doc_b FROM levp
+        UNION
+        SELECT doc_a, doc_b FROM snmp
+        UNION
+        SELECT doc_a, doc_b FROM cand
+    ),
+    feat AS (
+        SELECT c.doc_a, c.doc_b,
+               levenshtein(ka.prefix, kb.prefix) AS dist,
+               GREATEST(GREATEST(length(ka.prefix), length(kb.prefix)), 1)
+                   AS plen,
+               ka.len_chars AS len_a, kb.len_chars AS len_b
+        FROM allc c
+        JOIN keysx ka ON ka.doc_id = c.doc_a
+        JOIN keysx kb ON kb.doc_id = c.doc_b
+    ),
+    {_DUCK_EXACT_PAIRS}
+    SELECT f.doc_a, f.doc_b,
+           -- floor(x*1e6 + 0.5)/1e6: identical IEEE rounding in both
+           -- engines (plain ROUND diverges on half-points via Spark's
+           -- decimal-string HALF_UP)
+           FLOOR(({W_EDIT} * (1 - CAST(f.dist AS DOUBLE) / f.plen)
+                  + {W_JAC} * COALESCE(j.jaccard, 0)
+                  + {W_LEN} * (LEAST(f.len_a, f.len_b) * 1.0
+                               / GREATEST(f.len_a, f.len_b)))
+                 * 1000000 + 0.5) / 1000000.0 AS match_score,
+           CAST(f.dist AS INT) AS dist,
+           ROUND(COALESCE(j.jaccard, 0), 6) AS jaccard
+    FROM feat f
+    LEFT JOIN jac j ON j.doc_a = f.doc_a AND j.doc_b = f.doc_b
+    ORDER BY match_score DESC, f.doc_a, f.doc_b
+    LIMIT {ER_TOP_K}
+    """.format(LSH=LSH_PAIRS_DUCK_CTES),
+)
+def er_multipass_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production ER match query: union of all three
+    deployed candidate generators (lev-key blocking + sorted-neighborhood
+    window + MinHash-LSH bands) -> distinct pairs -> the same composite
+    scorer as ``er_match_scores`` ({W_EDIT} * prefix-edit similarity +
+    {W_JAC} * shingle Jaccard + {W_LEN} * length agreement) -> top-{ER_TOP_K}.
+
+    Why it exists: ``er_multipass_recall`` MEASURED the single lev pass
+    at 0.307 blocking recall against exact J >= 4/5 ground truth while
+    the three-generator union reaches 0.9997 (x100,
+    scale_probe_er_recall_x100_r9.json) -- each generator misses
+    differently (lev: leading-token edits; SNM: far apart under the
+    sort key; LSH: signature chance only), so production record linkage
+    scores the UNION (Christen 2012's multi-pass blocking).  This query
+    turns that measurement into the deployed path.
+
+    Scale posture: candidates are the union of three bounded funnels --
+    never all-pairs -- deduped on id pairs alone (no payloads in the
+    distinct's shuffle); feature attach is two joins against a
+    doc-grain projection and the Jaccard attach intersects compact
+    64-bit shingle-hash arrays per candidate (both sides broadcast
+    under the SSJoin doc-side bound, shuffle fallback above it);
+    scoring is row-local arithmetic and the top-k is
+    TakeOrderedAndProject.  Unlike ``er_match_scores`` the edit
+    distance here is UNBOUNDED (SNM/LSH candidates legitimately exceed
+    {LEV_MAX_DIST}; a large dist just scores low) -- cost is the same
+    O(|prefix|^2) banded DP per candidate."""
+    from wsu_cpts_415_spark.io.tables import load_table
+    from wsu_cpts_415_spark.ops.staging import maybe_broadcast
+    from wsu_cpts_415_spark.queries.similarity import _hashed_staged
+    from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
+
+    cand = _multipass_candidates(spark, sf_dir)
+    keys = maybe_broadcast(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.substring("text", 1, LEV_PREFIX).alias("prefix"),
+            F.col("n_chars").alias("len_chars"),
+        ),
+        DOC_SIDE_BCAST_ROWS,
+    )
+    feat = (
+        cand.join(
+            keys.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("prefix").alias("pa"),
+                F.col("len_chars").alias("len_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            keys.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("prefix").alias("pb"),
+                F.col("len_chars").alias("len_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").alias("dist"),
+            F.greatest(
+                F.greatest(F.length("pa"), F.length("pb")), F.lit(1)
+            ).alias("plen"),
+            "len_a",
+            "len_b",
+        )
+    )
+    compact = maybe_broadcast(
+        _hashed_staged(spark, sf_dir).select(
+            "doc_id",
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("h64"),
+        ),
+        DOC_SIDE_BCAST_ROWS,
+    )
+    scored = (
+        feat.join(
+            compact.select(
+                F.col("doc_id").alias("doc_a"), F.col("h64").alias("hs_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            compact.select(
+                F.col("doc_id").alias("doc_b"), F.col("h64").alias("hs_b")
+            ),
+            "doc_b",
+        )
+        .withColumn("ncomm", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.coalesce(
+                F.round(
+                    F.col("ncomm").cast("double")
+                    / (
+                        F.size("hs_a")
+                        + F.size("hs_b")
+                        - F.col("ncomm")
+                    ),
+                    6,
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            # floor(x*1e6 + 0.5)/1e6 == the oracle's formula on the
+            # same IEEE double -- no decimal-string HALF_UP divergence
+            (
+                F.floor(
+                    (
+                        W_EDIT
+                        * (
+                            1
+                            - F.col("dist").cast("double") / F.col("plen")
+                        )
+                        + W_JAC * F.col("jaccard")
+                        + W_LEN
+                        * (
+                            F.least("len_a", "len_b")
+                            / F.greatest("len_a", "len_b").cast("double")
+                        )
+                    )
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("match_score"),
+            F.col("dist").cast("int").alias("dist"),
+            "jaccard",
+        )
+    )
+    return scored.orderBy(
+        F.col("match_score").desc(), "doc_a", "doc_b"
+    ).limit(ER_TOP_K)
