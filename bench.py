@@ -199,6 +199,24 @@ REGRESSION_RATIO = 1.5
 MIN_PRIOR_SEC = 0.20
 MIN_DELTA_SEC = 0.25
 
+# Machine-speed canary (round-10 verdict task): two rounds running, the
+# headline total moved because the MACHINE moved, and adjudicating that
+# took a hand-built worktree control (re-running the prior round's
+# commit on the current machine).  Instead, a fixed set of cheap,
+# plan-stable queries -- untouched since round 3, pure relational
+# shapes with no session-staged state -- acts as a speed reference:
+# their total this run divided by their total in the baseline is the
+# machine-speed ratio, and the regression guard divides every per-query
+# ratio by it before flagging.  A uniform slowdown (machine) cancels
+# out; a single query moving against the canary (code) still flags.
+CANARY_QUERIES = (
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q12_shipmode_priority",
+    "rollup_agg",
+    "histogram_bins",
+)
+
 # Intentional algorithm trades, in tests/test_window_audit.py's ALLOWED
 # discipline: a query whose time moved because its algorithm changed
 # for scale reasons, with the written reason.  Reported under
@@ -248,27 +266,52 @@ def _prior_bench(sf: float) -> tuple[str, dict] | None:
     return None
 
 
+def _canary_ratio(timings: dict, prior: dict) -> dict | None:
+    """Machine-speed ratio from the fixed canary set, or None when the
+    baseline predates a canary query (ratio then defaults to 1.0 in the
+    guard -- the pre-canary behavior)."""
+    if not all(n in timings and n in prior for n in CANARY_QUERIES):
+        return None
+    now = sum(timings[n] for n in CANARY_QUERIES)
+    then = sum(prior[n] for n in CANARY_QUERIES)
+    if then <= 0:
+        return None
+    return {
+        "queries": list(CANARY_QUERIES),
+        "now_sec": round(now, 3),
+        "prior_sec": round(then, 3),
+        "ratio": round(now / then, 3),
+    }
+
+
 def _regressions(timings: dict, sf: float) -> dict:
     found = _prior_bench(sf)
     if found is None:
         return {"baseline": None, "flagged": {}}
     fname, prior = found
+    canary = _canary_ratio(timings, prior)
+    speed = canary["ratio"] if canary else 1.0
     flagged, expected = {}, {}
     for name, t in timings.items():
+        # normalize this run's time to the baseline machine's speed
+        # before applying the ratio+delta rule: a uniform machine
+        # slowdown cancels, a per-query plan regression does not
+        t_adj = t / speed
         if (
             name in prior
             and prior[name] >= MIN_PRIOR_SEC
-            and t > prior[name] * REGRESSION_RATIO
-            and t - prior[name] > MIN_DELTA_SEC
+            and t_adj > prior[name] * REGRESSION_RATIO
+            and t_adj - prior[name] > MIN_DELTA_SEC
         ):
             entry = {"prior_sec": prior[name], "now_sec": t,
-                     "ratio": round(t / prior[name], 2)}
+                     "adjusted_sec": round(t_adj, 3),
+                     "ratio": round(t_adj / prior[name], 2)}
             if name in EXPECTED_MOVES:
                 entry["reason"] = EXPECTED_MOVES[name]
                 expected[name] = entry
             else:
                 flagged[name] = entry
-    out = {"baseline": fname, "flagged": flagged}
+    out = {"baseline": fname, "flagged": flagged, "canary": canary}
     if expected:
         out["expected"] = expected
     return out
@@ -366,6 +409,12 @@ def main() -> None:
                 "n_queries": len(timings),
                 "r3_subtotal_sec": r3_subtotal,
                 "r4_subtotal_sec": r4_subtotal,
+                # machine-speed reference (fixed cheap plan-stable set);
+                # divide another round's canary_sec by this one's to
+                # adjudicate machine-vs-code movement without a worktree
+                "canary_sec": round(
+                    sum(timings.get(n, 0.0) for n in CANARY_QUERIES), 3
+                ),
                 "regressions": _regressions(timings, sf),
             }
         )

@@ -189,8 +189,18 @@ def main() -> None:
                 "queries": timings,
                 "sf": 1.0,
                 "n_queries": len(timings),
+                # a subtotal computed over fewer queries than its set
+                # (because one errored) must be machine-detectable, not
+                # just visible via the errors map: an errored query
+                # otherwise reads as a timing improvement cross-round
+                "headline_missing": sorted(
+                    n for n in HEADLINE_20 if n not in timings
+                ),
                 "expensive50_total_sec": round(
                     sum(timings.get(n, 0.0) for n in EXPENSIVE_50), 3
+                ),
+                "expensive50_missing": sorted(
+                    n for n in EXPENSIVE_50 if n not in timings
                 ),
                 "full_registry_total_sec": round(
                     sum(timings.values()), 3

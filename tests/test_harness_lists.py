@@ -47,3 +47,57 @@ def test_r3_fixed_subset_still_registered():
     # HEADLINE by construction, which the first test already covers).
     assert "r3_set" in src
     assert all(n in REGISTRY for n in bench.R4_HEADLINE)
+
+
+def test_canary_queries_registered_and_in_headline():
+    """The machine-speed canary must be a subset of the frozen R4
+    comparator set (so every baseline back to r4 carries its times) and
+    must stay registered."""
+    import bench
+    from wsu_cpts_415_spark.registry import REGISTRY
+    import wsu_cpts_415_spark.queries  # noqa: F401
+
+    for n in bench.CANARY_QUERIES:
+        assert n in REGISTRY, n
+        assert n in bench.R4_HEADLINE, n
+
+
+def test_canary_normalizes_uniform_machine_slowdown():
+    """A uniform 2x machine slowdown must produce ZERO flags; a query
+    that regressed beyond the machine ratio must still flag, with the
+    canary-adjusted ratio."""
+    import bench
+
+    timings = {n: 1.0 for n in bench.CANARY_QUERIES}
+    timings["steady_op"] = 2.0
+    timings["regressed_op"] = 8.0
+    prior = {n: 0.5 for n in bench.CANARY_QUERIES}
+    prior["steady_op"] = 1.0
+    prior["regressed_op"] = 1.0
+
+    canary = bench._canary_ratio(timings, prior)
+    assert canary is not None and canary["ratio"] == 2.0
+
+    speed = canary["ratio"]
+    flagged = {
+        name: round(t / speed / prior[name], 2)
+        for name, t in timings.items()
+        if (
+            name in prior
+            and prior[name] >= bench.MIN_PRIOR_SEC
+            and t / speed > prior[name] * bench.REGRESSION_RATIO
+            and t / speed - prior[name] > bench.MIN_DELTA_SEC
+        )
+    }
+    assert flagged == {"regressed_op": 4.0}
+
+
+def test_canary_absent_from_baseline_is_none():
+    """Baselines that predate the canary set (or lack one member) must
+    yield None -- the guard then falls back to ratio 1.0, the
+    pre-canary behavior."""
+    import bench
+
+    timings = {n: 1.0 for n in bench.CANARY_QUERIES}
+    prior = {n: 0.5 for n in list(bench.CANARY_QUERIES)[:-1]}
+    assert bench._canary_ratio(timings, prior) is None
