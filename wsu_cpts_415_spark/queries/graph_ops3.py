@@ -13,7 +13,9 @@ registered query shares ``neardup_clusters``'s oracle verbatim and the
 property suite cross-checks the kernels against each other and a
 union-find oracle (tests/test_star_cc.py).
 
-One round is two hash aggregates over the current edge set:
+One round is two per-center window minima plus one distinct over the
+current edge set (three shuffles -- see ``_contraction_round`` for the
+fusion story and its measured 1.85x round-cost cut):
 
 * **large-star**: around every center ``c``, attach each strictly
   LARGER neighbor ``v`` to ``m = min(c, min(N(c)))`` -- long chains
@@ -33,7 +35,7 @@ attaches only v > c to m <= c; small-star drops lo == m).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wsu_cpts_415_spark.io.tables import load_table
@@ -48,35 +50,48 @@ from wsu_cpts_415_spark.registry import register
 MAX_STAR_ROUNDS = 30
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
-    """Attach every strictly-larger neighbor of each center to the
-    center's minimum (center itself included in the min)."""
+def _contraction_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star round, fused to THREE shuffles.
+
+    Per-round fixed cost is what prices this kernel at scale: the 1M-
+    vertex chain probe measured ~2.7 s/round with the original
+    groupBy-then-join formulation (per star: one shuffle for the
+    min-per-center aggregate, one to shuffle the neighbor list into the
+    join, one for the distinct -- 6 per round), and the per-round data
+    is TINY, so stage count dominates wall.  A window min over the
+    center key computes the same per-center minimum in ONE shuffle
+    (sort by the partition key replaces agg+join), the large-star
+    distinct is dropped (small-star's min is duplicate-insensitive and
+    its own distinct dedupes; duplicate factor is bounded by vertex
+    degree), and the small-star union's two branches reuse one
+    exchange.  Round-10 1M-chain measurement: 63 -> 34 s same-machine
+    at identical 21 rounds and identical components
+    (graph_topology_probe_r10.json; an explode-based single-window
+    variant measured 43 s -- the union + ReusedExchange form wins).
+
+    * large-star: around every center ``c``, attach each strictly
+      larger neighbor ``x`` to ``m = least(min(N(c)), c)`` -- output
+      rows (hi=x, lo=m) are already oriented because m <= c < x;
+    * small-star: around every hi, attach every lo-neighbor (and hi
+      itself) to the minimum lo.
+    """
     nbrs = edges.select(
         F.col("u").alias("c"), F.col("v").alias("x")
     ).unionByName(edges.select(F.col("v").alias("c"), F.col("u").alias("x")))
-    m = nbrs.groupBy("c").agg(
-        F.least(F.min("x"), F.first("c")).alias("m")
-    )
-    return (
-        nbrs.join(m, "c")
+    wl = Window.partitionBy("c")
+    large = (
+        nbrs.withColumn("m", F.least(F.min("x").over(wl), F.col("c")))
         .filter(F.col("x") > F.col("c"))
-        .select(F.col("x").alias("u"), F.col("m").alias("v"))
-        .distinct()
+        .select(F.col("x").alias("hi"), F.col("m").alias("lo"))
     )
-
-
-def _small_star(edges: DataFrame) -> DataFrame:
-    """Orient (hi, lo); attach every lo-neighbor of hi (and hi itself)
-    to the minimum lo."""
-    oriented = edges.select(
-        F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
-    )
-    m = oriented.groupBy("hi").agg(F.min("lo").alias("m"))
+    ws = Window.partitionBy("hi")
+    om = large.withColumn("m", F.min("lo").over(ws))
     links = (
-        oriented.join(m, "hi")
-        .filter(F.col("lo") != F.col("m"))
+        om.filter(F.col("lo") != F.col("m"))
         .select(F.col("lo").alias("u"), F.col("m").alias("v"))
-        .unionByName(m.select(F.col("hi").alias("u"), F.col("m").alias("v")))
+        .unionByName(
+            om.select(F.col("hi").alias("u"), F.col("m").alias("v"))
+        )
     )
     return links.distinct()
 
@@ -121,7 +136,7 @@ def star_contraction_components(
     converged = False
     for rnd in range(MAX_STAR_ROUNDS):
         edges = (
-            _small_star(_large_star(edges))
+            _contraction_round(edges)
             .coalesce(4)
             # lazy: the fingerprint aggregate below materializes the
             # checkpoint in the same job (one job per round, not two)
