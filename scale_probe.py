@@ -406,6 +406,60 @@ def main() -> None:
             "lsh_pairs": lsh_band_candidates(spark, DST).count(),
             "union_pairs": _multipass_candidates(spark, DST).count(),
         }
+    # SNM window sweep (round-10 verdict item 5): does the SNM pass earn
+    # its seat in the multi-pass union?  For each window size, measure
+    # the pass's own recall, its candidate bill ((w-1)*n - boundary, the
+    # linear dial), and the MARGINAL recall it adds over lev+LSH -- the
+    # number that decides whether a production run pays for the pass.
+    if "er_multipass_recall" in PROBE:
+        from wsu_cpts_415_spark.queries.er_scoring import snm_window_pairs
+        from wsu_cpts_415_spark.queries.semdedup import lev_candidates
+        from wsu_cpts_415_spark.queries.similarity import (
+            lsh_band_candidates,
+        )
+        from wsu_cpts_415_spark.queries.ssjoin import ssjoin_pairs_above
+
+        truep = (
+            ssjoin_pairs_above(spark, DST, 4, 5)
+            .select("doc_a", "doc_b")
+            .persist()
+        )
+        n_true = truep.count()
+
+        def covered(cand) -> int:
+            return truep.join(
+                cand.dropDuplicates(["doc_a", "doc_b"]),
+                ["doc_a", "doc_b"],
+            ).count()
+
+        lev = lev_candidates(spark, DST).select("doc_a", "doc_b")
+        lsh = lsh_band_candidates(spark, DST).select("doc_a", "doc_b")
+        base = lev.unionByName(lsh).dropDuplicates(["doc_a", "doc_b"])
+        n_base = covered(base)
+        sweep = {
+            "n_true_pairs": n_true,
+            "lev_lsh_covered": n_base,
+            "lev_lsh_recall": round(n_base / n_true, 6) if n_true else None,
+            "windows": [],
+        }
+        for w in (5, 10, 20):
+            snm = snm_window_pairs(spark, DST, w)
+            n_snm_cand = snm.count()
+            n_snm_cov = covered(snm)
+            n_union = covered(base.unionByName(snm))
+            sweep["windows"].append(
+                {
+                    "w": w,
+                    "snm_candidates": n_snm_cand,
+                    "snm_covered": n_snm_cov,
+                    "snm_recall": (
+                        round(n_snm_cov / n_true, 6) if n_true else None
+                    ),
+                    "marginal_over_lev_lsh": n_union - n_base,
+                }
+            )
+        truep.unpersist()
+        out["er_snm_sweep"] = sweep
     print(json.dumps(out))
 
 

@@ -111,6 +111,12 @@ def probe_gate(spark, name: str, init_fn, stream_fn, corpus) -> dict:
     t0 = time.perf_counter()
     init_fn(spark, corpus, store)
     init_sec = round(time.perf_counter() - t0, 2)
+    # restart path (round 10): a second init over the same corpus must
+    # be a READ (fingerprint check against the _corpus_id marker), not
+    # an O(corpus) rebuild -- and must not wipe appended batches
+    t0 = time.perf_counter()
+    init_fn(spark, corpus, store)
+    reinit_sec = round(time.perf_counter() - t0, 2)
     batches = []
     for i in range(N_BATCHES):
         build_batch(spark, i).coalesce(1).write.mode("append").parquet(src)
@@ -123,9 +129,12 @@ def probe_gate(spark, name: str, init_fn, stream_fn, corpus) -> dict:
     accepted_rows = spark.read.parquet(accepted).count()
     store_rows = {}
     for sub in os.listdir(store):
+        if sub.startswith("_"):  # _corpus_id marker, not a store
+            continue
         store_rows[sub] = spark.read.parquet(f"{store}/{sub}").count()
     return {
         "init_sec": init_sec,
+        "reinit_sec": reinit_sec,
         "batch_sec": batches,
         "accepted_rows": accepted_rows,
         "store_rows": store_rows,

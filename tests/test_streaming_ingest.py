@@ -183,3 +183,52 @@ def test_one_word_document_does_not_crash_the_gate(spark, stores):
     _write(spark, [(40, "solo"), (41, "iota kappa iota kappa")], stores["src"])
     _run(spark, stores["src"], stores["store"], stores["accepted"], stores["ckpt"])
     assert _accepted_ids(spark, stores["accepted"]) == [40, 41]
+
+
+def test_reinit_same_corpus_is_a_read_and_preserves_batches(
+    spark, stores
+):
+    """Gate restart: a second init over the SAME corpus must skip the
+    rebuild (matching _corpus_id marker) -- crucially, the rebuild's
+    plain overwrite would wipe every _batch>=0 partition the gate had
+    appended, so the skip is a correctness property, not just a cost
+    one."""
+    import os
+
+    _write(spark, BATCH1, stores["src"])
+    _run(spark, stores["src"], stores["store"], stores["accepted"],
+         stores["ckpt"])
+    assert os.path.isdir(
+        os.path.join(stores["store"], "digests", "_batch=0")
+    )
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta alpha beta")], SCHEMA
+    )
+    init_standing_stores(spark, corpus, stores["store"])  # restart
+    # appended batch partitions survived the re-init
+    for sub in ("digests", "bands", "shingles"):
+        assert os.path.isdir(
+            os.path.join(stores["store"], sub, "_batch=0")
+        ), f"{sub} lost its appended batch on re-init"
+    # and the gate still dedups against them: replaying BATCH2's
+    # near-dup of accepted doc 11 must still reject it
+    _write(spark, BATCH2, stores["src"])
+    _run(spark, stores["src"], stores["store"], stores["accepted"],
+         stores["ckpt"])
+    assert _accepted_ids(spark, stores["accepted"]) == [11, 21]
+
+
+def test_reinit_changed_corpus_rebuilds(spark, stores):
+    """A DIFFERENT corpus (fingerprint mismatch) must rebuild the base
+    stores -- the marker gates on corpus identity, not store existence."""
+    corpus2 = spark.createDataFrame(
+        [(2, "omicron pi omicron pi")], SCHEMA
+    )
+    init_standing_stores(spark, corpus2, stores["store"])
+    ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(
+            f"{stores['store']}/digests"
+        ).select("doc_id").collect()
+    )
+    assert ids == [2]

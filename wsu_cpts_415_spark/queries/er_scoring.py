@@ -812,34 +812,9 @@ def er_multipass_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.lit(1).alias("m_lev"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    ranked = _snm_ranked_staged(spark, sf_dir)
-    w = SNM_WINDOW
-    left = ranked.select(
-        F.col("doc_id").alias("ida"),
-        F.col("rn").alias("rna"),
-        F.explode(
-            F.array(
-                F.floor((F.col("rn") - 1) / w),
-                F.floor((F.col("rn") - 1) / w) + 1,
-            )
-        ).alias("jb"),
-    )
-    right = ranked.select(
-        F.col("doc_id").alias("idb"),
-        F.col("rn").alias("rnb"),
-        F.floor((F.col("rn") - 1) / w).alias("jb"),
-    )
     snm = (
-        left.join(right, "jb")
-        .filter(
-            (F.col("rnb") > F.col("rna"))
-            & (F.col("rnb") <= F.col("rna") + (w - 1))
-        )
-        .select(
-            F.least("ida", "idb").alias("doc_a"),
-            F.greatest("ida", "idb").alias("doc_b"),
-            F.lit(1).alias("m_snm"),
-        )
+        snm_window_pairs(spark, sf_dir)
+        .withColumn("m_snm", F.lit(1))
         .dropDuplicates(["doc_a", "doc_b"])
     )
     lsh = lsh_band_candidates(spark, sf_dir).select(
@@ -886,17 +861,17 @@ def er_multipass_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("blocking_pass")
 
 
-def _multipass_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deduped union of the three deployed candidate generators
-    (doc_a < doc_b normalized): lev-key blocking, sorted-neighborhood
-    window, MinHash-LSH bands.  Each input is its generator's own
-    bounded funnel; the union is a distinct over id pairs only (no
-    payload columns shuffle)."""
-    from wsu_cpts_415_spark.queries.similarity import lsh_band_candidates
-
-    lev = lev_candidates(spark, sf_dir).select("doc_a", "doc_b")
+def snm_window_pairs(
+    spark: SparkSession, sf_dir: str, w: int = SNM_WINDOW
+) -> DataFrame:
+    """SNM candidate pairs (doc_a < doc_b normalized) at window ``w``:
+    every record paired with its w-1 successors under the SNM sort key,
+    via the rank-block equi-join (each left row replicated to its own
+    and the next block, so no range-condition nested loop).  Shared by
+    the multi-pass candidate union, the multi-pass recall audit, and
+    the window-size sweep in scale_probe.py (recall-vs-cost is a dial:
+    candidates are exactly (w-1)*n - boundary, linear in w)."""
     ranked = _snm_ranked_staged(spark, sf_dir)
-    w = SNM_WINDOW
     left = ranked.select(
         F.col("doc_id").alias("ida"),
         F.col("rn").alias("rna"),
@@ -912,7 +887,7 @@ def _multipass_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").alias("rnb"),
         F.floor((F.col("rn") - 1) / w).alias("jb"),
     )
-    snm = (
+    return (
         left.join(right, "jb")
         .filter(
             (F.col("rnb") > F.col("rna"))
@@ -923,6 +898,18 @@ def _multipass_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("ida", "idb").alias("doc_b"),
         )
     )
+
+
+def _multipass_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped union of the three deployed candidate generators
+    (doc_a < doc_b normalized): lev-key blocking, sorted-neighborhood
+    window, MinHash-LSH bands.  Each input is its generator's own
+    bounded funnel; the union is a distinct over id pairs only (no
+    payload columns shuffle)."""
+    from wsu_cpts_415_spark.queries.similarity import lsh_band_candidates
+
+    lev = lev_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    snm = snm_window_pairs(spark, sf_dir)
     lsh = lsh_band_candidates(spark, sf_dir).select("doc_a", "doc_b")
     return (
         lev.unionByName(snm)

@@ -66,22 +66,84 @@ def _h64_of(docs: DataFrame) -> DataFrame:
     )
 
 
+def corpus_fingerprint(corpus_docs: DataFrame) -> list[int]:
+    """(row count, xor of per-doc 64-bit hashes): an order-insensitive
+    corpus identity, one scan of (doc_id, text).  Used to decide whether
+    an existing standing store was built from THIS corpus -- the
+    restart-skip check below -- at a cost linear in corpus bytes with a
+    tiny constant, vs the shingle+band build it avoids."""
+    row = corpus_docs.agg(
+        F.count("*"), F.expr("bit_xor(xxhash64(doc_id, text))")
+    ).collect()[0]
+    return [int(row[0]), int(row[1] or 0)]
+
+
+def _marker_path(store_dir: str) -> str:
+    return f"{store_dir}/_corpus_id"
+
+
+def _read_marker(spark: SparkSession, store_dir: str) -> list[int] | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.parquet(_marker_path(store_dir)).collect()
+    except AnalysisException:
+        return None
+    if len(row) != 1:
+        return None
+    return [int(row[0]["n_docs"]), int(row[0]["xor_hash"])]
+
+
 def init_standing_stores(
     spark: SparkSession, corpus_docs: DataFrame, store_dir: str
 ) -> None:
     """Materialize the standing digest / band / shingle stores from the
     corpus (the nightly maintenance job's output).  Base data lands in
-    the _batch=-1 partition so batch appends stay idempotent."""
+    the _batch=-1 partition so batch appends stay idempotent.
+
+    Restart-skip (round 10): the stores are durable tables, so a gate
+    RESTART over the same corpus must not pay the O(corpus) shingle +
+    band rebuild -- and, worse, the rebuild's plain ``overwrite`` would
+    wipe every ``_batch>=0`` partition the running gate had appended.
+    A one-row ``_corpus_id`` marker (count + xor-of-doc-hashes,
+    ``corpus_fingerprint``) written after a successful build makes init
+    a READ when it matches: one corpus scan to recompute the
+    fingerprint, no store touch.  A changed corpus (mismatch) rebuilds
+    and re-marks.  Measured x100: 102 s build -> ~seconds on restart
+    (streaming_store_probe_r10.json reinit_sec).
+
+    The build itself computes the shingle/hash projection ONCE and
+    derives bands + compact shingle arrays from it (previously
+    ``bands_of`` and ``_h64_of`` each re-ran the shingle math)."""
+    from wsu_cpts_415_spark.queries.similarity import bands_from_hashed
+
+    fp = corpus_fingerprint(corpus_docs)
+    if _read_marker(spark, store_dir) == fp:
+        return
     base = corpus_docs
-    _digests_of(base).withColumn("_batch", F.lit(-1)).write.mode(
-        "overwrite"
-    ).partitionBy("_batch").parquet(f"{store_dir}/digests")
-    bands_of(base).withColumn("_batch", F.lit(-1)).write.mode(
-        "overwrite"
-    ).partitionBy("_batch").parquet(f"{store_dir}/bands")
-    _h64_of(base).withColumn("_batch", F.lit(-1)).write.mode(
-        "overwrite"
-    ).partitionBy("_batch").parquet(f"{store_dir}/shingles")
+    hashed = hashed_of(base).persist()
+    try:
+        _digests_of(base).withColumn("_batch", F.lit(-1)).write.mode(
+            "overwrite"
+        ).partitionBy("_batch").parquet(f"{store_dir}/digests")
+        bands_from_hashed(hashed).withColumn(
+            "_batch", F.lit(-1)
+        ).write.mode("overwrite").partitionBy("_batch").parquet(
+            f"{store_dir}/bands"
+        )
+        hashed.select(
+            "doc_id",
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("h64"),
+        ).withColumn("_batch", F.lit(-1)).write.mode(
+            "overwrite"
+        ).partitionBy("_batch").parquet(f"{store_dir}/shingles")
+    finally:
+        hashed.unpersist()
+    # marker LAST: a crash mid-build leaves no marker, so the next init
+    # rebuilds instead of trusting half-written stores
+    spark.createDataFrame(
+        [(fp[0], fp[1])], "n_docs long, xor_hash long"
+    ).coalesce(1).write.mode("overwrite").parquet(_marker_path(store_dir))
 
 
 def gate_batch(
@@ -314,11 +376,34 @@ def apply_ingest_batch(
             .filter(F.col("_batch") == batch_id)
             .drop("_batch")
         )
-        for name, df in (
+        # one shingle projection for both derived stores (bands_of and
+        # _h64_of would each re-run the shingle math), and the three
+        # store appends submitted CONCURRENTLY: they are independent
+        # jobs over a ~batch-sized input, so the wall is the slowest
+        # write, not the sum of three fixed write/commit overheads
+        # (measured ~1.9 s -> ~0.8 s per batch at x10)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from wsu_cpts_415_spark.queries.similarity import bands_from_hashed
+
+        landed_hashed = hashed_of(landed).persist()
+        persists.append(landed_hashed)
+        derived = (
             ("digests", _digests_of(landed)),
-            ("bands", bands_of(landed)),
-            ("shingles", _h64_of(landed)),
-        ):
+            ("bands", bands_from_hashed(landed_hashed)),
+            (
+                "shingles",
+                landed_hashed.select(
+                    "doc_id",
+                    F.expr(
+                        "transform(shingles, s -> xxhash64(s))"
+                    ).alias("h64"),
+                ),
+            ),
+        )
+
+        def _write(item) -> None:
+            name, df = item
             (
                 df.withColumn("_batch", F.lit(batch_id))
                 .write.mode("overwrite")
@@ -326,6 +411,9 @@ def apply_ingest_batch(
                 .partitionBy("_batch")
                 .parquet(f"{store_dir}/{name}")
             )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(pool.map(_write, derived))
     finally:
         for df in persists:
             try:

@@ -145,10 +145,27 @@ def init_line_store(
     spark: SparkSession, corpus_docs: DataFrame, store_dir: str
 ) -> None:
     """Bootstrap the standing line-frequency store from a corpus (the
-    nightly maintenance job's output); base data in _batch=-1."""
+    nightly maintenance job's output); base data in _batch=-1.
+
+    Same restart-skip as ingest_dedup.init_standing_stores: a matching
+    ``_corpus_id`` marker makes re-init one corpus scan (and protects
+    the gate's appended ``_batch>=0`` partitions from the rebuild's
+    plain overwrite); marker written only after a successful build."""
+    from wsu_cpts_415_spark.streaming.ingest_dedup import (
+        _marker_path,
+        _read_marker,
+        corpus_fingerprint,
+    )
+
+    fp = corpus_fingerprint(corpus_docs)
+    if _read_marker(spark, store_dir) == fp:
+        return
     doc_line_counts(corpus_docs).withColumn("_batch", F.lit(-1)).write.mode(
         "overwrite"
     ).partitionBy("_batch").parquet(f"{store_dir}/line_counts")
+    spark.createDataFrame(
+        [(fp[0], fp[1])], "n_docs long, xor_hash long"
+    ).coalesce(1).write.mode("overwrite").parquet(_marker_path(store_dir))
 
 
 def apply_line_gate_batch(
