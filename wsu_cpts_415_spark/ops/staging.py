@@ -84,10 +84,12 @@ def maybe_broadcast(
     8-byte hashes per row, so a corpus of long documents near the row
     bound would otherwise force a multi-GB ``F.broadcast`` (the hint
     bypasses ``spark.sql.autoBroadcastJoinThreshold``) and risk
-    executor/driver OOM.  Estimation is schema-driven per row: arrays
-    at 8 bytes per element, strings/binary at their length, everything
-    else a flat 8 -- measured in the same single aggregate as the row
-    count, so the check adds no extra action."""
+    executor/driver OOM.  Estimation is schema-driven per row:
+    fixed-width arrays at 8 bytes per element, string/binary arrays at
+    their aggregate content length (+16/element overhead),
+    strings/binary at their length, everything else a flat 8 --
+    measured in the same single aggregate as the row count, so the
+    check adds no extra action."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -95,7 +97,31 @@ def maybe_broadcast(
     for field in df.schema.fields:
         c = F.col(field.name)
         if isinstance(field.dataType, T.ArrayType):
-            per_row = per_row + 16 + 8 * F.greatest(F.size(c), F.lit(0))
+            elem = field.dataType.elementType
+            if isinstance(elem, (T.StringType, T.BinaryType)):
+                # variable-width elements: charge aggregate content
+                # length + per-element overhead -- a flat 8/element
+                # would underestimate a string-array column ~3x and
+                # let a hinted broadcast through the OOM guard
+                per_row = (
+                    per_row
+                    + 16
+                    + 16 * F.greatest(F.size(c), F.lit(0))
+                    + F.coalesce(
+                        F.aggregate(
+                            c,
+                            F.lit(0),
+                            lambda acc, x: acc
+                            + F.coalesce(F.length(x), F.lit(0)),
+                        ),
+                        F.lit(0),
+                    )
+                )
+            else:
+                # fixed-width elements (nested arrays/structs don't
+                # flow through any current caller; they'd land here
+                # at 8/element -- extend if one ever does)
+                per_row = per_row + 16 + 8 * F.greatest(F.size(c), F.lit(0))
         elif isinstance(field.dataType, (T.StringType, T.BinaryType)):
             per_row = per_row + 16 + F.coalesce(F.length(c), F.lit(0))
         else:

@@ -27,7 +27,11 @@ from wsu_cpts_415_spark.queries.corpus_ops import (
     TRAIN_PCT,
     VAL_PCT,
 )
-from wsu_cpts_415_spark.queries.graph_ops import NEARDUP_THRESHOLD
+from wsu_cpts_415_spark.queries.graph_ops import (
+    NEARDUP_DEN,
+    NEARDUP_NUM,
+    NEARDUP_THRESHOLD,
+)
 from wsu_cpts_415_spark.queries.similarity import (
     LSH_PAIRS_DUCK_CTES,
     lsh_verified_pairs,
@@ -461,7 +465,7 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- 5e-7 below tau that the prefix-filter lemma never promises
         -- to enumerate): n_common/(na+nb-n_common) >= 1/2 iff
         -- 3*n_common >= na+nb
-        WHERE 3 * n_common >= sa.n_sh + sb.n_sh
+        WHERE {NEARDUP_NUM + NEARDUP_DEN} * n_common >= {NEARDUP_NUM} * (sa.n_sh + sb.n_sh)
     ),
     lshp AS (
         SELECT doc_a, doc_b FROM lsh_pairs
@@ -516,9 +520,12 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exhaustive recall at both probe scales)."""
     from wsu_cpts_415_spark.queries.ssjoin import ssjoin_pairs_above
 
-    # NEARDUP_THRESHOLD = 0.5 exactly; the kernel's tau is the same
-    # fraction so its output IS the ground-truth pair set
-    exact = ssjoin_pairs_above(spark, sf_dir, 1, 2).select(
+    # the kernel's tau is NEARDUP_NUM/NEARDUP_DEN -- the SAME rational
+    # as the float threshold and the oracle coefficients, so its
+    # output IS the ground-truth pair set by construction
+    exact = ssjoin_pairs_above(
+        spark, sf_dir, NEARDUP_NUM, NEARDUP_DEN
+    ).select(
         "doc_a", "doc_b", F.lit(1).alias("in_exact")
     )
     lshp = (
@@ -579,7 +586,7 @@ _SAMPLED_RECALL_DUCK = f"""
         JOIN sizes sa ON sa.doc_id = inter.doc_a
         JOIN sizes sb ON sb.doc_id = inter.doc_b
         -- exact rational J >= 1/2, same reasoning as lsh_recall_audit
-        WHERE 3 * n_common >= sa.n_sh + sb.n_sh
+        WHERE {NEARDUP_NUM + NEARDUP_DEN} * n_common >= {NEARDUP_NUM} * (sa.n_sh + sb.n_sh)
           AND (CASE WHEN sa.n_sh < sb.n_sh THEN doc_a ELSE doc_b END)
               % {RECALL_SAMPLE_MOD} = {RECALL_SAMPLE_REM}
     ),
@@ -644,7 +651,7 @@ def lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         == RECALL_SAMPLE_REM
     )
     _j, _c, _s, verified = _ssjoin_frames(
-        spark, sf_dir, 1, 2, probe_pred=probe_pred
+        spark, sf_dir, NEARDUP_NUM, NEARDUP_DEN, probe_pred=probe_pred
     )
     exact = verified.select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
     sizes = _hashed_staged(spark, sf_dir).select(

@@ -46,7 +46,15 @@ from wsu_cpts_415_spark.queries.similarity import (
 )
 from wsu_cpts_415_spark.registry import register
 
-NEARDUP_THRESHOLD = 0.5  # exact-Jaccard cut for "these are the same doc"
+# exact-Jaccard cut for "these are the same doc", kept as a RATIONAL so
+# every consumer derives from one constant pair: the float threshold
+# (LSH-side filters), the PPJoin+ kernel's tau (ssjoin_pairs_above(...,
+# NEARDUP_NUM, NEARDUP_DEN)), and the oracle templates' integer
+# coefficients (J >= num/den iff (num+den)*n_common >= num*(na+nb)) --
+# changing the threshold changes ALL of them together instead of
+# silently desynchronizing the ground-truth side from the estimator
+NEARDUP_NUM, NEARDUP_DEN = 1, 2
+NEARDUP_THRESHOLD = NEARDUP_NUM / NEARDUP_DEN
 MAX_CC_ROUNDS = 60  # safety bound ~ max component diameter; checked each round
 
 PR_DAMPING = 0.85

@@ -188,12 +188,23 @@ def _len_bucket_bounds(
     list would enumerate every integer up to max_n (an effective hang
     -- caught by tests/test_ssjoin_bounds.py's property sweep over
     tau fractions), and valid pairs have na == nb anyway, so ONE
-    bucket is exact.  The length cap is a second guard for tau within
-    1/max_len of 1."""
+    bucket is exact.
+
+    The list cap is small (512) because every bound is INLINED as an
+    array literal into one Catalyst expression (``_prefix_staged``'s
+    bucket lookup) -- a tau within 1/512 of 1 would otherwise inline
+    tens of thousands of literals into the plan.  Tail-merge is SAFE,
+    not just bounded: docs beyond the last bound all land in the top
+    bucket, which can only SHRINK the bucket gap of a valid pair
+    (bucket indices are clamped, never raised), so the probe side's
+    {{bkt, bkt+1}} emission still covers every pair the unmerged
+    bucketing would.  At 512 geometric bounds the merged tail starts
+    above (den/num)^511 -- unreachable for any practical tau/corpus;
+    only near-1 taus ever merge, and they merge correctly."""
     if tau_num >= tau_den:
         return [1]
     bounds = [1]
-    max_len = 100_000
+    max_len = 512
     while bounds[-1] <= max_n and len(bounds) < max_len:
         bounds.append(bounds[-1] * tau_den // tau_num + 1)
     return bounds
