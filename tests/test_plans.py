@@ -435,6 +435,28 @@ def test_er_scoring_topk_short_circuits(spark, qs):
     assert "CartesianProduct" not in plan
 
 
+def test_er_multipass_topk_short_circuits(spark, qs):
+    """The composed multi-pass scorer keeps the single-pass plan
+    discipline: TakeOrderedAndProject top-k, no cartesian anywhere in
+    the three-generator union.  The only nested-loop join allowed is
+    the scalable-rank kernel's per-partition prefix-sum metadata join
+    (SNM's rank stage; ~#partitions rows on both sides, by design)."""
+    plan = fmt_plan(qs["er_multipass_match_scores"].fn(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # formatted mode: each "(N) BroadcastNestedLoopJoin" detail block
+    # must carry the rank kernel's _pid join condition
+    blocks = plan.split("\n\n")
+    bnlj_blocks = [
+        b for b in blocks if b.startswith("(") and "BroadcastNestedLoopJoin" in b
+    ]
+    assert bnlj_blocks, "expected the rank kernel's metadata join detail"
+    assert all("_pid" in b for b in bnlj_blocks), (
+        "nested-loop join outside the rank kernel's metadata join:\n"
+        + "\n---\n".join(bnlj_blocks)
+    )
+
+
 def test_pit_join_is_single_user_shuffle_no_range_join(spark, qs):
     plan = fmt_plan(qs["pit_join_user_tier"].fn(spark, SF_ORACLE))
     # the as-of merge must NOT run as a theta/range join
