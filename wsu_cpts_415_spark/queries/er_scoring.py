@@ -125,7 +125,14 @@ def er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     {W_LEN} * length agreement.  The multi-signal scoring stage of
     record linkage -- one weak signal misfires (word-soup prefixes look
     alike), the combination separates real near-dups from block
-    coincidences."""
+    coincidences.
+
+    SCOPE: this is the SINGLE-PASS query -- it scores only the lev-key
+    blocked candidates (measured 0.307 blocking recall at x100).  The
+    production-recall path is ``er_multipass_match_scores`` below,
+    which scores the union of all three candidate generators (0.9997
+    blocking recall); this one remains the cheap single-generator
+    variant and the funnel-comparison baseline."""
     from wsu_cpts_415_spark.queries.similarity import _hashed_staged
 
     cand = lev_candidates(spark, sf_dir).withColumn(
