@@ -217,6 +217,24 @@ CANARY_QUERIES = (
     "histogram_bins",
 )
 
+# Second, INFORMATIONAL canary (round-10 finding): machine slowdowns are
+# not uniform across query shapes -- the r10 run measured scan-bound
+# queries at 1.15x while driver-heavy many-job shapes (iterative
+# kernels, streaming micro-batches, config sweeps) inflated 2-3x on the
+# same machine, confirmed code-for-code by re-running the r9 commit in
+# a worktree.  This set's total is recorded per artifact so a reader
+# can adjudicate a flagged driver-heavy query instantly; it does NOT
+# normalize the guard (its members are real queries whose genuine
+# regressions must stay visible -- a self-normalizing canary would mask
+# them).
+CANARY_JOBS_QUERIES = (
+    "pagerank_videos",
+    "kmeans_lloyd",
+    "sql_recursive_calendar_fill",
+    "streaming_dedup_within_watermark",
+    "lsh_tuning_curves",
+)
+
 # Intentional algorithm trades, in tests/test_window_audit.py's ALLOWED
 # discipline: a query whose time moved because its algorithm changed
 # for scale reasons, with the written reason.  Reported under
@@ -414,6 +432,12 @@ def main() -> None:
                 # adjudicate machine-vs-code movement without a worktree
                 "canary_sec": round(
                     sum(timings.get(n, 0.0) for n in CANARY_QUERIES), 3
+                ),
+                # driver-heavy shape reference, informational only (see
+                # CANARY_JOBS_QUERIES comment)
+                "canary_jobs_sec": round(
+                    sum(timings.get(n, 0.0) for n in CANARY_JOBS_QUERIES),
+                    3,
                 ),
                 "regressions": _regressions(timings, sf),
             }

@@ -101,3 +101,15 @@ def test_canary_absent_from_baseline_is_none():
     timings = {n: 1.0 for n in bench.CANARY_QUERIES}
     prior = {n: 0.5 for n in list(bench.CANARY_QUERIES)[:-1]}
     assert bench._canary_ratio(timings, prior) is None
+
+
+def test_jobs_canary_members_registered():
+    """Informational driver-heavy canary: members must stay registered
+    (they span rounds 4-6, so unlike the scan canary they are pinned to
+    the registry, not the frozen R4 comparator list)."""
+    import bench
+    from wsu_cpts_415_spark.registry import REGISTRY
+    import wsu_cpts_415_spark.queries  # noqa: F401
+
+    for n in bench.CANARY_JOBS_QUERIES:
+        assert n in REGISTRY, n
