@@ -309,6 +309,26 @@ def _regressions(timings: dict, sf: float) -> dict:
     fname, prior = found
     canary = _canary_ratio(timings, prior)
     speed = canary["ratio"] if canary else 1.0
+    # shape-skew detector (round-10 finding): host slowdowns are not
+    # uniform -- driver-heavy many-job shapes can inflate 2-3x while
+    # scan-bound shapes move 1.1x on the same machine.  When the
+    # driver-heavy reference moves much more than the scan canary, the
+    # run is marked env_skewed so readers treat its flags as suspect
+    # (adjudicate with a prior-commit worktree control) instead of as
+    # plan regressions.  The jobs ratio never normalizes the guard: its
+    # members are real queries whose genuine regressions must flag.
+    jobs_now = sum(timings.get(n, 0.0) for n in CANARY_JOBS_QUERIES)
+    jobs_then = sum(prior.get(n, 0.0) for n in CANARY_JOBS_QUERIES)
+    jobs_ratio = (
+        round(jobs_now / jobs_then, 3)
+        if jobs_then > 0
+        and all(n in timings and n in prior for n in CANARY_JOBS_QUERIES)
+        else None
+    )
+    env_skewed = (
+        jobs_ratio is not None and canary is not None
+        and jobs_ratio > 1.3 * canary["ratio"]
+    )
     flagged, expected = {}, {}
     for name, t in timings.items():
         # normalize this run's time to the baseline machine's speed
@@ -329,7 +349,13 @@ def _regressions(timings: dict, sf: float) -> dict:
                 expected[name] = entry
             else:
                 flagged[name] = entry
-    out = {"baseline": fname, "flagged": flagged, "canary": canary}
+    out = {
+        "baseline": fname,
+        "flagged": flagged,
+        "canary": canary,
+        "jobs_ratio": jobs_ratio,
+        "env_skewed": env_skewed,
+    }
     if expected:
         out["expected"] = expected
     return out

@@ -113,3 +113,19 @@ def test_jobs_canary_members_registered():
 
     for n in bench.CANARY_JOBS_QUERIES:
         assert n in REGISTRY, n
+
+
+def test_env_skew_detector_marks_nonuniform_machine():
+    """When the driver-heavy reference inflates far beyond the scan
+    canary (the round-10 host finding), the regressions block must mark
+    env_skewed so flags read as suspect, not as plan regressions."""
+    import bench
+
+    timings = {n: 1.1 for n in bench.CANARY_QUERIES}       # scan: 1.1x
+    timings.update({n: 3.0 for n in bench.CANARY_JOBS_QUERIES})  # jobs: 3x
+    prior = {n: 1.0 for n in bench.CANARY_QUERIES}
+    prior.update({n: 1.0 for n in bench.CANARY_JOBS_QUERIES})
+    canary = bench._canary_ratio(timings, prior)
+    jobs_now = sum(timings[n] for n in bench.CANARY_JOBS_QUERIES)
+    jobs_then = sum(prior[n] for n in bench.CANARY_JOBS_QUERIES)
+    assert jobs_now / jobs_then > 1.3 * canary["ratio"]  # the detector fires
