@@ -13,6 +13,7 @@ from conftest import SF_SMOKE
 from pyspark.sql import functions as F
 
 from wsu_cpts_415_spark.queries.er_scoring import (
+    er_match_scores,
     ER_TOP_K,
     _multipass_candidates,
     er_multipass_match_scores,
@@ -84,3 +85,55 @@ def test_topk_scores_sorted_and_bounded(spark):
     assert all(0.0 <= s <= 1.0 for s in scores)
     # every row carries the unbounded dist and the attached jaccard
     assert all(r.dist >= 0 and 0.0 <= r.jaccard <= 1.0 for r in rows)
+
+
+import pytest
+
+
+@pytest.fixture()
+def crossblock_docs_dir(spark, tmp_path):
+    """A true near-dup pair INVISIBLE to lev blocking: docs 0 and 1
+    differ only in their first token, so (lang, blk, tok0, tok1) can
+    never co-block them -- the exact miss class the multi-pass union
+    exists to recover (via SNM here: the 5-doc corpus fits in one
+    window).  Docs 2/3 share (tok0, tok1) so the single-pass query
+    still has candidates of its own."""
+    rows = [
+        (0, "alpha gamma delta gamma delta epsilon", "en", "web", 37),
+        (1, "betaa gamma delta gamma delta epsilon", "en", "web", 37),
+        (2, "omega psi chi phi upsilon", "en", "web", 25),
+        (3, "omega psi chi phi tau", "en", "web", 21),
+        (4, "iota kappa lambda mu nu", "en", "web", 23),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / "xblock"
+    d.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_multipass_recovers_lev_blocking_miss(spark, crossblock_docs_dir):
+    lev = _pairset(lev_candidates(spark, crossblock_docs_dir))
+    assert (0, 1) not in lev  # different tok0: unreachable by lev blocking
+    union = _pairset(_multipass_candidates(spark, crossblock_docs_dir))
+    assert (0, 1) in union  # the non-lev passes recover it
+
+    single = _pairset(er_match_scores(spark, crossblock_docs_dir))
+    multi = _pairset(er_multipass_match_scores(spark, crossblock_docs_dir))
+    assert (0, 1) not in single
+    assert (0, 1) in multi
+    # and the recovered pair scores like the near-dup it is: top of the
+    # multipass ranking (only one token of ~6 differs)
+    top = er_multipass_match_scores(spark, crossblock_docs_dir).collect()[0]
+    assert (top.doc_a, top.doc_b) == (0, 1)
+
+
+def test_snm_window_edges(spark, crossblock_docs_dir):
+    from wsu_cpts_415_spark.queries.er_scoring import snm_window_pairs
+
+    # w=1: zero successors per record -> empty, not a crash
+    assert snm_window_pairs(spark, crossblock_docs_dir, 1).count() == 0
+    # w >= corpus: every pair is within the window -> n*(n-1)/2
+    assert snm_window_pairs(spark, crossblock_docs_dir, 50).count() == 10
