@@ -46,15 +46,27 @@ def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _assign_expr(cents: list[tuple[int, list[float]]]) -> str:
     """array_min over (rounded distance, cluster) structs: the argmin with
-    deterministic tie-break, evaluated entirely JVM-side per row."""
+    deterministic tie-break, evaluated entirely JVM-side per row.
+
+    The centroids are LITERALS, so the squared distance is expanded into
+    straight left-associative arithmetic -- `t1 + t2 + ... + t_dim`
+    parses as `((t1+t2)+t3)...`, the EXACT IEEE addition order of the
+    previous `aggregate(zip_with(...))` fold (acc starts at 0.0 and
+    squared terms are non-negative, so dropping the leading `0 +` is
+    bit-exact) -- because `ArrayAggregate` is CodegenFallback: the fold
+    form ran INTERPRETED per row with closure boxing, pricing the x10
+    training pass at ~38 s where the expanded form runs in whole-stage
+    codegen (round-10 measurement: cold 38.4 -> ~4 s at 20k x 64d x 8
+    clusters, identical output; Catalyst subexpression elimination
+    dedupes the twin element_at reads per term)."""
     structs = []
     for c, vec in cents:
-        arr = "array(" + ",".join(repr(float(x)) for x in vec) + ")"
-        dist = (
-            f"round(aggregate(zip_with(v, {arr}, (x, y) -> (x - y) * (x - y)),"
-            f" cast(0 as double), (acc, x) -> acc + x), 6)"
+        terms = " + ".join(
+            f"(element_at(v, {i + 1}) - {x!r}) *"
+            f" (element_at(v, {i + 1}) - {x!r})"
+            for i, x in enumerate(map(float, vec))
         )
-        structs.append(f"struct({dist} as d, {c} as c)")
+        structs.append(f"struct(round({terms}, 6) as d, {c} as c)")
     return f"array_min(array({', '.join(structs)}))"
 
 
@@ -139,11 +151,18 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         ]
         for it in range(LLOYD_ITERS - 1):
+            # assignment at VECTOR grain, joined to the exploded values
+            # -- putting the argmin expression in the same projection as
+            # posexplode makes Catalyst evaluate it per EXPLODED row
+            # (64x amplification: measured 10 s vs 2-4 s for this join
+            # form at 20k x 64d; the broadcast side is one row per
+            # vector, k-bounded output)
+            assign = emb.select(
+                "vec_id", F.expr(_assign_expr(sorted(cents)))["c"].alias("c")
+            )
             rows = (
-                emb.select(
-                    F.expr(_assign_expr(sorted(cents)))["c"].alias("c"),
-                    F.posexplode("v").alias("dim", "val"),
-                )
+                emb.select("vec_id", F.posexplode("v").alias("dim", "val"))
+                .join(F.broadcast(assign), "vec_id")
                 .groupBy("c", "dim")
                 .agg(F.round(F.avg("val"), 6).alias("val"))
                 .collect()
