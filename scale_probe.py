@@ -134,6 +134,10 @@ PROBE = [
     # generators -> composite scorer -> top-k); its funnel is emitted
     # below whenever it is probed
     "er_multipass_match_scores",
+    # round-10: the stop-shingle-capped exact kernel (the deployed df
+    # dial) and its cost-quote audit
+    "ngram_jaccard_pairs_capped",
+    "stop_shingle_cap_audit",
     "multimodal_bmp_meta",
     "q1_pricing_summary",
     "q3_shipping_priority",
