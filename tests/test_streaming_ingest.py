@@ -232,3 +232,23 @@ def test_reinit_changed_corpus_rebuilds(spark, stores):
         ).select("doc_id").collect()
     )
     assert ids == [2]
+
+
+def test_gate_markers_are_per_gate(spark, tmp_path):
+    """Both gates pointed at the SAME store_dir must each build their
+    own stores: the dedup gate's fingerprint marker must not make the
+    line gate skip its line_counts build (and vice versa)."""
+    import os
+
+    from wsu_cpts_415_spark.streaming.line_gate import init_line_store
+
+    store = str(tmp_path / "shared_store")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta alpha beta")], SCHEMA
+    )
+    init_standing_stores(spark, corpus, store)
+    init_line_store(spark, corpus, store)
+    assert os.path.isdir(os.path.join(store, "line_counts")), (
+        "line gate skipped its build because of the dedup gate's marker"
+    )
+    assert os.path.isdir(os.path.join(store, "digests"))

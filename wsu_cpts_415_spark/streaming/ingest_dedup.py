@@ -78,15 +78,19 @@ def corpus_fingerprint(corpus_docs: DataFrame) -> list[int]:
     return [int(row[0]), int(row[1] or 0)]
 
 
-def _marker_path(store_dir: str) -> str:
-    return f"{store_dir}/_corpus_id"
+def _marker_path(store_dir: str, gate: str = "dedup") -> str:
+    # per-GATE marker name: if two gates ever share a store_dir, one
+    # gate's marker must not make the other skip its own build
+    return f"{store_dir}/_corpus_id_{gate}"
 
 
-def _read_marker(spark: SparkSession, store_dir: str) -> list[int] | None:
+def _read_marker(
+    spark: SparkSession, store_dir: str, gate: str = "dedup"
+) -> list[int] | None:
     from pyspark.errors import AnalysisException
 
     try:
-        row = spark.read.parquet(_marker_path(store_dir)).collect()
+        row = spark.read.parquet(_marker_path(store_dir, gate)).collect()
     except AnalysisException:
         return None
     if len(row) != 1:

@@ -158,14 +158,16 @@ def init_line_store(
     )
 
     fp = corpus_fingerprint(corpus_docs)
-    if _read_marker(spark, store_dir) == fp:
+    if _read_marker(spark, store_dir, gate="line") == fp:
         return
     doc_line_counts(corpus_docs).withColumn("_batch", F.lit(-1)).write.mode(
         "overwrite"
     ).partitionBy("_batch").parquet(f"{store_dir}/line_counts")
     spark.createDataFrame(
         [(fp[0], fp[1])], "n_docs long, xor_hash long"
-    ).coalesce(1).write.mode("overwrite").parquet(_marker_path(store_dir))
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _marker_path(store_dir, gate="line")
+    )
 
 
 def apply_line_gate_batch(
