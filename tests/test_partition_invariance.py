@@ -62,3 +62,35 @@ def test_values_invariant_to_shuffle_partition_count(spark, name):
         f"{name}: values depend on spark.sql.shuffle.partitions -- "
         "summation order (or a rank tie) leaks into the output"
     )
+
+
+# Scan-side twin: spark.sql.files.maxPartitionBytes decides how many
+# input splits feed the partial aggregates -- the other knob a cluster
+# changes out from under a query.  Smaller sample (the settings force a
+# full re-read per run).
+SCAN_SAMPLE = [
+    "stats_moments",
+    "ref_correlation_matrix",
+    "linreg_normal_equations",
+    "quality_score",
+]
+
+
+@pytest.mark.parametrize("name", SCAN_SAMPLE)
+def test_values_invariant_to_input_split_size(spark, name):
+    qs = all_queries()
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    outs = []
+    try:
+        for nbytes in ("65536", "134217728"):  # 64 KB vs the 128 MB default
+            spark.conf.set(key, nbytes)
+            clear_staged()
+            outs.append(normalize(qs[name].fn(spark, SF_SMOKE).toPandas()))
+    finally:
+        spark.conf.set(key, old)
+        clear_staged()
+    assert outs[0] == outs[1], (
+        f"{name}: values depend on input split size -- scan-side "
+        "summation order leaks into the output"
+    )
