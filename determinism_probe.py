@@ -38,8 +38,22 @@ def sweep(spark, sf_dir: str) -> dict[str, object]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="determinism-probe")
+    # Optional cross-partition mode (round 10): SPARK_GRAFT_DET_PARTS
+    # = "A,B" runs sweep 1 at shuffle.partitions=A and sweep 2 at B, so
+    # the artifact certifies PARTITION-COUNT invariance (summation
+    # order must never leak into values) for the whole registry, not
+    # just run-to-run stability at one setting.
+    import os
+
+    parts_spec = os.environ.get("SPARK_GRAFT_DET_PARTS")
+    parts = [p.strip() for p in parts_spec.split(",")] if parts_spec else None
+    key = "spark.sql.shuffle.partitions"
+    if parts:
+        spark.conf.set(key, parts[0])
     first = sweep(spark, sf_dir)
     clear_staged()
+    if parts:
+        spark.conf.set(key, parts[1])
     second = sweep(spark, sf_dir)
     bad = [
         n
@@ -49,11 +63,10 @@ def main() -> int:
     errors = sorted(
         n for n in first if isinstance(first[n], str) or isinstance(second[n], str)
     )
-    print(
-        json.dumps(
-            {"n": len(first), "nondeterministic": sorted(bad), "errors": errors}
-        )
-    )
+    out = {"n": len(first), "nondeterministic": sorted(bad), "errors": errors}
+    if parts:
+        out["shuffle_partitions"] = parts
+    print(json.dumps(out))
     return 1 if bad or errors else 0
 
 
