@@ -1,0 +1,62 @@
+"""Empty-slice totality: every registered query must return a (possibly
+empty) DataFrame on a corpus with ZERO rows in every table -- the edge a
+100 TB pipeline hits whenever a filtered slice (a language, a day, a
+tenant) is empty.  The round-10 sweep found 9 of 319 queries crashing
+here (interpreted argmin over zero centroids, NULL approx_percentile
+bounds, next() on an empty model, numpy eigh on a NULL covariance, a
+JVM bloomFilter rejection, topk[-1] on an empty list, 1/0 state count);
+all are now guarded to return empty results with their normal schema.
+
+The nine former crashers are pinned individually; a deterministic
+every-16th sample of the rest keeps registry-wide coverage in the suite
+without the full sweep's ~9 minute bill (the full sweep lives in the
+round artifacts: 310/319 passed before the fixes, 319/319 after)."""
+
+from __future__ import annotations
+
+import pytest
+
+from wsu_cpts_415_spark.io.tables import load_table
+from wsu_cpts_415_spark.registry import all_queries
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+FORMER_CRASHERS = [
+    "bloom_membership_audit",
+    "kmeans_lloyd",
+    "ks_test_two_sample",
+    "mannwhitney_u_test",
+    "markov_stationary_dist",
+    "pca_projection_check",
+    "percent_rank_scalable",
+    "pq_ann_adc_topk",
+    "semdedup_prune",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_corpus")
+    for t in TABLES:
+        load_table(spark, "/root/testdata/sf0.001", t).limit(0).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def _sampled_names() -> list[str]:
+    names = sorted(all_queries())
+    sample = names[::16]  # deterministic registry-wide sample
+    return sorted(set(FORMER_CRASHERS) | set(sample))
+
+
+@pytest.mark.parametrize("name", _sampled_names())
+def test_query_is_total_on_empty_corpus(spark, empty_dir, name):
+    from wsu_cpts_415_spark.ops.staging import clear_staged
+
+    clear_staged()  # session memos keyed by sf_dir; cheap insurance
+    n = all_queries()[name].fn(spark, empty_dir).count()
+    assert n >= 0  # the assertion is "did not raise"

@@ -51,7 +51,15 @@ def rank_bounds(df: DataFrame, cols: list[str], npart: int = 64) -> dict:
         for c in cols
     ]
     row = df.agg(*aggs).first()
-    return {"n": row["_n"], "bounds": {c: row[c] for c in cols}, "npart": npart}
+    # empty input: approx_percentile yields NULL, not an empty list --
+    # coalesce so callers iterate zero boundaries (single bucket) and
+    # an empty slice flows through as empty output instead of a
+    # TypeError (round-10 empty-corpus sweep catch)
+    return {
+        "n": row["_n"],
+        "bounds": {c: (row[c] if row[c] is not None else []) for c in cols},
+        "npart": npart,
+    }
 
 
 def global_row_number_scalable(

@@ -150,6 +150,8 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("vec_id").cast("int").alias("c"), "v")
             .collect()
         ]
+        if not cents:  # empty corpus: no model (empty-slice totality)
+            return []
         for it in range(LLOYD_ITERS - 1):
             # assignment at VECTOR grain, joined to the exploded values
             # -- putting the argmin expression in the same projection as
@@ -180,6 +182,13 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wsu_cpts_415_spark.ops.staging import staged_model
 
     cents = staged_model(spark, "kmeans_centroids", sf_dir, _train)
+    if not cents:
+        # no model from an empty corpus -> empty result, normal schema
+        return emb.select(
+            "vec_id",
+            F.lit(0).cast("int").alias("cluster"),
+            F.lit(0.0).alias("dist_sq"),
+        )
     assigned = emb.select(
         "vec_id", "v", F.expr(_assign_expr(sorted(cents))).alias("mc")
     )

@@ -394,6 +394,14 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     production probes happen inside the join itself, where the engine
     injects this exact filter into the scan."""
     orders = load_table(spark, sf_dir, "orders")
+    if orders.select("o_custkey").limit(1).count() == 0:
+        # empty key domain: the JVM bloomFilter aggregate rejects it;
+        # an audit over nothing is empty, not an error
+        return spark.createDataFrame(
+            [],
+            "n_member_probes bigint, no_false_negatives boolean,"
+            " n_absent_probes bigint, fp_rate_within_bound boolean",
+        )
     bf = orders.select("o_custkey")._jdf.stat().bloomFilter(
         "o_custkey", BLOOM_ITEMS, BLOOM_FPP
     )

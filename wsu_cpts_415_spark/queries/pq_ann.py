@@ -184,6 +184,8 @@ def pq_ann_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("vec_id").cast("int").alias("c"), "v")
             .collect()
         )
+        if not init_rows:  # empty corpus: no codebooks, no query vec
+            return [], []
         codebooks: list[list[tuple[int, list[float]]]] = [
             sorted(
                 (int(r["c"]), list(r["v"])[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM])
@@ -241,6 +243,12 @@ def pq_ann_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wsu_cpts_415_spark.ops.staging import staged_model
 
     qv, codebooks = staged_model(spark, "pq_codebooks", sf_dir, _train)
+    if not qv:
+        return emb.select(
+            "vec_id",
+            F.lit(0.0).alias("adc_dist"),
+            F.lit(0.0).alias("exact_dist"),
+        )
     # ---- LUT: query subvector vs final centroids, same fold + rounding
     # (the query vector is among the init rows: PQ_QUERY_ID < PQ_K)
     luts: list[dict[int, float]] = []

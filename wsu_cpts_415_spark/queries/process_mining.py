@@ -130,6 +130,9 @@ def markov_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = staged(spark, "markov_transitions", sf_dir, lambda: p_plan)
     states = p.select(F.col("from_type").alias("state")).distinct()
     n_states = states.count()
+    if n_states == 0:
+        # no transitions (empty/1-event-per-user corpus): empty result
+        return states.select("state", F.lit(0.0).alias("stationary_p"))
     dist = states.withColumn("w", F.lit(1.0 / n_states))
     for _ in range(POWER_ITERS):
         dist = (

@@ -363,6 +363,12 @@ def pca_projection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             if i <= j
         ]
     ).head()
+    if cov_row[0] is None:
+        # covar_samp over an empty (or 1-row) table is NULL: no
+        # covariance, no factorization -- empty result, normal schema
+        return spark.createDataFrame(
+            [], "component int, variance_matches boolean"
+        )
     C = np.zeros((COV_DIMS, COV_DIMS))
     for i in range(COV_DIMS):
         for j in range(COV_DIMS):

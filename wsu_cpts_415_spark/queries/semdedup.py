@@ -125,6 +125,15 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").cast("int").alias("c"), "v")
         .collect()
     ]
+    if not cents:
+        # empty corpus: no centroids to assign against -- empty result
+        # with the normal schema (round-10 empty-slice totality)
+        return emb.select(
+            "vec_id",
+            F.lit(0).cast("int").alias("cluster"),
+            F.lit(-1.0).alias("max_cos_earlier"),
+            F.lit(True).alias("keep"),
+        )
     assigned = emb.select(
         "vec_id",
         "v",

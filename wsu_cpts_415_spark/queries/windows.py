@@ -109,6 +109,10 @@ def percent_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(k)
         .collect()
     )
+    if not topk:  # empty fact table: nothing to rank
+        return li.limit(0).select(
+            "l_orderkey", "l_linenumber", F.lit(0.0).alias("pct_rank")
+        )
     threshold = topk[-1][0]
     w = Window.orderBy(F.col("l_extendedprice").desc())
     ranked = li.filter(F.col("l_extendedprice") >= threshold).select(
