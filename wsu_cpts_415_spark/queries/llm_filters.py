@@ -143,13 +143,16 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens staged through a Project: the inline form re-evaluates
     # split(text) per element access, O(tokens^2) per doc (text.py:344)
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # zip_with over slices: sequence(1, 0) descends for one-token docs
+    # and element_at(toks, 0/2) throws under ANSI (text.py _shingle_rows
+    # has the full note; the oracle's generate_series(1, 0) is empty)
     ex = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(toks) - 1),"
-                " i -> xxhash64(concat(element_at(toks, i), ' ',"
-                " element_at(toks, i + 1))))"
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (x, y) -> xxhash64(concat(x, ' ', y)))"
             )
         ).alias("h"),
     )

@@ -359,13 +359,20 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
     split(text) for every element access, O(tokens^2) per document
     (measured 4.2 s vs 0.4 s for this explode at sf0.1)."""
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # zip_with over two slices, NOT transform(sequence(1, size-1), ...):
+    # Spark's sequence(1, 0) counts DOWN to [1, 0] for a one-token doc
+    # and element_at(toks, 0/2) throws under ANSI, where the oracle's
+    # generate_series(1, 0) is simply empty (round-10 edge-population
+    # catch; similarity.py's staged projection was guarded in round 9,
+    # this direct form was not).  slice with length 0 is legally empty.
     return toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "array_distinct(transform(sequence(1, size(toks) - 1),"
-                " i -> concat(element_at(toks, i), ' ',"
-                " element_at(toks, i + 1))))"
+                "array_distinct(zip_with("
+                "slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (x, y) -> concat(x, ' ', y)))"
             )
         ).alias("shingle"),
     )
@@ -1202,11 +1209,14 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
     )
+    # zip_with over slices: sequence(1, 0) descends for one-token docs
+    # and a[-1] throws under ANSI (same catch as _shingle_rows)
     bigrams = toks.select(
         F.explode(
             F.expr(
-                "transform(sequence(1, size(a) - 1),"
-                " i -> struct(a[i-1] as w1, a[i] as w2))"
+                "zip_with(slice(a, 1, size(a) - 1),"
+                " slice(a, 2, size(a) - 1),"
+                " (x, y) -> struct(x as w1, y as w2))"
             )
         ).alias("b")
     ).select("b.w1", "b.w2")
