@@ -60,3 +60,52 @@ def test_query_is_total_on_empty_corpus(spark, empty_dir, name):
     clear_staged()  # session memos keyed by sf_dir; cheap insurance
     n = all_queries()[name].fn(spark, empty_dir).count()
     assert n >= 0  # the assertion is "did not raise"
+
+
+@pytest.fixture(scope="module")
+def degen_docs_dir(spark, tmp_path_factory):
+    """sf0.001 tables with the documents table augmented by degenerate
+    rows (empty text, one token, two tokens): the short-document edge
+    that crashed four bigram pipelines in round 10 (descending
+    sequence(1, 0) / element_at out of range under ANSI)."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("degen_docs")
+    for t in TABLES:
+        df = load_table(spark, "/root/testdata/sf0.001", t)
+        if t == "documents":
+            mx = df.agg(F.max("doc_id")).first()[0]
+            extra = spark.createDataFrame(
+                [
+                    (mx + 1, "", "en", "web", 0),
+                    (mx + 2, "solo", "en", "web", 4),
+                    (mx + 3, "two words", "en", "web", 9),
+                ],
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long",
+            )
+            df = df.limit(50).unionByName(extra.select(*df.columns))
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(d / f"{t}.parquet")
+        )
+    return str(d)
+
+
+DOC_BIGRAM_QUERIES = [
+    "repetition_filter",
+    "bigram_pmi_topk",
+    "cdc_chunk_boundaries",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "bpe_merge_candidates",
+    "doc_fingerprint",
+    "token_entropy",
+]
+
+
+@pytest.mark.parametrize("name", DOC_BIGRAM_QUERIES)
+def test_query_survives_degenerate_documents(spark, degen_docs_dir, name):
+    from wsu_cpts_415_spark.ops.staging import clear_staged
+
+    clear_staged()
+    assert all_queries()[name].fn(spark, degen_docs_dir).count() >= 0

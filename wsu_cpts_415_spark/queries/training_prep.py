@@ -214,8 +214,15 @@ def cdc_chunk_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc = tk.select(
         "source",
         F.expr("cast(size(tk) as bigint)").alias("n_tokens"),
+        # CASE guard: sequence(3, size) DESCENDS when size < 3 (a one-
+        # or two-token doc) and element_at(tk, 3) throws under ANSI,
+        # where the oracle's generate_series(3, len) is simply empty --
+        # short docs have zero interior boundaries, i.e. one chunk
+        # (round-10 edge-population catch, same class as _shingle_rows)
         F.expr(
-            f"cast(size(filter(sequence(3, size(tk)),"
+            f"cast(size(filter("
+            f" CASE WHEN size(tk) < 3 THEN cast(array() as array<int>)"
+            f" ELSE sequence(3, size(tk)) END,"
             f" i -> {_SPARK_H32.format(x=gram)} % {CDC_MASK} = 0)) + 1 as bigint)"
         ).alias("n_chunks"),
     )
