@@ -98,11 +98,26 @@ def maybe_broadcast(
         c = F.col(field.name)
         if isinstance(field.dataType, T.ArrayType):
             elem = field.dataType.elementType
-            if isinstance(elem, (T.StringType, T.BinaryType)):
+            if isinstance(elem, T.StringType):
                 # variable-width elements: charge aggregate content
                 # length + per-element overhead -- a flat 8/element
                 # would underestimate a string-array column ~3x and
-                # let a hinted broadcast through the OOM guard
+                # let a hinted broadcast through the OOM guard.
+                # array_join + length stays inside whole-stage codegen
+                # (ArrayAggregate is CodegenFallback -- an interpreted
+                # per-row fold would tax every maybe_broadcast check);
+                # null elements are skipped by array_join, matching the
+                # coalesce(length(x), 0) the fold form charged them
+                per_row = (
+                    per_row
+                    + 16
+                    + 16 * F.greatest(F.size(c), F.lit(0))
+                    + F.coalesce(F.length(F.array_join(c, "")), F.lit(0))
+                )
+            elif isinstance(elem, T.BinaryType):
+                # no current caller ships binary arrays; array_join
+                # can't take them, so keep the (interpreted) fold on
+                # this cold path rather than lose the byte guard
                 per_row = (
                     per_row
                     + 16

@@ -152,6 +152,16 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         if not cents:  # empty corpus: no model (empty-slice totality)
             return []
+        # the assignment side is one FIXED-WIDTH row per vector
+        # (vec_id, c) -- corpus-grain, so the broadcast hint is gated
+        # on the vector count once before the loop (a row gate IS a
+        # byte gate at 16 B/row); above it the per-round update joins
+        # shuffle on vec_id, which a 100 TB layout co-buckets
+        from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
+
+        assign_hint = (
+            F.broadcast if emb.count() <= DOC_SIDE_BCAST_ROWS else (lambda d: d)
+        )
         for it in range(LLOYD_ITERS - 1):
             # assignment at VECTOR grain, joined to the exploded values
             # -- putting the argmin expression in the same projection as
@@ -164,7 +174,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             rows = (
                 emb.select("vec_id", F.posexplode("v").alias("dim", "val"))
-                .join(F.broadcast(assign), "vec_id")
+                .join(assign_hint(assign), "vec_id")
                 .groupBy("c", "dim")
                 .agg(F.round(F.avg("val"), 6).alias("val"))
                 .collect()

@@ -259,18 +259,32 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a unigram LM) -- documents full of rare tokens score high, rote
     repetition scores low; pairs with the heuristic ``quality_score``.
 
-    Two passes over the token stream: one to build the vocabulary (a
-    bounded aggregate), one to score, with the vocabulary broadcast back
-    onto the token explode -- the corpus itself never shuffles.  Mean
+    Two passes over the token stream: one to build the vocabulary, one
+    to score.  The vocabulary is NOT a bounded aggregate -- Heaps' law
+    puts distinct tokens near 10^9 at 100 TB -- so the scoring join goes
+    through the row- AND byte-gated ``maybe_broadcast``: below the gate
+    it broadcasts back onto the token explode (corpus never shuffles);
+    above it the join falls back to a shuffle on ``tok``, which a real
+    deployment co-locates by bucketing both sides on the token.  Mean
     surprisal is rounded after aggregation; summation-order jitter sits
     ~1e-12 below the 1e-4 grain."""
+    from wsu_cpts_415_spark.ops.staging import maybe_broadcast, staged
+    from wsu_cpts_415_spark.queries.ssjoin import VOCAB_BCAST_ROWS
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    vocab = tok.groupBy("tok").agg(F.count("*").alias("n"))
+    # staged so the gate's one stats action rides the persisted frame
+    # instead of re-running the explode+aggregate
+    vocab = staged(
+        spark,
+        "unigram_vocab",
+        sf_dir,
+        lambda: tok.groupBy("tok").agg(F.count("*").alias("n")),
+    )
     tot = vocab.agg(F.sum("n").cast("double").alias("total"))
     surprisal = -F.log(F.col("n") / F.col("total"))
     return (
-        tok.join(F.broadcast(vocab), "tok")
+        tok.join(maybe_broadcast(vocab, VOCAB_BCAST_ROWS), "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

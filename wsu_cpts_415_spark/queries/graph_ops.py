@@ -491,7 +491,14 @@ def common_neighbor_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries (node, nbr) edge rows keyed by neighbor.  Hub
     vertices fan out quadratically exactly as in the LSH hot-bucket
     case; the production knob is the same (cap or salt the hub's
-    wedge list).  Degrees ride along via two broadcast-sized joins."""
+    wedge list).  The degree table is pair-graph-NODE-grain -- a
+    corpus-fraction that grows without bound at 100 TB -- so it rides
+    through the row+byte-gated ``maybe_broadcast`` (fixed-width rows;
+    above the gate the degree joins shuffle on u/w, which the wedge
+    aggregate has already clustered)."""
+    from wsu_cpts_415_spark.ops.staging import maybe_broadcast
+    from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
+
     und = _und_edges(spark, sf_dir)
     adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
         und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
@@ -504,11 +511,12 @@ def common_neighbor_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "w")
         .agg(F.count("*").alias("common"))
     )
+    deg = maybe_broadcast(deg, DOC_SIDE_BCAST_ROWS)
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dw = deg.select(F.col("node").alias("w"), F.col("deg").alias("deg_w"))
     return (
-        wedges.join(F.broadcast(du), "u")
-        .join(F.broadcast(dw), "w")
+        wedges.join(du, "u")
+        .join(dw, "w")
         .select(
             "u",
             "w",
@@ -715,10 +723,17 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # broadcast ONLY edge-incident labels: _neardup_labels is corpus-grain
     # (every doc, singletons included); at scale the full table would blow
-    # the broadcast, while the incident sliver is pair-graph-sized
+    # the broadcast, while the incident sliver is pair-graph-sized.  The
+    # sliver itself still grows with the pair graph, so the hint goes
+    # through the row+byte-gated maybe_broadcast (shuffle-join fallback
+    # above the gate); the hint survives the la/lb projections below
     inc_labels = labels.join(
         deg.select(F.col("node").alias("doc_id")), "doc_id", "left_semi"
     )
+    from wsu_cpts_415_spark.ops.staging import maybe_broadcast
+    from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
+
+    inc_labels = maybe_broadcast(inc_labels, DOC_SIDE_BCAST_ROWS)
     la = inc_labels.select(
         F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca")
     )
@@ -726,14 +741,14 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb")
     )
     intra = (
-        pairs.join(F.broadcast(la), "doc_a")
-        .join(F.broadcast(lb), "doc_b")
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
         .filter(F.col("ca") == F.col("cb"))
         .groupBy(F.col("ca").alias("cluster_id"))
         .agg(F.count("*").cast("double").alias("e_c"))
     )
     dsum = (
-        deg.join(F.broadcast(inc_labels), deg["node"] == inc_labels["doc_id"])
+        deg.join(inc_labels, deg["node"] == inc_labels["doc_id"])
         .groupBy("cluster_id")
         .agg(F.sum("d").alias("d_c"))
     )

@@ -74,7 +74,7 @@ DF_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
     SELECT CAST(df_bucket AS INT) AS df_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_shingles,
            CAST(SUM(df) AS BIGINT) AS n_postings,
-           CAST(SUM(df * (df - 1) / 2) AS BIGINT) AS pair_work
+           CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS pair_work
     FROM bucketed
     GROUP BY df_bucket
     ORDER BY df_bucket
@@ -101,7 +101,11 @@ def stop_shingle_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_shingles"),
             F.sum("df").alias("n_postings"),
-            F.sum(F.col("df") * (F.col("df") - 1) / 2)
+            # integral div end-to-end: df*(df-1) is even so /2 agrees
+            # today, but a double round-trip diverges between engines
+            # (Spark truncates, DuckDB rounds) once sums pass 2^53 --
+            # reachable at real corpus scale
+            F.sum(F.expr("df * (df - 1) div 2"))
             .cast("bigint")
             .alias("pair_work"),
         )
@@ -171,11 +175,18 @@ def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = pairs.groupBy("doc_a", "doc_b").agg(
         F.count("*").alias("n_common_lb")
     )
+    # sizes is per-DOC (corpus-grain, fixed-width rows): hint only under
+    # the row+byte gate -- the hint survives the sa/sb aliases -- and
+    # shuffle-join above it
+    from wsu_cpts_415_spark.ops.staging import maybe_broadcast
+    from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
+
+    sizes = maybe_broadcast(sizes, DOC_SIDE_BCAST_ROWS)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",

@@ -276,8 +276,15 @@ def late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # the chunk table is |events|/LATE_CHUNK rows -- it shrinks 512x but
+    # still GROWS with the data, so the hint is row+byte gated (above
+    # the gate: shuffle join on chunk, already the events' sort key;
+    # at 100 TB the chunk size knob scales up to keep the table small)
+    from wsu_cpts_415_spark.ops.staging import maybe_broadcast
+    from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
+
     scanned = (
-        ev.join(F.broadcast(prior), "chunk")
+        ev.join(maybe_broadcast(prior, DOC_SIDE_BCAST_ROWS), "chunk")
         .withColumn(
             "watermark",
             F.greatest(

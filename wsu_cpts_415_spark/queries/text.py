@@ -567,11 +567,18 @@ def exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             inter = pairs.groupBy("doc_a", "doc_b").agg(
                 F.count("*").alias("n_common")
             )
-        sa = sizes.alias("sa")
-        sb = sizes.alias("sb")
+        # sizes is per-DOC (corpus-grain): even inside this labeled
+        # exactness baseline the hint rides the row+byte gate, so a big
+        # corpus degrades to a shuffle join instead of an OOM'd broadcast
+        from wsu_cpts_415_spark.ops.staging import maybe_broadcast
+        from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
+
+        sizes_h = maybe_broadcast(sizes, DOC_SIDE_BCAST_ROWS)
+        sa = sizes_h.alias("sa")
+        sb = sizes_h.alias("sb")
         return (
-            inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-            .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+            inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
             .select(
                 "doc_a",
                 "doc_b",
