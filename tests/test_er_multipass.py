@@ -32,8 +32,8 @@ def test_union_superset_of_each_generator(spark):
     lsh = _pairset(lsh_band_candidates(spark, SF_SMOKE))
     assert lev <= union
     assert lsh <= union
-    # SNM contributes (W-1)*n pairs by construction; the union must be
-    # strictly larger than the lev set alone on any corpus with >W docs
+    # LSH band collisions recover pairs lev blocking cannot see, so the
+    # union is strictly larger than the lev set on the smoke corpus
     assert len(union) > len(lev)
 
 
@@ -95,12 +95,15 @@ def crossblock_docs_dir(spark, tmp_path):
     """A true near-dup pair INVISIBLE to lev blocking: docs 0 and 1
     differ only in their first token, so (lang, blk, tok0, tok1) can
     never co-block them -- the exact miss class the multi-pass union
-    exists to recover (via SNM here: the 5-doc corpus fits in one
-    window).  Docs 2/3 share (tok0, tok1) so the single-pass query
-    still has candidates of its own."""
+    exists to recover (via LSH here: the pair's shingle Jaccard is
+    ~0.9, far above the band design point, and the fixed seeded hash
+    params make the collision deterministic).  Docs 2/3 share
+    (tok0, tok1) so the single-pass query still has candidates of its
+    own."""
+    tail = " ".join(f"tok{i:02d}" for i in range(20))
     rows = [
-        (0, "alpha gamma delta gamma delta epsilon", "en", "web", 37),
-        (1, "betaa gamma delta gamma delta epsilon", "en", "web", 37),
+        (0, f"alpha {tail}", "en", "web", 6 + len(tail)),
+        (1, f"betaa {tail}", "en", "web", 6 + len(tail)),
         (2, "omega psi chi phi upsilon", "en", "web", 25),
         (3, "omega psi chi phi tau", "en", "web", 21),
         (4, "iota kappa lambda mu nu", "en", "web", 23),

@@ -438,22 +438,15 @@ def test_er_scoring_topk_short_circuits(spark, qs):
 def test_er_multipass_topk_short_circuits(spark, qs):
     """The composed multi-pass scorer keeps the single-pass plan
     discipline: TakeOrderedAndProject top-k, no cartesian anywhere in
-    the three-generator union.  The only nested-loop join allowed is
-    the scalable-rank kernel's per-partition prefix-sum metadata join
-    (SNM's rank stage; ~#partitions rows on both sides, by design)."""
+    the generator union.  Since round 11 the union is lev+LSH only (SNM
+    re-priced out -- see _multipass_candidates), so the plan carries NO
+    nested-loop join at all: the rank kernel's per-partition metadata
+    join left with SNM."""
     plan = fmt_plan(qs["er_multipass_match_scores"].fn(spark, SF_ORACLE))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
-    # formatted mode: each "(N) BroadcastNestedLoopJoin" detail block
-    # must carry the rank kernel's _pid join condition
-    blocks = plan.split("\n\n")
-    bnlj_blocks = [
-        b for b in blocks if b.startswith("(") and "BroadcastNestedLoopJoin" in b
-    ]
-    assert bnlj_blocks, "expected the rank kernel's metadata join detail"
-    assert all("_pid" in b for b in bnlj_blocks), (
-        "nested-loop join outside the rank kernel's metadata join:\n"
-        + "\n---\n".join(bnlj_blocks)
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "a nested-loop join crept back into the lev+LSH union"
     )
 
 

@@ -908,21 +908,25 @@ def snm_window_pairs(
 
 
 def _multipass_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deduped union of the three deployed candidate generators
-    (doc_a < doc_b normalized): lev-key blocking, sorted-neighborhood
-    window, MinHash-LSH bands.  Each input is its generator's own
-    bounded funnel; the union is a distinct over id pairs only (no
-    payload columns shuffle)."""
+    """Deduped union of the deployed candidate generators (doc_a < doc_b
+    normalized): lev-key blocking + MinHash-LSH bands.  Each input is
+    its generator's own bounded funnel; the union is a distinct over id
+    pairs only (no payload columns shuffle).
+
+    SNM's seat was re-priced OUT in round 11 (round-10 verdict): the
+    standing window sweep (``scale_probe.py er_snm_sweep``) measured its
+    marginal recall over lev+LSH at ZERO for every window w=5/10/20 at
+    both x10 and x100 while it contributed ~2M of 17.6M x100 candidates
+    (~11% of linear scoring cost) -- the deployed default is the
+    measured frontier.  ``sorted_neighborhood_pairs`` stays as the
+    taught standalone pass and the sweep keeps re-pricing the seat
+    whenever the corpus changes; on a corpus where the sweep measures
+    nonzero marginal, add ``snm_window_pairs`` back to this union."""
     from wsu_cpts_415_spark.queries.similarity import lsh_band_candidates
 
     lev = lev_candidates(spark, sf_dir).select("doc_a", "doc_b")
-    snm = snm_window_pairs(spark, sf_dir)
     lsh = lsh_band_candidates(spark, sf_dir).select("doc_a", "doc_b")
-    return (
-        lev.unionByName(snm)
-        .unionByName(lsh)
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    return lev.unionByName(lsh).dropDuplicates(["doc_a", "doc_b"])
 
 
 @register(
@@ -946,20 +950,8 @@ def _multipass_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND a.tok1 = b.tok1 AND a.doc_id < b.doc_id
         WHERE levenshtein(a.prefix, b.prefix) <= {LEV_MAX_DIST}
     ),
-    snmk AS (SELECT doc_id, {_SNM_KEY_DUCK} AS skey FROM documents),
-    snmr AS (
-        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY skey) AS rn FROM snmk
-    ),
-    snmp AS (
-        SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
-               GREATEST(a.doc_id, b.doc_id) AS doc_b
-        FROM snmr a
-        JOIN snmr b ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW - 1}
-    ),
     allc AS (
         SELECT doc_a, doc_b FROM levp
-        UNION
-        SELECT doc_a, doc_b FROM snmp
         UNION
         SELECT doc_a, doc_b FROM cand
     ),
@@ -992,22 +984,25 @@ def _multipass_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(LSH=LSH_PAIRS_DUCK_CTES),
 )
 def er_multipass_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPOSED production ER match query: union of all three
-    deployed candidate generators (lev-key blocking + sorted-neighborhood
-    window + MinHash-LSH bands) -> distinct pairs -> the same composite
-    scorer as ``er_match_scores`` ({W_EDIT} * prefix-edit similarity +
-    {W_JAC} * shingle Jaccard + {W_LEN} * length agreement) -> top-{ER_TOP_K}.
+    """The COMPOSED production ER match query: union of the deployed
+    candidate generators (lev-key blocking + MinHash-LSH bands) ->
+    distinct pairs -> the same composite scorer as ``er_match_scores``
+    ({W_EDIT} * prefix-edit similarity + {W_JAC} * shingle Jaccard +
+    {W_LEN} * length agreement) -> top-{ER_TOP_K}.
 
     Why it exists: ``er_multipass_recall`` MEASURED the single lev pass
     at 0.307 blocking recall against exact J >= 4/5 ground truth while
-    the three-generator union reaches 0.9997 (x100,
-    scale_probe_er_recall_x100_r9.json) -- each generator misses
-    differently (lev: leading-token edits; SNM: far apart under the
-    sort key; LSH: signature chance only), so production record linkage
-    scores the UNION (Christen 2012's multi-pass blocking).  This query
-    turns that measurement into the deployed path.
+    the multi-generator union reaches 0.9997 (x100,
+    scale_probe_er_recall_x100_r9.json) -- the generators miss
+    differently (lev: leading-token edits; LSH: signature chance only),
+    so production record linkage scores the UNION (Christen 2012's
+    multi-pass blocking).  This query turns that measurement into the
+    deployed path.  The union is lev+LSH only: the SNM window pass was
+    re-priced out in round 11 after the standing sweep measured its
+    marginal recall over lev+LSH at zero for every window at both probe
+    scales (see ``_multipass_candidates``).
 
-    Scale posture: candidates are the union of three bounded funnels --
+    Scale posture: candidates are the union of bounded funnels --
     never all-pairs -- deduped on id pairs alone (no payloads in the
     distinct's shuffle); feature attach is two joins against a
     doc-grain projection and the Jaccard attach intersects compact
