@@ -116,6 +116,144 @@ def _run(kernel, pairs: DataFrame, expect_components: int) -> dict:
     }
 
 
+def _iterative_ab(spark, pairs: DataFrame, iters: int = 5) -> dict:
+    """Round-11 stage-fusion A/B: time the FUSED PageRank / LPA rounds
+    (one shuffle per round -- union-base aggregate, repartition-shared
+    two-level argmax) against the pre-fusion agg->join formulation on
+    the same graph, and record that outputs stay byte-identical at the
+    queries' own rounding.  Quantifies lesson #11 for the two kernels
+    the round-10 verdict named (per-round FIXED cost, not bytes)."""
+    from pyspark.sql import Window
+
+    from wsu_cpts_415_spark.queries.graph_ops import lpa_round
+
+    bidir = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        bidir.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    edges_deg = bidir.select(
+        "src", "dst", F.count("*").over(Window.partitionBy("src")).alias("deg")
+    ).localCheckpoint(eager=True)
+    damping = 0.85
+
+    def pr_fused():
+        ranks = verts.select(F.col("node").alias("id"), F.lit(1.0 / n).alias("pr"))
+        base = verts.select(F.col("node").alias("id"), F.lit(0.0).alias("c"))
+        for _ in range(iters):
+            contribs = edges_deg.join(
+                F.broadcast(ranks), edges_deg["src"] == ranks["id"]
+            ).select(
+                F.col("dst").alias("id"), (F.col("pr") / F.col("deg")).alias("c")
+            )
+            ranks = (
+                base.unionByName(contribs)
+                .groupBy("id")
+                .agg(F.sum("c").alias("m"))
+                .select(
+                    "id",
+                    (F.lit((1 - damping) / n) + damping * F.col("m")).alias("pr"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        return ranks.select("id", F.round("pr", 9).alias("pr"))
+
+    def pr_unfused():
+        ranks = verts.select(F.col("node").alias("id"), F.lit(1.0 / n).alias("pr"))
+        for _ in range(iters):
+            contribs = (
+                edges_deg.join(
+                    F.broadcast(ranks), edges_deg["src"] == ranks["id"]
+                )
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("pr") / F.col("deg")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("m"))
+            )
+            ranks = (
+                verts.select(F.col("node").alias("id"))
+                .join(F.broadcast(contribs), "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit((1 - damping) / n)
+                        + damping * F.coalesce(F.col("m"), F.lit(0.0))
+                    ).alias("pr"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        return ranks.select("id", F.round("pr", 9).alias("pr"))
+
+    def lpa_unfused_round(verts_, bidir_, labels_, hint):
+        cnt = (
+            bidir_.alias("e")
+            .join(hint(labels_.alias("l")), F.col("e.dst") == F.col("l.node"))
+            .select(F.col("e.src").alias("nbr"), F.col("l.label").alias("label"))
+            .groupBy("nbr", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            cnt.groupBy("nbr")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("negc"), F.col("label").alias("lab")
+                    )
+                ).alias("b")
+            )
+            .select(F.col("nbr").alias("node"), F.col("b.lab").alias("new_label"))
+        )
+        return verts_.join(hint(best), "node", "left").select(
+            "node", F.coalesce("new_label", F.col("node")).alias("label")
+        )
+
+    def lpa_run(round_fn):
+        labels = verts.select("node", F.col("node").alias("label"))
+        for _ in range(iters):
+            labels = round_fn(verts, bidir, labels, F.broadcast).localCheckpoint(
+                eager=False
+            )
+        return labels
+
+    def timed(build):
+        # warm once (JIT/codegen/broadcast-path warmup), time the second
+        # run -- the A/B compares plan shapes, not cold-start costs
+        build().collect()
+        t0 = time.perf_counter()
+        df = build()
+        rows = sorted(map(tuple, df.collect()))
+        return round(time.perf_counter() - t0, 3), rows
+
+    pr_f_wall, pr_f_rows = timed(pr_fused)
+    pr_u_wall, pr_u_rows = timed(pr_unfused)
+    lpa_f_wall, lpa_f_rows = timed(lambda: lpa_run(lpa_round))
+    lpa_u_wall, lpa_u_rows = timed(lambda: lpa_run(lpa_unfused_round))
+    return {
+        "iters": iters,
+        "n_vertices": n,
+        "pagerank": {
+            "fused_wall_sec": pr_f_wall,
+            "unfused_wall_sec": pr_u_wall,
+            "identical": pr_f_rows == pr_u_rows,
+        },
+        "label_propagation": {
+            "fused_wall_sec": lpa_f_wall,
+            "unfused_wall_sec": lpa_u_wall,
+            "identical": lpa_f_rows == lpa_u_rows,
+        },
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="graph-topology-probe")
     out = {
@@ -125,6 +263,11 @@ def main() -> None:
         "stars_k": STARS_K,
         "topologies": {},
     }
+    # lesson-#11 A/B on the skew shape (hub fan-out, diameter 4) -- the
+    # realistic profile for the videos graph the fused kernels serve
+    out["iterative_ab"] = _iterative_ab(
+        spark, _star_of_stars(spark, STARS_M, STARS_K).localCheckpoint(eager=True)
+    )
     cases = [
         ("long_chain", _chain(spark, CHAIN_V, False), 1),
         ("long_chain_perm", _chain(spark, CHAIN_V, True), 1),

@@ -116,3 +116,169 @@ def test_long_chain_beyond_min_label_round_bound(spark, monkeypatch):
         for r in star_contraction_components(df).collect()
     }
     assert labels == {i: 0 for i in range(301)}
+
+
+# ---------------------------------------------------------------------------
+# Round-11 stage-fusion pins: the fused LPA / PageRank rounds (one shuffle
+# exchange per round instead of agg -> join chains) must be byte-identical
+# to the straightforward unfused formulation.
+
+
+def _unfused_lpa_round(verts, bidir, labels, hint):
+    """The pre-round-11 LPA round shape: count per (vertex, label),
+    argmax per vertex, then a vertex left join for isolated vertices."""
+    cnt = (
+        bidir.alias("e")
+        .join(hint(labels.alias("l")), F.col("e.dst") == F.col("l.node"))
+        .select(F.col("e.src").alias("nbr"), F.col("l.label").alias("label"))
+        .groupBy("nbr", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    best = (
+        cnt.groupBy("nbr")
+        .agg(
+            F.min(
+                F.struct((-F.col("c")).alias("negc"), F.col("label").alias("lab"))
+            ).alias("b")
+        )
+        .select(F.col("nbr").alias("node"), F.col("b.lab").alias("new_label"))
+    )
+    return verts.join(hint(best), "node", "left").select(
+        "node", F.coalesce("new_label", F.col("node")).alias("label")
+    )
+
+
+def test_fused_lpa_round_matches_unfused(spark):
+    from wsu_cpts_415_spark.queries.graph_ops import lpa_round
+
+    rng = random.Random(411)
+    und = {(a, b) for a, b in
+           ((rng.randrange(60), rng.randrange(60)) for _ in range(150))
+           if a < b}
+    pairs = list(und) or [(0, 1)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    ).localCheckpoint(eager=True)
+    verts = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .union(spark.createDataFrame([(999,)], "node long"))  # isolated
+        .localCheckpoint(eager=True)
+    )
+    labels = verts.select("node", F.col("node").alias("label"))
+    for _ in range(3):  # iterate so divergence would compound
+        fused = lpa_round(verts, edges, labels, F.broadcast)
+        unfused = _unfused_lpa_round(verts, edges, labels, F.broadcast)
+        got = sorted((r.node, r.label) for r in fused.collect())
+        want = sorted((r.node, r.label) for r in unfused.collect())
+        assert got == want
+        labels = fused.localCheckpoint(eager=True)
+    assert (999, 999) in got  # isolated vertex kept its own label
+
+
+def test_fused_lpa_round_is_single_shuffle(spark):
+    """The fusion's whole point: one shuffle exchange per round (plus the
+    label broadcast), not agg -> agg -> join."""
+    import re
+
+    from wsu_cpts_415_spark.queries.graph_ops import lpa_round
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    ).localCheckpoint(eager=True)
+    verts = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    labels = verts.select("node", F.col("node").alias("label"))
+    plan = (
+        lpa_round(verts, edges, labels, F.broadcast)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert shuffles == 1, f"fused LPA round has {shuffles} shuffles:\n{plan}"
+
+
+def test_fused_pagerank_matches_unfused(spark):
+    """The union-base PageRank round == the contribution-agg + vertex
+    left-join round, after the query's own 1e-9 rounding (adding a 0.0
+    base term to each vertex's positive contribution sum is an IEEE
+    no-op; only summation order may move, ~1e-16 relative, far below
+    the grain)."""
+    damping, iters = 0.85, 4
+    rng = random.Random(412)
+    edges_l = list(
+        {(rng.randrange(40), rng.randrange(40)) for _ in range(120)}
+    )
+    edges = spark.createDataFrame(edges_l, "src long, dst long")
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    from pyspark.sql import Window
+
+    edges_deg = edges.select(
+        "src", "dst", F.count("*").over(Window.partitionBy("src")).alias("deg")
+    ).localCheckpoint(eager=True)
+
+    def fused():
+        ranks = verts.select("id", F.lit(1.0 / n).alias("pr"))
+        base = verts.select("id", F.lit(0.0).alias("c"))
+        for _ in range(iters):
+            contribs = edges_deg.join(
+                F.broadcast(ranks), edges_deg["src"] == ranks["id"]
+            ).select(
+                F.col("dst").alias("id"), (F.col("pr") / F.col("deg")).alias("c")
+            )
+            ranks = (
+                base.unionByName(contribs)
+                .groupBy("id")
+                .agg(F.sum("c").alias("m"))
+                .select(
+                    "id",
+                    (F.lit((1 - damping) / n) + damping * F.col("m")).alias("pr"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        return ranks
+
+    def unfused():
+        ranks = verts.select("id", F.lit(1.0 / n).alias("pr"))
+        for _ in range(iters):
+            contribs = (
+                edges_deg.join(
+                    F.broadcast(ranks), edges_deg["src"] == ranks["id"]
+                )
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("pr") / F.col("deg")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("m"))
+            )
+            ranks = (
+                verts.join(F.broadcast(contribs), "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit((1 - damping) / n)
+                        + damping * F.coalesce(F.col("m"), F.lit(0.0))
+                    ).alias("pr"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        return ranks
+
+    got = {
+        r.id: r.pr for r in fused().select("id", F.round("pr", 9).alias("pr")).collect()
+    }
+    want = {
+        r.id: r.pr
+        for r in unfused().select("id", F.round("pr", 9).alias("pr")).collect()
+    }
+    assert got == want

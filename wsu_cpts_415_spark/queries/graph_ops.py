@@ -327,22 +327,31 @@ def pagerank_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint = F.broadcast if bcast else (lambda df: df)
     n = max(n, 1)  # empty graph: verts_c has no rows, so 1/n is unused
     ranks = verts_c.select("id", F.lit(1.0 / n).alias("pr"))
+    # FUSED round (round 11, lesson #11 applied): the old shape was
+    # contribution agg THEN a vertex left join (per round: one exchange
+    # plus TWO broadcast builds plus a join stage) -- per-round fixed
+    # cost, not bytes, dominated the wall (32 KB of shuffle at sf0.1).
+    # Unioning a zero-contribution base row per vertex into the SAME
+    # aggregate folds the "vertices with no in-links" left join into
+    # the one exchange: per round = one broadcast build (ranks) + one
+    # partial-combining exchange.  Adding 0.0 to each vertex's
+    # contribution sum is an IEEE no-op (contributions are positive),
+    # so results are identical to the join form.
+    base = verts_c.select("id", F.lit(0.0).alias("c"))
     for _ in range(PR_ITERS):
-        contribs = (
-            edges_deg.join(hint(ranks), edges_deg["src"] == ranks["id"], "inner")
-            .select(
-                F.col("dst").alias("id"), (F.col("pr") / F.col("deg")).alias("c")
-            )
-            .groupBy("id")
-            .agg(F.sum("c").alias("m"))
+        contribs = edges_deg.join(
+            hint(ranks), edges_deg["src"] == ranks["id"], "inner"
+        ).select(
+            F.col("dst").alias("id"), (F.col("pr") / F.col("deg")).alias("c")
         )
         ranks = (
-            verts_c.join(hint(contribs), "id", "left")
+            base.unionByName(contribs)
+            .groupBy("id")
+            .agg(F.sum("c").alias("m"))
             .select(
                 "id",
                 (
-                    F.lit((1 - PR_DAMPING) / n)
-                    + PR_DAMPING * F.coalesce(F.col("m"), F.lit(0.0))
+                    F.lit((1 - PR_DAMPING) / n) + PR_DAMPING * F.col("m")
                 ).alias("pr"),
             )
             .localCheckpoint(eager=False)
@@ -638,29 +647,50 @@ def lpa_round(
     ``localCheckpoint`` hides from the registered query's final plan."""
     if hint is None:
         hint = lambda df: df  # noqa: E731
+    # FUSED round (round 11, lesson #11 applied).  The old shape was
+    # count-per-(vertex,label) -> exchange -> argmax-per-vertex ->
+    # exchange -> broadcast -> vertex left join: two exchanges and two
+    # broadcast builds per round of per-round FIXED cost on tiny data.
+    # Fusion: (a) a zero-weight (node, own-label) base row per vertex
+    # rides the same aggregate, so isolated vertices keep their label
+    # without the final join (a real neighbor label has c >= 1 and
+    # always beats the c = 0 sentinel in the argmax); (b) one explicit
+    # hash repartition on the vertex id satisfies BOTH aggregates'
+    # clustering (node subset-of (node, label)), so the count and the
+    # argmax run back-to-back in ONE post-exchange stage.  Per round:
+    # one broadcast build (labels) + one exchange.  Semantics are
+    # byte-identical (tests/test_star_cc.py pins fused == unfused).
+    #
     # explicit relation aliases: labels may share lineage with bidir (e.g.
     # before the first checkpoint), and without aliases the analyzer
     # deduplicates the shared subplan's attributes, collapsing the equi
     # condition into a trivial one and falling back to a nested loop
-    cnt = (
+    contrib = (
         bidir.alias("e")
         .join(hint(labels.alias("l")), F.col("e.dst") == F.col("l.node"))
-        .select(F.col("e.src").alias("nbr"), F.col("l.label").alias("label"))
-        .groupBy("nbr", "label")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.col("e.src").alias("node"),
+            F.col("l.label").alias("label"),
+            F.lit(1).cast("long").alias("w"),
+        )
     )
-    best = (
-        cnt.groupBy("nbr")
+    base = verts.select(
+        "node",
+        F.col("node").alias("label"),
+        F.lit(0).cast("long").alias("w"),
+    )
+    return (
+        base.unionByName(contrib)
+        .repartition("node")
+        .groupBy("node", "label")
+        .agg(F.sum("w").alias("c"))
+        .groupBy("node")
         .agg(
             F.min(
                 F.struct((-F.col("c")).alias("negc"), F.col("label").alias("lab"))
             ).alias("b")
         )
-        .select(F.col("nbr").alias("node"), F.col("b.lab").alias("new_label"))
-    )
-    return verts.join(hint(best), "node", "left").select(
-        "node",
-        F.coalesce("new_label", F.col("node")).alias("label"),
+        .select("node", F.col("b.lab").alias("label"))
     )
 
 
@@ -834,24 +864,43 @@ def bfs_hops(edges: DataFrame, root: DataFrame, max_hops: int) -> DataFrame:
     the accumulated distance table), lineage truncated per round.
     Property-tested against a pure-python BFS in tests/test_properties.py.
     """
+    from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
+
     dist = root.select("id", F.lit(0).alias("hops")).localCheckpoint(eager=True)
     frontier = dist
+    n_dist = dist.count()
     for h in range(1, max_hops + 1):
+        # frontier and visited sets are checkpointed RDDs with unknown
+        # stats -- un-hinted, both the semi and the anti join would
+        # shuffle.  Broadcast them while the driver-tracked visited
+        # count stays under the gate (round 11, lesson #11): the
+        # frontier distinct is then the round's only exchange.
+        hint = (
+            F.broadcast if n_dist <= DOC_SIDE_BCAST_ROWS else (lambda d: d)
+        )
         reached = (
             edges.join(
-                frontier.select(F.col("id").alias("src")), "src", "leftsemi"
+                hint(frontier.select(F.col("id").alias("src"))),
+                "src",
+                "leftsemi",
             )
             .select(F.col("dst").alias("id"))
             .distinct()
         )
         new = (
-            reached.join(dist.select("id"), "id", "leftanti")
+            reached.join(hint(dist.select("id")), "id", "leftanti")
             .select("id", F.lit(h).alias("hops"))
             .coalesce(4)
             .localCheckpoint(eager=True)
         )
-        if new.isEmpty():
+        n_new = new.count()
+        if n_new == 0:
             break
-        dist = dist.unionByName(new).coalesce(4).localCheckpoint(eager=True)
+        # dist is a union of <= max_hops checkpointed frontiers: lineage
+        # stays shallow without re-checkpointing the accumulated table
+        # every round (the old shape re-materialized |visited| rows per
+        # hop)
+        dist = dist.unionByName(new)
+        n_dist += n_new
         frontier = new
     return dist

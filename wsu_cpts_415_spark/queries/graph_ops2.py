@@ -115,9 +115,20 @@ def kcore_peel(pairs: DataFrame, k: int, rounds: int) -> DataFrame:
     live = edges.select(F.col("src").alias("id")).distinct()
     degrees = live.select("id", F.lit(0).cast("long").alias("d"))
     prev_n = live.count()
+    from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
+
     for _ in range(rounds):
-        alive_a = live.select(F.col("id").alias("src"))
-        alive_b = live.select(F.col("id").alias("dst"))
+        # the live set is a checkpointed RDD with unknown stats, so the
+        # optimizer would shuffle-join both semi joins (4 exchanges per
+        # round on pair-graph-sized data); hint broadcast while the
+        # per-round count -- already taken for the fixpoint check --
+        # stays under the gate, leaving the degree aggregate as the
+        # round's only exchange (round 11, lesson #11)
+        hint = (
+            F.broadcast if prev_n <= DOC_SIDE_BCAST_ROWS else (lambda d: d)
+        )
+        alive_a = hint(live.select(F.col("id").alias("src")))
+        alive_b = hint(live.select(F.col("id").alias("dst")))
         degrees = (
             edges.join(alive_a, "src", "left_semi")
             .join(alive_b, "dst", "left_semi")
