@@ -129,6 +129,32 @@ EXPENSIVE_50 = [
 FULL_WIDTH = {"boilerplate_strip"}
 
 
+def _prior_sf1() -> tuple[str, dict] | None:
+    """Most recent sf1 artifact's per-query map (BENCH_sf1_r{N}.json,
+    newest round first) -- the reference the outlier re-timer and the
+    canary ratio compare against."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_sf1_r*.json")):
+        m = re.fullmatch(r"BENCH_sf1_r(\d+)\.json", os.path.basename(p))
+        if m:
+            rounds.append((int(m.group(1)), p))
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(prior.get("parsed"), dict):
+            prior = prior["parsed"]
+        if isinstance(prior.get("queries"), dict):
+            return os.path.basename(path), prior["queries"]
+    return None
+
+
 def main() -> None:
     spark = get_spark(app_name="wsu_cpts_415_spark-sf1-bench")
     scale_probe.build(spark)
@@ -149,30 +175,77 @@ def main() -> None:
     tail = sorted(
         n for n in qs if n not in stable and not n.startswith("ref_")
     )
+    prior_found = _prior_sf1()
+    prior = prior_found[1] if prior_found else {}
+
+    def time_once(name: str) -> float | None:
+        jvm_gc()
+        t0 = time.perf_counter()
+        try:
+            df = qs[name].fn(spark, scale_probe.DST)
+            if name in FULL_WIDTH:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
+        except Exception as exc:  # rc stays 0; the artifact reports
+            errors[name] = str(exc)[:160]
+            return None
+        return time.perf_counter() - t0
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    retimed: dict[str, dict] = {}
+    # host-spike guard for the runs=1 tail (round-10 finding: a
+    # transient throttle printed an 11x outlier that needed a manual
+    # solo re-time to adjudicate): any tail entry whose ratio vs its
+    # prior-round time exceeds the threshold is immediately re-timed
+    # and BOTH numbers land in the artifact -- min is the recorded
+    # timing (a genuine regression reproduces; a spike doesn't)
+    from bench import REGRESSION_RATIO
+
     for name in stable + tail:
         runs = 2 if name in stable else 1
-        best = float("inf")
+        samples = []
         for _ in range(runs):
-            jvm_gc()
-            t0 = time.perf_counter()
-            try:
-                df = qs[name].fn(spark, scale_probe.DST)
-                if name in FULL_WIDTH:
-                    df.write.format("noop").mode("overwrite").save()
-                else:
-                    df.count()
-            except Exception as exc:  # rc stays 0; the artifact reports
-                errors[name] = str(exc)[:160]
+            t = time_once(name)
+            if t is None:
                 break
-            best = min(best, time.perf_counter() - t0)
-        if name not in errors:
-            timings[name] = round(best, 3)
+            samples.append(t)
+        if name in errors:
+            continue
+        best = min(samples)
+        p = prior.get(name)
+        if runs == 1 and p and p > 0.5 and best > p * REGRESSION_RATIO:
+            t2 = time_once(name)
+            if t2 is not None:
+                retimed[name] = {
+                    "first_sec": round(best, 3),
+                    "retime_sec": round(t2, 3),
+                    "prior_sec": p,
+                }
+                best = min(best, t2)
+        timings[name] = round(best, 3)
     per_family: dict[str, float] = {}
     for name, t in timings.items():
         fam = qs[name].fn.__module__.rsplit(".", 1)[-1]
         per_family[fam] = round(per_family.get(fam, 0.0) + t, 3)
+    # machine-speed canaries, same sets as bench.py (round-10 verdict:
+    # the sf1 artifact must carry its own speed reference so a reader
+    # adjudicates outliers without a worktree control)
+    from bench import CANARY_JOBS_QUERIES, CANARY_QUERIES
+
+    def _canary(names) -> dict | None:
+        if not all(n in timings and n in prior for n in names):
+            return None
+        now = sum(timings[n] for n in names)
+        then = sum(prior[n] for n in names)
+        if then <= 0:
+            return None
+        return {
+            "now_sec": round(now, 3),
+            "prior_sec": round(then, 3),
+            "ratio": round(now / then, 3),
+        }
     print(
         json.dumps(
             {
@@ -207,6 +280,13 @@ def main() -> None:
                 ),
                 "per_family": dict(sorted(per_family.items())),
                 "errors": errors,
+                "baseline": prior_found[0] if prior_found else None,
+                "scan_canary": _canary(CANARY_QUERIES),
+                "jobs_canary": _canary(CANARY_JOBS_QUERIES),
+                # tail entries re-timed after tripping the outlier
+                # threshold vs the prior artifact (both numbers kept;
+                # min recorded in `queries`)
+                "retimed": retimed,
             }
         )
     )

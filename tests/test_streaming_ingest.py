@@ -252,3 +252,43 @@ def test_gate_markers_are_per_gate(spark, tmp_path):
         "line gate skipped its build because of the dedup gate's marker"
     )
     assert os.path.isdir(os.path.join(store, "digests"))
+
+
+def test_reinit_rebuilds_when_store_lost_despite_marker(spark, stores):
+    """Round-11 hardening: a matching _corpus_id marker must NOT make
+    init a no-op when a store subdir was deleted or lost -- the skip
+    requires all three stores to be readable, else the gate would fail
+    later reading the missing store."""
+    import shutil
+
+    shutil.rmtree(f"{stores['store']}/bands")
+    corpus = spark.createDataFrame([(1, "alpha beta alpha beta")], SCHEMA)
+    init_standing_stores(spark, corpus, stores["store"])  # must rebuild
+    ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{stores['store']}/bands")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert ids == [1]
+
+
+def test_reinit_survives_corrupt_marker(spark, stores):
+    """A corrupt marker file (half-written crash artifact) must trigger
+    a rebuild, not an exception out of the restart check."""
+    import pathlib
+
+    marker = pathlib.Path(stores["store"]) / "_corpus_id_dedup"
+    shutil_target = next(marker.glob("*.parquet"))
+    shutil_target.write_bytes(b"not a parquet file")
+    corpus = spark.createDataFrame([(1, "alpha beta alpha beta")], SCHEMA)
+    init_standing_stores(spark, corpus, stores["store"])  # no raise
+    # rebuild re-marked: a follow-up init with intact stores skips again
+    ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{stores['store']}/digests")
+        .select("doc_id")
+        .collect()
+    )
+    assert ids == [1]

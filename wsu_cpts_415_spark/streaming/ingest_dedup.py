@@ -87,15 +87,31 @@ def _marker_path(store_dir: str, gate: str = "dedup") -> str:
 def _read_marker(
     spark: SparkSession, store_dir: str, gate: str = "dedup"
 ) -> list[int] | None:
-    from pyspark.errors import AnalysisException
-
+    # ANY read failure means "no trustworthy marker": a corrupt or
+    # half-written marker file raises SparkException (not
+    # AnalysisException), and trusting it -- or crashing on it -- would
+    # either skip a needed rebuild or wedge the gate; rebuilding is
+    # always the safe answer
     try:
         row = spark.read.parquet(_marker_path(store_dir, gate)).collect()
-    except AnalysisException:
+        if len(row) != 1:
+            return None
+        return [int(row[0]["n_docs"]), int(row[0]["xor_hash"])]
+    except Exception:
         return None
-    if len(row) != 1:
-        return None
-    return [int(row[0]["n_docs"]), int(row[0]["xor_hash"])]
+
+
+def _stores_readable(spark: SparkSession, store_dir: str) -> bool:
+    """True iff all three standing stores exist and their parquet
+    footers resolve -- schema inference only, no job.  Guards the
+    restart-skip: a matching marker with a missing/corrupt store must
+    rebuild, not no-op."""
+    for name in ("digests", "bands", "shingles"):
+        try:
+            spark.read.parquet(f"{store_dir}/{name}").schema
+        except Exception:
+            return False
+    return True
 
 
 def init_standing_stores(
@@ -122,7 +138,12 @@ def init_standing_stores(
     from wsu_cpts_415_spark.queries.similarity import bands_from_hashed
 
     fp = corpus_fingerprint(corpus_docs)
-    if _read_marker(spark, store_dir) == fp:
+    if _read_marker(spark, store_dir) == fp and _stores_readable(
+        spark, store_dir
+    ):
+        # marker alone is not enough: if a store subdir was deleted or
+        # lost while the marker survived, a silent no-op here would make
+        # the gate fail later reading missing stores
         return
     base = corpus_docs
     hashed = hashed_of(base).persist()
