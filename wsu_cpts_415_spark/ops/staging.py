@@ -149,6 +149,108 @@ def maybe_broadcast(
     return F.broadcast(df) if small else df
 
 
+STAGING_ROOT_ENV = "SPARK_GRAFT_STAGING_DIR"
+_DEFAULT_STAGING_ROOT = "/tmp/spark_graft_staging"
+
+
+def _corpus_fp(spark: SparkSession, sf_dir: str):
+    """(row count, xor of per-row full-column hashes) of the documents
+    table: an order-insensitive corpus identity covering EVERY column
+    (doc_id, text, lang, source, n_chars -- the streaming gate's
+    (doc_id, text) form would alias fixtures that differ only in
+    metadata columns).  One linear scan, memoized per session; None when
+    the table is unreadable (caller falls back to session staging)."""
+    from pyspark.sql import functions as F
+
+    key = (id(spark.sparkContext), "__corpus_fp", sf_dir)
+    if key not in _MODEL_CACHE:
+        try:
+            from wsu_cpts_415_spark.io.tables import load_table
+
+            row = (
+                load_table(spark, sf_dir, "documents")
+                .agg(
+                    F.count("*"),
+                    F.expr(
+                        "bit_xor(xxhash64(doc_id, text, lang, source,"
+                        " n_chars))"
+                    ),
+                )
+                .collect()[0]
+            )
+            _MODEL_CACHE[key] = (int(row[0]), int(row[1] or 0))
+        except Exception:
+            _MODEL_CACHE[key] = None
+    return _MODEL_CACHE[key]
+
+
+def staged_table(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Durable twin of ``staged``: the built projection is written ONCE
+    as parquet keyed by (dataset dir, corpus fingerprint) and every
+    later session -- including a restarted one -- READS it instead of
+    re-running the build.  This is the cluster pattern of a persisted
+    staged layer (write-once, read-by-every-job) brought to the heavy
+    per-session rebuilds the x100 ER probe priced at 206.9 s cold vs
+    7.3 s warm: the shingle/lev/SNM projections are pure functions of
+    the documents table, so the fingerprint makes the disk copy safe to
+    trust across sessions and a changed corpus simply keys a new path.
+
+    Concurrency: the build lands in a session-unique temp dir and is
+    renamed into place (atomic on one filesystem); losing a rename race
+    means another session published the identical content -- read
+    theirs.  Any failure (unwritable root, fingerprint scan error)
+    degrades to plain session staging, never to an error.  The returned
+    frame is ALSO session-persisted so in-session consumers keep the
+    memoized-DataFrame semantics of ``staged``; both sessions' frames
+    are parquet round-trips of the same write, so a restarted session
+    sees byte-identical values."""
+    import os
+    import shutil
+
+    mem_key = (id(spark.sparkContext), f"durable:{name}", sf_dir)
+    df = _CACHE.get(mem_key)
+    if df is not None:
+        return df
+    fp = _corpus_fp(spark, sf_dir)
+    if fp is None:
+        return staged(spark, name, sf_dir, build)
+    import hashlib
+
+    root = os.environ.get(STAGING_ROOT_ENV, _DEFAULT_STAGING_ROOT)
+    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = (
+        f"{root}/{slug}/{name}/fp={fp[0]}_{fp[1] & ((1 << 64) - 1):016x}"
+    )
+    out = None
+    if os.path.exists(f"{path}/_SUCCESS"):
+        try:
+            out = spark.read.parquet(path)
+        except Exception:
+            out = None
+    if out is None:
+        tmp = f"{path}.tmp-{os.getpid()}"
+        try:
+            build().write.mode("overwrite").parquet(tmp)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                # lost the publish race: identical content already there
+                shutil.rmtree(tmp, ignore_errors=True)
+            out = spark.read.parquet(path)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return staged(spark, name, sf_dir, build)
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHE[mem_key] = out
+    return out
+
+
 _TRACKED: list[DataFrame] = []
 
 

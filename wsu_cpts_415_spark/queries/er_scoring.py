@@ -268,9 +268,10 @@ _SNM_KEY_DUCK = (
 
 def _snm_ranked_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, prefix, n_chars, rn): the corpus under the SNM sort key
-    with its exact global rank -- session-staged so the windowed
-    self-join (and the multi-pass recall audit) read ONE persisted table
-    instead of running the rank kernel per consumer.  skey embeds
+    with its exact global rank -- durably staged (fingerprint-keyed
+    parquet, round 11) so the windowed self-join (and the multi-pass
+    recall audit) read ONE persisted table instead of running the rank
+    kernel per consumer or per session.  skey embeds
     doc_id, so it is unique: the range-partitioned rank kernel (built
     for high-cardinality keys) gives the exact global order in one
     range shuffle."""
@@ -278,7 +279,7 @@ def _snm_ranked_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wsu_cpts_415_spark.ops.scalable_rank import (
         range_partitioned_row_number,
     )
-    from wsu_cpts_415_spark.ops.staging import staged
+    from wsu_cpts_415_spark.ops.staging import staged_table
 
     def build_ranked() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
@@ -298,7 +299,7 @@ def _snm_ranked_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
             keyed, "skey", out_col="rn"
         ).select("doc_id", "prefix", "n_chars", "rn")
 
-    return staged(spark, "snm_ranked", sf_dir, build_ranked)
+    return staged_table(spark, "snm_ranked", sf_dir, build_ranked)
 
 
 @register(

@@ -240,13 +240,15 @@ def levenshtein_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lev_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance candidates with per-side lengths:
-    (lang, blk, doc_a, doc_b, dist, len_a, len_b).  Session-staged --
-    the banded DP is the dominant cost and both the registered pair
-    query and the entity-resolution scorer (queries/er_scoring.py)
-    consume the identical table."""
-    from wsu_cpts_415_spark.ops.staging import staged
+    (lang, blk, doc_a, doc_b, dist, len_a, len_b).  Durably staged
+    (fingerprint-keyed parquet, round 11) -- the banded DP is the
+    dominant cost, both the registered pair query and the
+    entity-resolution scorer (queries/er_scoring.py) consume the
+    identical table, and a restarted session reads it instead of
+    re-running the DP."""
+    from wsu_cpts_415_spark.ops.staging import staged_table
 
-    return staged(
+    return staged_table(
         spark, "lev_candidates", sf_dir, lambda: _lev_candidates(spark, sf_dir)
     )
 

@@ -96,12 +96,15 @@ def _spark_hashed(docs: DataFrame) -> DataFrame:
 
 
 def _hashed_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-cached (doc_id, shingles, hs) projection: the md5+shingle
+    """Durably staged (doc_id, shingles, hs) projection: the md5+shingle
     math dominates every minhash query, and the LSH self-join would
-    otherwise recompute it once per join side (ops/staging.py)."""
-    from wsu_cpts_415_spark.ops.staging import staged
+    otherwise recompute it once per join side.  Fingerprint-keyed
+    parquet (ops/staging.py staged_table) since round 11, so a
+    RESTARTED session reads it instead of re-running the shingle math
+    -- the x100 probe priced the per-session rebuild at 200 s."""
+    from wsu_cpts_415_spark.ops.staging import staged_table
 
-    return staged(
+    return staged_table(
         spark,
         "minhash_hashed",
         sf_dir,
