@@ -109,3 +109,80 @@ def test_query_survives_degenerate_documents(spark, degen_docs_dir, name):
 
     clear_staged()
     assert all_queries()[name].fn(spark, degen_docs_dir).count() >= 0
+
+
+@pytest.fixture(scope="module")
+def null_injected_dir(spark, tmp_path_factory):
+    """sf0.001 tables with NULLs injected into every nullable-shaped
+    column (documents.text/lang/source/n_chars, events.event_type/
+    value/props, embeddings.embedding/label) -- the round-11 sweep axis.
+    Policy: null rows flow to their defined bucket or drop, never throw.
+    The sweep found 7 of 319 crashing, ALL in Python-kernel paths
+    (np.stack/np.concatenate ragged on None, md5(None), Arrow inferring
+    null type for an all-None group key) -- JVM expressions are
+    null-safe for free; hand-written kernels are not."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("null_injected")
+    for t in TABLES:
+        df = load_table(spark, "/root/testdata/sf0.001", t)
+        if t == "documents":
+            mx = df.agg(F.max("doc_id")).first()[0]
+            extra = spark.createDataFrame(
+                [
+                    (mx + 1, None, "en", "web", None),
+                    (mx + 2, "plain text here ok", None, None, 19),
+                    (mx + 3, None, None, None, None),
+                ],
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long",
+            )
+            df = df.limit(80).unionByName(extra.select(*df.columns))
+        elif t == "events":
+            mx = df.agg(F.max("event_id")).first()[0]
+            ts = df.agg(F.max("ts")).first()[0]
+            extra = spark.createDataFrame(
+                [
+                    (mx + 1, ts, 1, None, None, None),
+                    (mx + 2, ts, 2, "click", None, None),
+                ],
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+            df = df.limit(400).unionByName(extra.select(*df.columns))
+        elif t == "embeddings":
+            mx = df.agg(F.max("vec_id")).first()[0]
+            extra = spark.createDataFrame(
+                [(mx + 1, None, None)],
+                "vec_id long, embedding array<float>, label int",
+            )
+            df = df.unionByName(extra.select(*df.columns))
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(d / f"{t}.parquet")
+        )
+    return str(d)
+
+
+NULL_FORMER_CRASHERS = [
+    "arrow_grouped_trimmed_mean",
+    "cosine_topk_pandas",
+    "embedding_center_groups",
+    "multimodal_decode_features",
+    "multimodal_frame_samples",
+    "multimodal_resize_plan",
+    "ngram_jaccard_matmul",
+]
+
+
+def _null_sampled_names() -> list[str]:
+    names = sorted(all_queries())
+    sample = names[7::16]  # offset so the sample differs from the empty one
+    return sorted(set(NULL_FORMER_CRASHERS) | set(sample))
+
+
+@pytest.mark.parametrize("name", _null_sampled_names())
+def test_query_is_total_under_null_injection(spark, null_injected_dir, name):
+    from wsu_cpts_415_spark.ops.staging import clear_staged
+
+    clear_staged()
+    assert all_queries()[name].fn(spark, null_injected_dir).count() >= 0

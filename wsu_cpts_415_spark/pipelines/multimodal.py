@@ -259,6 +259,10 @@ def decode_and_featurize(
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # a NULL payload cannot decode: drop it here (the JVM-side
+            # pipeline is null-safe for free; the Python kernel must be
+            # made so by hand -- round-11 NULL-injection sweep)
+            pdf = pdf[pdf["payload"].notna()]
             decoded = [
                 kernel(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
             ]

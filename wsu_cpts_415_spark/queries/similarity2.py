@@ -202,6 +202,9 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        # a NULL embedding has no cosine: drop before the numpy stack
+        # (np.stack throws on a ragged batch; JVM paths get this free)
+        .filter(F.col("embedding").isNotNull())
         .select("vec_id", "label", F.round(cos("embedding"), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
@@ -347,6 +350,10 @@ def embedding_center_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         emb.select("vec_id", "label", "embedding")
+        # rows missing the vector or the group key drop before the
+        # pandas kernel: a NULL vector makes np.stack ragged, and a
+        # NULL-label group's key column would Arrow-infer as null type
+        .filter(F.col("embedding").isNotNull() & F.col("label").isNotNull())
         .groupBy("label")
         .applyInPandas(center, "vec_id long, label int, centered_norm double")
         .orderBy("vec_id")

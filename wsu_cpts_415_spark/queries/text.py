@@ -699,10 +699,17 @@ def ngram_jaccard_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compact straight off the session-cached shingle arrays: a per-row
     # transform to 64-bit hashes -- NO explode/groupBy shuffle at all
     # (the shingles are already distinct per doc)
-    compact = _hashed_staged(spark, sf_dir).select(
-        "doc_id",
-        F.expr("transform(shingles, s -> xxhash64(s))").alias("hs"),
-        (F.col("doc_id") % n_blocks).cast("int").alias("blk"),
+    compact = (
+        _hashed_staged(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("hs"),
+            (F.col("doc_id") % n_blocks).cast("int").alias("blk"),
+        )
+        # NULL-text docs carry a NULL shingle array: drop before the
+        # numpy kernel (np.concatenate treats None as 0-dim and throws;
+        # an EMPTY array is fine and flows through)
+        .filter(F.col("hs").isNotNull())
     )
     # Replicate each doc to every block-pair it participates in: doc in
     # block b meets counterpart block c for c in 0..NB-1; the unordered

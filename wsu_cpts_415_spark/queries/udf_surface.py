@@ -210,7 +210,12 @@ def arrow_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pa.table(
             {
-                "lang": [table.column("lang")[0].as_py()],
+                # explicit type: a NULL-lang group would otherwise make
+                # Arrow infer null type for the column and fail the
+                # schema check (null rows flow to their group, SQL-style)
+                "lang": pa.array(
+                    [table.column("lang")[0].as_py()], pa.string()
+                ),
                 "n_docs": pa.array([n], pa.int64()),
                 "n_kept": pa.array([kept.num_rows], pa.int64()),
                 "trimmed_mean_chars": pa.array([mean.as_py()], pa.float64()),
