@@ -48,12 +48,22 @@ def main() -> int:
     parts_spec = os.environ.get("SPARK_GRAFT_DET_PARTS")
     parts = [p.strip() for p in parts_spec.split(",")] if parts_spec else None
     key = "spark.sql.shuffle.partitions"
+    # each sweep gets its OWN durable-staging root: since round 11 the
+    # heavy projections persist as fingerprint-keyed parquet
+    # (ops/staging.py staged_table), and a shared root would let sweep 2
+    # READ sweep 1's tables -- the certificate must instead prove that a
+    # REBUILD at the second partition count reproduces identical values
+    import tempfile
+
+    roots = [tempfile.mkdtemp(prefix="det_staging_") for _ in range(2)]
     if parts:
         spark.conf.set(key, parts[0])
+    os.environ["SPARK_GRAFT_STAGING_DIR"] = roots[0]
     first = sweep(spark, sf_dir)
     clear_staged()
     if parts:
         spark.conf.set(key, parts[1])
+    os.environ["SPARK_GRAFT_STAGING_DIR"] = roots[1]
     second = sweep(spark, sf_dir)
     bad = [
         n

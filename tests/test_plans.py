@@ -735,7 +735,14 @@ def test_prefix_filter_ssjoin_plan(spark, qs):
     # positional-filter agg combines map-side (accumulated-overlap form:
     # count + max-rank per pair)
     assert "partial_max" in plan
+    # the minhash staged projection is durable parquet since round 11:
+    # its scan legitimately lists the staged table's own three columns
+    # (doc_id, shingles, hs -- already the pruned shared projection);
+    # every OTHER scan stays bounded at two columns
+    _staged_shape = "doc_id:bigint,shingles:array<string>,hs:array<bigint>"
     for read in (l for l in plan.splitlines() if "ReadSchema" in l):
+        if _staged_shape in read:
+            continue
         assert read.count(":") - 1 <= 2, f"scan too wide: {read}"
     # round-9 generation-time bounds, pinned so a refactor cannot
     # silently undo the measured 508x enumeration cut
