@@ -191,20 +191,21 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-running the banding join per consumer (re-derivation also fuses
     badly: measured 26 s vs 1 s for the consensus full-outer join when
     both pair subtrees are inlined into one plan at sf0.1)."""
-    from wsu_cpts_415_spark.ops.staging import staged
+    from wsu_cpts_415_spark.ops.staging import staged_table
 
-    return staged(
+    return staged_table(
         spark, "lsh_verified_pairs", sf_dir, lambda: _lsh_verified_pairs(spark, sf_dir)
     )
 
 
 def _bands_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-staged slim band table (doc_id, b, h1, h2): the LSH bucket
+    """Durably staged slim band table (doc_id, b, h1, h2): the LSH bucket
     keys for every document.  Shared by the corpus self-join
     (minhash_lsh_pairs) and the asymmetric incremental check
-    (queries/dedup_policy.py) -- the signature math runs once per
-    session, like the shingle/hash projection underneath it."""
-    from wsu_cpts_415_spark.ops.staging import staged
+    (queries/dedup_policy.py) -- the signature math runs once and
+    persists across sessions (fingerprint-keyed parquet, round 11),
+    like the shingle/hash projection underneath it."""
+    from wsu_cpts_415_spark.ops.staging import staged_table
 
     def build() -> DataFrame:
         return (
@@ -223,7 +224,7 @@ def _bands_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return staged(spark, "minhash_bands", sf_dir, build)
+    return staged_table(spark, "minhash_bands", sf_dir, build)
 
 
 def lsh_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:

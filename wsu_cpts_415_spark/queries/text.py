@@ -398,7 +398,9 @@ SHARED_SHINGLE_TAU = 1e-6
 def exact_pairs_above(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
     """Exact pairs with Jaccard >= ``tau`` via the BLOCK-MATMUL kernel
     (the ngram_jaccard_matmul machinery emitting a threshold filter
-    instead of a top-k): (doc_a, doc_b, jaccard), session-staged.
+    instead of a top-k): (doc_a, doc_b, jaccard), durably staged
+    (fingerprint-keyed parquet, round 11) -- the recall audits'
+    ground truth survives a session restart.
 
     Why not the inverted-index join for this: on a narrow-vocabulary
     corpus nearly every doc pair shares a shingle, so the posting-list
@@ -409,7 +411,7 @@ def exact_pairs_above(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame
     in float32; the Jaccard division is done in float64, so the
     threshold compare agrees bit-for-bit with the oracle's double
     arithmetic."""
-    from wsu_cpts_415_spark.ops.staging import staged
+    from wsu_cpts_415_spark.ops.staging import staged_table
 
     def build() -> DataFrame:
         import numpy as np
@@ -493,7 +495,7 @@ def exact_pairs_above(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame
             .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         )
 
-    return staged(spark, f"exact_pairs_above_{tau}", sf_dir, build)
+    return staged_table(spark, f"exact_pairs_above_{tau}", sf_dir, build)
 
 
 def exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
