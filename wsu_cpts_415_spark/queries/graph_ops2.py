@@ -220,3 +220,104 @@ def neardup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("cluster_size")
     )
+
+
+WEDGE_CAP = 8  # max degree of a wedge CENTER (common neighbor)
+LINKPRED_TOP_K = 30
+
+
+@register(
+    "neardup_link_pred_capped",
+    oracle=f"""
+    WITH {_UND_CTES},
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM und GROUP BY src
+    ),
+    centers AS (SELECT node FROM deg WHERE d <= {WEDGE_CAP}),
+    adjc AS (
+        SELECT und.src AS node, und.dst AS nbr
+        FROM und JOIN centers c ON c.node = und.dst
+    ),
+    wedges AS (
+        SELECT a.node AS u, b.node AS w,
+               CAST(COUNT(*) AS BIGINT) AS common_lb
+        FROM adjc a
+        JOIN adjc b ON a.nbr = b.nbr AND a.node < b.node
+        GROUP BY a.node, b.node
+    )
+    SELECT u, w, common_lb,
+           ROUND(CAST(common_lb AS DOUBLE)
+                 / (du.d + dw.d - common_lb), 6) AS jaccard_lb
+    FROM wedges
+    JOIN deg du ON du.node = u
+    JOIN deg dw ON dw.node = w
+    ORDER BY jaccard_lb DESC, u, w
+    LIMIT {LINKPRED_TOP_K}
+    """,
+)
+def neardup_link_pred_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-capped common-neighbor link prediction over the near-dup
+    collision graph, top-{LINKPRED_TOP_K} by Jaccard LOWER BOUND: the
+    stop-shingle discipline (queries/stop_shingles.py) applied to the
+    wedge join -- a wedge CENTER with degree > {WEDGE_CAP} never
+    generates pairs, so per-center fan-out is bounded by the cap and
+    pair work is linear in capped adjacency instead of quadratic in hub
+    degree (the collision graph is SKEWED: sf0.1 max degree 169 vs
+    median 16, and template-duplication hubs only grow with the
+    corpus).  Intersections undercount by exactly the hub wedges while
+    FULL degrees stay in the denominator, so the score can only
+    under-rank a pair, never inflate it -- the safe direction for a
+    candidate generator.  The oracle applies the identical cap, so the
+    lower-bound semantics are conformance-pinned, and
+    ``common_neighbor_sim`` (graph_ops.py) remains the labeled exact
+    form on the near-regular videos graph.
+
+    Scale: one degree aggregate, one semi join to cap centers, the
+    capped wedge self-join (equi on the center id), one count
+    aggregate, two gated degree joins, TakeOrderedAndProject top-k.
+    """
+    from wsu_cpts_415_spark.ops.staging import maybe_broadcast
+    from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
+
+    pairs = lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    adj = pairs.select(
+        F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    # degree table is pair-graph-node-grain: gate the hint, fixed-width
+    # rows (the same adjudication as common_neighbor_sim)
+    deg = maybe_broadcast(deg, DOC_SIDE_BCAST_ROWS)
+    centers = deg.filter(F.col("d") <= WEDGE_CAP).select(
+        F.col("node").alias("nbr")
+    )
+    adjc = adj.join(centers, "nbr", "left_semi")
+    left = adjc.select(F.col("node").alias("u"), "nbr")
+    right = adjc.select(F.col("node").alias("w"), F.col("nbr").alias("nbr2"))
+    wedges = (
+        left.join(
+            right, (F.col("nbr") == F.col("nbr2")) & (F.col("u") < F.col("w"))
+        )
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("common_lb"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))
+    dw = deg.select(F.col("node").alias("w"), F.col("d").alias("deg_w"))
+    return (
+        wedges.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            "common_lb",
+            F.round(
+                F.col("common_lb").cast("double")
+                / (F.col("deg_u") + F.col("deg_w") - F.col("common_lb")),
+                6,
+            ).alias("jaccard_lb"),
+        )
+        .orderBy(F.col("jaccard_lb").desc(), "u", "w")
+        .limit(LINKPRED_TOP_K)
+    )
