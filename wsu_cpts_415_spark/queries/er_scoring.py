@@ -44,8 +44,12 @@ from wsu_cpts_415_spark.queries.semdedup import (
     LEV_PREFIX,
     lev_candidates,
 )
+from wsu_cpts_415_spark.queries.corpus_ops import _DUCK_BUCKET
+from wsu_cpts_415_spark.queries.dedup_policy import NEW_BATCH_BUCKET
 from wsu_cpts_415_spark.queries.similarity import LSH_PAIRS_DUCK_CTES
 from wsu_cpts_415_spark.registry import register
+
+_DUCK_BUCKET_100 = _DUCK_BUCKET.format(m=100)
 
 W_EDIT, W_JAC, W_LEN = 0.5, 0.3, 0.2
 ER_TOP_K = 50
@@ -299,7 +303,14 @@ def _snm_ranked_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
             keyed, "skey", out_col="rn"
         ).select("doc_id", "prefix", "n_chars", "rn")
 
-    return staged_table(spark, "snm_ranked", sf_dir, build_ranked)
+    return staged_table(
+        spark,
+        "snm_ranked",
+        sf_dir,
+        build_ranked,
+        salt=f"skey:lang-tok0-n8-id12:pfx{LEV_PREFIX}",
+        expect_cols=["doc_id", "prefix", "n_chars", "rn"],
+    )
 
 
 @register(
@@ -1123,4 +1134,197 @@ def er_multipass_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.orderBy(
         F.col("match_score").desc(), "doc_a", "doc_b"
+    ).limit(ER_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Incremental ER: score an ARRIVING batch against the standing corpus.
+# The batch-vs-corpus asymmetry existed for LSH near-dup admission
+# (queries/dedup_policy.py incremental_neardup_check*) but ER match
+# scoring only had whole-corpus faces -- a production linkage pipeline
+# scores each ingest sliver against the standing corpus without
+# re-pairing the corpus.  Candidates come from the DURABLY STAGED LSH
+# band table (ops/staging.py staged_table, persisted across sessions),
+# so a restarted session's per-batch cost is one staged read plus work
+# linear in the batch's collisions -- never a corpus rebuild.
+
+
+@register(
+    "er_incremental_batch_scores",
+    oracle=f"""
+    WITH {LSH_PAIRS_DUCK_CTES},
+    bucketed AS (
+        SELECT doc_id, {_DUCK_BUCKET_100} AS bucket FROM documents
+    ),
+    newb AS (
+        SELECT b.* FROM bands b JOIN bucketed k ON k.doc_id = b.doc_id
+        WHERE k.bucket >= {NEW_BATCH_BUCKET}
+    ),
+    oldb AS (
+        SELECT b.* FROM bands b JOIN bucketed k ON k.doc_id = b.doc_id
+        WHERE k.bucket < {NEW_BATCH_BUCKET}
+    ),
+    cand2 AS (
+        SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS old_doc
+        FROM newb n
+        JOIN oldb o ON n.b = o.b AND n.h1 = o.h1 AND n.h2 = o.h2
+    ),
+    meta AS (
+        SELECT doc_id, substr(text, 1, {LEV_PREFIX}) AS prefix, n_chars
+        FROM documents
+    ),
+    verified AS (
+        SELECT c.new_doc, c.old_doc,
+               ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles))
+                          AS DOUBLE)
+                     / (len(sa.shingles) + len(sb.shingles)
+                        - len(list_intersect(sa.shingles, sb.shingles))), 6)
+                   AS jaccard
+        FROM cand2 c
+        JOIN sh sa ON sa.doc_id = c.new_doc
+        JOIN sh sb ON sb.doc_id = c.old_doc
+    )
+    SELECT v.new_doc, v.old_doc,
+           ROUND({W_EDIT} * (1 - CAST(levenshtein(ma.prefix, mb.prefix)
+                                      AS DOUBLE)
+                                 / GREATEST(length(ma.prefix),
+                                            length(mb.prefix)))
+                 + {W_JAC} * v.jaccard
+                 + {W_LEN} * (LEAST(ma.n_chars, mb.n_chars) * 1.0
+                              / GREATEST(ma.n_chars, mb.n_chars)), 6)
+               AS match_score,
+           CAST(levenshtein(ma.prefix, mb.prefix) AS INT) AS dist,
+           v.jaccard
+    FROM verified v
+    JOIN meta ma ON ma.doc_id = v.new_doc
+    JOIN meta mb ON mb.doc_id = v.old_doc
+    ORDER BY match_score DESC, v.new_doc, v.old_doc
+    LIMIT {ER_TOP_K}
+    """,
+)
+def er_incremental_batch_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-{ER_TOP_K} (new_doc, old_doc) match scores of the arriving
+    batch (md5 bucket >= NEW_BATCH_BUCKET, the same 10% sliver the
+    incremental near-dup check uses) against the STANDING corpus, with
+    the same composite score as ``er_match_scores``: {W_EDIT} *
+    prefix-edit similarity + {W_JAC} * shingle Jaccard + {W_LEN} *
+    length agreement.
+
+    Plan shape: both band sides read the durably staged band table; the
+    batch side (sliver-grain) rides the row+byte-gated broadcast so the
+    corpus band table is scanned but NEVER shuffled, candidates are
+    de-duplicated at (new_doc, old_doc) grain before any scoring
+    signal attaches, and the prefix/length/shingle attachments are
+    doc-grain gated broadcasts.  Per-batch cost is linear in band
+    collisions, independent of corpus pair count -- the ER face of the
+    admission-gate asymmetry.
+
+    The Jaccard signal intersects staged 64-bit shingle hashes while
+    the oracle intersects exact string shingles -- the same
+    ~|A||B|/2^64 collision-bound adjudication as ``er_match_scores``
+    (conformance would surface any hit).  Levenshtein runs on the
+    same {LEV_PREFIX}-char prefixes in both engines; LSH candidates
+    always carry non-empty shingle sets and prefixes, so no 0/0 edge
+    enters the score."""
+    from wsu_cpts_415_spark.ops.staging import maybe_broadcast
+    from wsu_cpts_415_spark.queries.corpus_ops import _SPARK_BUCKET
+    from wsu_cpts_415_spark.queries.dedup_policy import NEW_BATCH_BUCKET
+    from wsu_cpts_415_spark.queries.similarity import (
+        _bands_staged,
+        _hashed_staged,
+    )
+    from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
+
+    bucket = F.expr(_SPARK_BUCKET.format(m=100))
+    bands = _bands_staged(spark, sf_dir).withColumn("bucket", bucket)
+    newb = (
+        bands.filter(F.col("bucket") >= NEW_BATCH_BUCKET)
+        .select(F.col("doc_id").alias("new_doc"), "b", "h1", "h2")
+    )
+    oldb = bands.filter(F.col("bucket") < NEW_BATCH_BUCKET).select(
+        F.col("doc_id").alias("old_doc"), "b", "h1", "h2"
+    )
+    cand = (
+        oldb.join(maybe_broadcast(newb, DOC_SIDE_BCAST_ROWS), ["b", "h1", "h2"])
+        .select("new_doc", "old_doc")
+        .dropDuplicates(["new_doc", "old_doc"])
+    )
+    compact = maybe_broadcast(
+        _hashed_staged(spark, sf_dir).select(
+            "doc_id",
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("h64"),
+        ),
+        DOC_SIDE_BCAST_ROWS,
+    )
+    from wsu_cpts_415_spark.io.tables import load_table
+
+    meta = maybe_broadcast(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.substring("text", 1, LEV_PREFIX).alias("prefix"),
+            "n_chars",
+        ),
+        DOC_SIDE_BCAST_ROWS,
+    )
+    scored = (
+        cand.join(
+            compact.select(
+                F.col("doc_id").alias("new_doc"), F.col("h64").alias("hs_a")
+            ),
+            "new_doc",
+        )
+        .join(
+            compact.select(
+                F.col("doc_id").alias("old_doc"), F.col("h64").alias("hs_b")
+            ),
+            "old_doc",
+        )
+        .join(
+            meta.select(
+                F.col("doc_id").alias("new_doc"),
+                F.col("prefix").alias("pfx_a"),
+                F.col("n_chars").alias("len_a"),
+            ),
+            "new_doc",
+        )
+        .join(
+            meta.select(
+                F.col("doc_id").alias("old_doc"),
+                F.col("prefix").alias("pfx_b"),
+                F.col("n_chars").alias("len_b"),
+            ),
+            "old_doc",
+        )
+        .withColumn("ncomm", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("ncomm").cast("double")
+                / (F.size("hs_a") + F.size("hs_b") - F.col("ncomm")),
+                6,
+            ),
+        )
+        .withColumn("dist", F.levenshtein("pfx_a", "pfx_b"))
+        .withColumn("plen", F.greatest(F.length("pfx_a"), F.length("pfx_b")))
+        .select(
+            "new_doc",
+            "old_doc",
+            F.round(
+                W_EDIT * (1 - F.col("dist").cast("double") / F.col("plen"))
+                + W_JAC * F.col("jaccard")
+                + W_LEN
+                * (
+                    F.least("len_a", "len_b")
+                    / F.greatest("len_a", "len_b").cast("double")
+                ),
+                6,
+            ).alias("match_score"),
+            F.col("dist").cast("int").alias("dist"),
+            "jaccard",
+        )
+    )
+    return scored.orderBy(
+        F.col("match_score").desc(), "new_doc", "old_doc"
     ).limit(ER_TOP_K)

@@ -249,7 +249,14 @@ def lev_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wsu_cpts_415_spark.ops.staging import staged_table
 
     return staged_table(
-        spark, "lev_candidates", sf_dir, lambda: _lev_candidates(spark, sf_dir)
+        spark,
+        "lev_candidates",
+        sf_dir,
+        lambda: _lev_candidates(spark, sf_dir),
+        salt=f"pfx{LEV_PREFIX}:blk{LEV_BLOCK_CHARS}:d{LEV_MAX_DIST}",
+        expect_cols=[
+            "lang", "blk", "doc_a", "doc_b", "dist", "len_a", "len_b",
+        ],
     )
 
 

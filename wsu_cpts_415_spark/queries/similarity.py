@@ -109,6 +109,8 @@ def _hashed_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         "minhash_hashed",
         sf_dir,
         lambda: _spark_hashed(load_table(spark, sf_dir, "documents")),
+        salt=f"md5h32:p{_MERSENNE_P}:sh2w",
+        expect_cols=["doc_id", "shingles", "hs"],
     )
 
 
@@ -194,7 +196,12 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wsu_cpts_415_spark.ops.staging import staged_table
 
     return staged_table(
-        spark, "lsh_verified_pairs", sf_dir, lambda: _lsh_verified_pairs(spark, sf_dir)
+        spark,
+        "lsh_verified_pairs",
+        sf_dir,
+        lambda: _lsh_verified_pairs(spark, sf_dir),
+        salt=f"nh{N_HASHES}:nb{N_BANDS}:p{_MERSENNE_P}",
+        expect_cols=["doc_a", "doc_b", "jaccard"],
     )
 
 
@@ -224,7 +231,14 @@ def _bands_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return staged_table(spark, "minhash_bands", sf_dir, build)
+    return staged_table(
+        spark,
+        "minhash_bands",
+        sf_dir,
+        build,
+        salt=f"nh{N_HASHES}:nb{N_BANDS}:p{_MERSENNE_P}",
+        expect_cols=["doc_id", "b", "h1", "h2"],
+    )
 
 
 def lsh_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -284,7 +284,10 @@ def late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
 
     scanned = (
-        ev.join(maybe_broadcast(prior, DOC_SIDE_BCAST_ROWS), "chunk")
+        ev.join(
+            maybe_broadcast(prior, DOC_SIDE_BCAST_ROWS, persist_input=True),
+            "chunk",
+        )
         .withColumn(
             "watermark",
             F.greatest(

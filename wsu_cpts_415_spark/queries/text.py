@@ -495,7 +495,14 @@ def exact_pairs_above(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame
             .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         )
 
-    return staged_table(spark, f"exact_pairs_above_{tau}", sf_dir, build)
+    return staged_table(
+        spark,
+        f"exact_pairs_above_{tau}",
+        sf_dir,
+        build,
+        salt="sh2w:xx64:blk8:r6",
+        expect_cols=["doc_a", "doc_b", "jaccard"],
+    )
 
 
 def exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
