@@ -241,16 +241,10 @@ CANARY_JOBS_QUERIES = (
 # "expected" (visible in the artifact, distinct from regressions);
 # entries are pruned once a committed baseline carries the new time.
 EXPECTED_MOVES: dict[str, str] = {
-    # (round 8's lsh_recall_audit re-grounding entry pruned: the
-    # committed bench_r8_full.json baseline carries the new time)
-    "sorted_neighborhood_pairs": (
-        "round 11: snm_ranked is durably staged (fingerprint-keyed "
-        "parquet, ops/staging.py staged_table) -- the in-session parquet "
-        "round-trip adds ~0.6 s at sf0.1, traded for an 18x restarted-"
-        "session cold-start cut at x100 "
-        "(scale_probe_er_recall_x100_r11.json); prune once a committed "
-        "baseline carries the new time"
-    ),
+    # (round 8's lsh_recall_audit re-grounding entry and round 11's
+    # sorted_neighborhood_pairs staging-trade entry pruned: the
+    # committed bench_r8_full.json / bench_r11_full.json baselines
+    # carry the new times)
 }
 
 

@@ -254,6 +254,78 @@ def _iterative_ab(spark, pairs: DataFrame, iters: int = 5) -> dict:
     }
 
 
+def _bfs_ab(spark, pairs: DataFrame, max_hops: int = 6) -> dict:
+    """Round-12 A/B for the BFS frontier kernel: the engine's
+    gated-broadcast formulation (queries/graph_ops.py bfs_hops --
+    frontier semi join and visited anti join broadcast under the
+    driver-tracked row gate, one exchange per hop) against the
+    un-hinted variant whose semi/anti joins both SHUFFLE the edge
+    table every hop.  Same graph, outputs compared for identity --
+    extends the pagerank/LPA A/B to the third fused kernel the
+    round-11 verdict named."""
+    from wsu_cpts_415_spark.queries.graph_ops import bfs_hops
+    from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
+
+    bidir = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    root_id = bidir.agg(F.min("src")).first()[0]
+    root = spark.createDataFrame([(root_id,)], "id long")
+
+    def gated():
+        return bfs_hops(bidir, root, max_hops)
+
+    def unhinted():
+        # bfs_hops with the broadcast gate removed: both per-hop joins
+        # fall back to shuffle joins over the full edge table
+        dist = root.select("id", F.lit(0).alias("hops")).localCheckpoint(
+            eager=True
+        )
+        frontier = dist
+        for h in range(1, max_hops + 1):
+            reached = (
+                bidir.join(
+                    frontier.select(F.col("id").alias("src")),
+                    "src",
+                    "leftsemi",
+                )
+                .select(F.col("dst").alias("id"))
+                .distinct()
+            )
+            new = (
+                reached.join(dist.select("id"), "id", "leftanti")
+                .select("id", F.lit(h).alias("hops"))
+                .coalesce(4)
+                .localCheckpoint(eager=True)
+            )
+            if new.count() == 0:
+                break
+            dist = dist.unionByName(new)
+            frontier = new
+        return dist
+
+    def timed(build):
+        build().collect()  # warm: JIT/codegen/broadcast warmup
+        t0 = time.perf_counter()
+        rows = sorted(map(tuple, build().collect()))
+        return round(time.perf_counter() - t0, 3), rows
+
+    g_wall, g_rows = timed(gated)
+    u_wall, u_rows = timed(unhinted)
+    return {
+        "max_hops": max_hops,
+        "n_reached": len(g_rows),
+        "bcast_gate_rows": DOC_SIDE_BCAST_ROWS,
+        "gated_wall_sec": g_wall,
+        "unhinted_wall_sec": u_wall,
+        "identical": g_rows == u_rows,
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="graph-topology-probe")
     out = {
@@ -265,9 +337,11 @@ def main() -> None:
     }
     # lesson-#11 A/B on the skew shape (hub fan-out, diameter 4) -- the
     # realistic profile for the videos graph the fused kernels serve
-    out["iterative_ab"] = _iterative_ab(
-        spark, _star_of_stars(spark, STARS_M, STARS_K).localCheckpoint(eager=True)
+    star_pairs = _star_of_stars(spark, STARS_M, STARS_K).localCheckpoint(
+        eager=True
     )
+    out["iterative_ab"] = _iterative_ab(spark, star_pairs)
+    out["bfs_ab"] = _bfs_ab(spark, star_pairs)
     cases = [
         ("long_chain", _chain(spark, CHAIN_V, False), 1),
         ("long_chain_perm", _chain(spark, CHAIN_V, True), 1),

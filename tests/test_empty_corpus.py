@@ -186,3 +186,84 @@ def test_query_is_total_under_null_injection(spark, null_injected_dir, name):
 
     clear_staged()
     assert all_queries()[name].fn(spark, null_injected_dir).count() >= 0
+
+
+@pytest.fixture(scope="module")
+def unicode_docs_dir(tmp_path_factory):
+    """sf0.001 tables with the documents table augmented by adversarial
+    Unicode rows (CJK, emoji+ZWJ, RTL marks, NFC/NFD twins, zero-width
+    characters, combining-mark pileups, astral-plane codepoints) -- the
+    round-12 fourth edge-population axis.  Unlike the other three axes
+    this one is CROSS-ENGINE: byte-vs-codepoint divergence between
+    Spark and DuckDB (length/substr/regex/shingle hashing) returns
+    wrong answers, not crashes, so the gate below runs the full oracle
+    differential, not just count()."""
+    import unicode_sweep
+
+    d = tmp_path_factory.mktemp("unicode_corpus")
+    unicode_sweep.build_fixture(str(d))
+    return str(d)
+
+
+# Text-surface-heavy shapes where the two engines' string semantics
+# could plausibly diverge: length/substr (n_chars, prefixes), regex
+# tokenization, shingle hashing, per-codepoint fingerprints.
+UNICODE_ORACLE_QUERIES = [
+    "text_stats",
+    "token_count_regex",
+    "quality_score",
+    "doc_fingerprint",
+    "lang_id_heuristic",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "er_match_scores",
+    "repetition_filter",
+]
+
+
+@pytest.mark.parametrize("name", UNICODE_ORACLE_QUERIES)
+def test_unicode_corpus_cross_engine_parity(spark, unicode_docs_dir, name):
+    from wsu_cpts_415_spark.ops.conformance import compare, duck_connect
+    from wsu_cpts_415_spark.ops.staging import clear_staged
+
+    clear_staged()
+    q = all_queries()[name]
+    con = duck_connect(unicode_docs_dir)
+    compare(q.fn(spark, unicode_docs_dir), con, q.oracle)
+
+
+def _unicode_sampled_names() -> list[str]:
+    names = sorted(all_queries())
+    return names[11::16]  # offset differs from the other axes' samples
+
+
+@pytest.mark.parametrize("name", _unicode_sampled_names())
+def test_query_is_total_on_unicode_corpus(spark, unicode_docs_dir, name):
+    from wsu_cpts_415_spark.ops.staging import clear_staged
+
+    clear_staged()
+    assert all_queries()[name].fn(spark, unicode_docs_dir).count() >= 0
+
+
+def test_lev_grain_divergence_witness(spark):
+    """Pins the cross-engine fact behind the unicode sweep's
+    `oracle-limited(lev-grain)` exclusions (unicode_sweep.py
+    LEV_ORACLE_LIMITED): DuckDB's `levenshtein` counts BYTE edits while
+    Spark's counts CODEPOINT edits, so the lev-family oracles agree
+    with the engine exactly on ASCII corpora (every routine conformance
+    fixture) and diverge only in dist-derived columns on multi-byte
+    pairs.  If either engine changes grain, this witness fails and the
+    exclusion list must be re-adjudicated."""
+    import duckdb
+
+    duck = duckdb.connect().execute(
+        "SELECT levenshtein('café', 'cafe'),"
+        " levenshtein('深度学习', '機械学習')"
+    ).fetchone()
+    sp = spark.sql(
+        "SELECT levenshtein('café', 'cafe') a,"
+        " levenshtein('深度学习', '機械学習') b"
+    ).first()
+    assert (sp.a, sp.b) == (1, 3), "Spark levenshtein must be codepoint-grain"
+    assert duck == (2, 8), "DuckDB levenshtein must be byte-grain"

@@ -329,7 +329,8 @@ def hash_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(0.6745 * (dev.n_chars - dev.med_chars)
                  / mad.mad_chars, 4) AS robust_z
     FROM dev JOIN mad ON dev.lang = mad.lang
-    WHERE ABS(0.6745 * (dev.n_chars - dev.med_chars) / mad.mad_chars) > 3.5
+    WHERE mad.mad_chars > 0
+      AND ABS(0.6745 * (dev.n_chars - dev.med_chars) / mad.mad_chars) > 3.5
     ORDER BY dev.lang, dev.doc_id
     """,
 )
@@ -354,7 +355,14 @@ def mad_outliers_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.groupBy("lang").agg(
         F.expr("percentile(adev, 0.5)").alias("mad_chars")
     )
-    rz = 0.6745 * (F.col("n_chars") - F.col("med_chars")) / F.col("mad_chars")
+    # zero-MAD guard (round-12 Unicode sweep: a single-doc language has
+    # MAD 0 and the raw division THROWS under ANSI).  Policy: a group
+    # with no defined spread has no outliers -- the lazy CASE keeps the
+    # division unevaluated for those rows in both engines
+    rz = F.when(
+        F.col("mad_chars") > 0,
+        0.6745 * (F.col("n_chars") - F.col("med_chars")) / F.col("mad_chars"),
+    )
     return (
         dev.join(F.broadcast(mad), "lang")
         .filter(F.abs(rz) > 3.5)
