@@ -847,3 +847,16 @@ def test_topk_with_ties_window_group_limit(spark, qs):
     plan = fmt_plan(qs["topk_with_ties_dense_rank"].fn(spark, SF_ORACLE))
     assert "WindowGroupLimit" in plan, "ties top-k fell off the group limit"
     assert plan.count("Window ") - plan.count("WindowGroupLimit") <= 1
+
+
+def test_er_incremental_batch_broadcasts_and_topk(spark, qs):
+    """The incremental ER face keeps both disciplines of its parents:
+    the batch band side broadcasts against the corpus bands (the
+    admission-gate asymmetry -- per-batch cost independent of corpus
+    pair count) and scoring ends in TakeOrderedAndProject, never a
+    global sort of the candidates."""
+    plan = fmt_plan(qs["er_incremental_batch_scores"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
