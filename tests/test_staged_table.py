@@ -247,3 +247,27 @@ def test_parquet_roundtrip_is_exact_for_staged_shapes(
         (r.doc_id, tuple(r.toks), tuple(r.hs)) for r in staged.collect()
     )
     assert got == direct
+
+
+def test_fingerprint_sidecar_skips_rescan(
+    spark, docs_dir, staging_root, monkeypatch
+):
+    """Round 12: the corpus fingerprint is durably memoized in a
+    stat-keyed sidecar, so a restarted session over an unchanged corpus
+    neither re-runs the build NOR re-scans the corpus for the
+    fingerprint -- the whole cold path is the staged parquet read."""
+    staged_table(spark, "probe", docs_dir, lambda: _build(spark, docs_dir))
+    clear_staged()
+
+    import wsu_cpts_415_spark.io.tables as tables
+
+    def bomb(*a, **k):
+        raise AssertionError("fingerprint rescanned despite sidecar")
+
+    monkeypatch.setattr(tables, "load_table", bomb)
+
+    def boom():
+        raise AssertionError("build re-ran despite durable staged table")
+
+    out = staged_table(spark, "probe", docs_dir, boom)
+    assert out.count() == 40

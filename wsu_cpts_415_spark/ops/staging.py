@@ -216,6 +216,31 @@ def _staging_root() -> str | None:
     return root
 
 
+def _docs_stat(sf_dir: str):
+    """(n_files, total_bytes, max_mtime_ns) of the documents parquet
+    (single file or Spark part-file directory), or None when
+    unreadable.  The filesystem proxy behind the fingerprint sidecar:
+    parquet layouts are written whole, so identical stats mean the
+    bytes are the ones a prior session already hashed."""
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isfile(p):
+            st = os.stat(p)
+            return [1, st.st_size, st.st_mtime_ns]
+        n = b = m = 0
+        for base, _, files in os.walk(p):
+            for f in files:
+                st = os.stat(os.path.join(base, f))
+                n += 1
+                b += st.st_size
+                m = max(m, st.st_mtime_ns)
+        return [n, b, m] if n else None
+    except OSError:
+        return None
+
+
 def _corpus_fp(spark: SparkSession, sf_dir: str):
     """(row count, xor, seeded sum) of per-row full-column hashes of the
     documents table: an order-insensitive corpus identity covering EVERY
@@ -225,38 +250,72 @@ def _corpus_fp(spark: SparkSession, sf_dir: str):
     alone cancels on duplicate-row pairs and aliases on a single
     non-crypto collision; the decimal SUM of a differently-seeded hash
     makes accidental aliasing negligible (a corpus pair must collide in
-    BOTH linear forms).  One linear scan, memoized per session; None
-    when the table is unreadable (caller falls back to session
-    staging)."""
+    BOTH linear forms).  Memoized per session; None when the table is
+    unreadable (caller falls back to session staging).
+
+    The content scan itself is also memoized DURABLY: a sidecar in the
+    (ownership-vetted) staging root keys the fingerprint by the parquet
+    layout's (file count, total bytes, max mtime_ns), so a restarted
+    session over an unchanged corpus skips the full-corpus hash scan --
+    at x100 that scan alone was multiple seconds of every session's
+    first staged read.  Any stat change (parquet layouts are written
+    whole) falls back to the real scan and rewrites the sidecar
+    atomically."""
+    import hashlib
+    import json as _json
+    import os
+
     from pyspark.sql import functions as F
 
     key = (id(spark.sparkContext), "__corpus_fp", sf_dir)
-    if key not in _MODEL_CACHE:
+    if key in _MODEL_CACHE:
+        return _MODEL_CACHE[key]
+    root = _staging_root()
+    stat = _docs_stat(sf_dir)
+    sidecar = None
+    if root is not None and stat is not None:
+        slug = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        sidecar = f"{root}/{slug}/__corpus_fp_v{STAGING_FORMAT_VERSION}.json"
         try:
-            from wsu_cpts_415_spark.io.tables import load_table
+            with open(sidecar) as f:
+                rec = _json.load(f)
+            if rec.get("stat") == stat:
+                fp = tuple(rec["fp"])
+                _MODEL_CACHE[key] = fp
+                return fp
+        except (OSError, ValueError, KeyError, TypeError):
+            pass
+    try:
+        from wsu_cpts_415_spark.io.tables import load_table
 
-            row = (
-                load_table(spark, sf_dir, "documents")
-                .agg(
-                    F.count("*"),
-                    F.expr(
-                        "bit_xor(xxhash64(doc_id, text, lang, source,"
-                        " n_chars))"
-                    ),
-                    F.expr(
-                        "sum(cast(xxhash64('fp2', doc_id, text, lang,"
-                        " source, n_chars) as decimal(38,0)))"
-                    ),
-                )
-                .collect()[0]
+        row = (
+            load_table(spark, sf_dir, "documents")
+            .agg(
+                F.count("*"),
+                F.expr(
+                    "bit_xor(xxhash64(doc_id, text, lang, source,"
+                    " n_chars))"
+                ),
+                F.expr(
+                    "sum(cast(xxhash64('fp2', doc_id, text, lang,"
+                    " source, n_chars) as decimal(38,0)))"
+                ),
             )
-            _MODEL_CACHE[key] = (
-                int(row[0]),
-                int(row[1] or 0),
-                int(row[2] or 0),
-            )
-        except Exception:
-            _MODEL_CACHE[key] = None
+            .collect()[0]
+        )
+        fp = (int(row[0]), int(row[1] or 0), int(row[2] or 0))
+        _MODEL_CACHE[key] = fp
+        if sidecar is not None:
+            try:
+                os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+                tmp = f"{sidecar}.tmp-{os.getpid()}"
+                with open(tmp, "w") as f:
+                    _json.dump({"stat": stat, "fp": list(fp)}, f)
+                os.replace(tmp, sidecar)
+            except OSError:
+                pass
+    except Exception:
+        _MODEL_CACHE[key] = None
     return _MODEL_CACHE[key]
 
 

@@ -137,7 +137,7 @@ def er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     which scores the union of all three candidate generators (0.9997
     blocking recall); this one remains the cheap single-generator
     variant and the funnel-comparison baseline."""
-    from wsu_cpts_415_spark.queries.similarity import _hashed_staged
+    from wsu_cpts_415_spark.queries.similarity import _h64_staged
 
     cand = lev_candidates(spark, sf_dir).withColumn(
         "plen",
@@ -172,11 +172,7 @@ def er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
 
     compact = maybe_broadcast(
-        _hashed_staged(spark, sf_dir).select(
-            "doc_id",
-            F.expr("transform(shingles, s -> xxhash64(s))").alias("h64"),
-        ),
-        DOC_SIDE_BCAST_ROWS,
+        _h64_staged(spark, sf_dir), DOC_SIDE_BCAST_ROWS
     )
     scored = (
         cand.join(
@@ -1027,7 +1023,7 @@ def er_multipass_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|prefix|^2) banded DP per candidate."""
     from wsu_cpts_415_spark.io.tables import load_table
     from wsu_cpts_415_spark.ops.staging import maybe_broadcast
-    from wsu_cpts_415_spark.queries.similarity import _hashed_staged
+    from wsu_cpts_415_spark.queries.similarity import _h64_staged
     from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
 
     cand = _multipass_candidates(spark, sf_dir)
@@ -1068,11 +1064,7 @@ def er_multipass_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     compact = maybe_broadcast(
-        _hashed_staged(spark, sf_dir).select(
-            "doc_id",
-            F.expr("transform(shingles, s -> xxhash64(s))").alias("h64"),
-        ),
-        DOC_SIDE_BCAST_ROWS,
+        _h64_staged(spark, sf_dir), DOC_SIDE_BCAST_ROWS
     )
     scored = (
         feat.join(
@@ -1233,7 +1225,7 @@ def er_incremental_batch_scores(
     from wsu_cpts_415_spark.queries.dedup_policy import NEW_BATCH_BUCKET
     from wsu_cpts_415_spark.queries.similarity import (
         _bands_staged,
-        _hashed_staged,
+        _h64_staged,
     )
     from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
 
@@ -1252,11 +1244,7 @@ def er_incremental_batch_scores(
         .dropDuplicates(["new_doc", "old_doc"])
     )
     compact = maybe_broadcast(
-        _hashed_staged(spark, sf_dir).select(
-            "doc_id",
-            F.expr("transform(shingles, s -> xxhash64(s))").alias("h64"),
-        ),
-        DOC_SIDE_BCAST_ROWS,
+        _h64_staged(spark, sf_dir), DOC_SIDE_BCAST_ROWS
     )
     from wsu_cpts_415_spark.io.tables import load_table
 

@@ -114,6 +114,32 @@ def _hashed_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _h64_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durably staged NARROW (doc_id, h64) projection: the 64-bit
+    shingle hashes the ER scorers intersect per candidate pair.
+    Before round 12 every restarted ER session re-read the WIDE
+    minhash_hashed layer (string shingle arrays) only to hash it down
+    to this table; staging the narrow form directly cuts the restart
+    cold path to a fixed-width parquet read (x100 probe target:
+    session-2 cold <= 2x warm)."""
+    from wsu_cpts_415_spark.ops.staging import staged_table
+
+    def build() -> DataFrame:
+        return _hashed_staged(spark, sf_dir).select(
+            "doc_id",
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("h64"),
+        )
+
+    return staged_table(
+        spark,
+        "shingle_h64",
+        sf_dir,
+        build,
+        salt=f"md5h32:p{_MERSENNE_P}:sh2w:xx64",
+        expect_cols=["doc_id", "h64"],
+    )
+
+
 def _duck_minhash_sig() -> str:
     mins = ", ".join(
         f"list_min(list_transform(hs, h -> (CAST({a} AS BIGINT) * h + {b}) % {_MERSENNE_P}))"
