@@ -44,6 +44,11 @@ ALLOWED: dict[str, str] = {
         "codebook training: init slice vec_id-filtered; update grouped "
         "on (s, c, dim) = subspace x centroid x dim codebook grain"
     ),
+    "markov_stationary_dist": (
+        "transition matrix grouped on (from_type, to_type) = "
+        "|event_type|^2 model grain (5-type enum in the fixture "
+        "schema; a per-chain constant at any corpus scale)"
+    ),
     "cms_frequency_check": (
         "exact-count probe grouped on user_id AFTER filter(user_id < "
         "CMS_PROBES literal) -- <= CMS_PROBES rows by the filter"

@@ -236,8 +236,14 @@ def test_triangle_enumeration_is_equi_joins(spark, qs):
     assert "CartesianProduct" not in plan
     # wedge + closing-edge joins are hash equi joins (the only permitted
     # nested loop is the 1-row scalar count cross-join inside the staged
-    # videos derivation)
-    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 2
+    # videos derivation); r12 allows shuffled-hash (preferSortMergeJoin
+    # off), still an equi hash join
+    assert (
+        plan.count("BroadcastHashJoin")
+        + plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        >= 2
+    )
     assert "partial_count" in plan
 
 
@@ -628,12 +634,19 @@ def test_neyman_and_benford_single_shuffle(spark, qs):
         assert plan.count("hashpartitioning(") <= 2, name
 
 
-def test_markov_power_steps_broadcast_tiny_matrix(spark, qs):
-    """Every power-iteration step joins the state vector to the cached
-    25-row transition matrix by broadcast -- no SMJ at any depth."""
+def test_markov_power_steps_run_on_driver(spark, qs):
+    """r12: the power iteration over the |event_type|^2 transition
+    matrix (<=25 rows) runs on the DRIVER after one collect of the
+    matrix (tests/test_collect_audit.py ALLOWED) -- the final plan is
+    just the tiny createDataFrame + round/sort, with NO join and no
+    iteration shuffles left."""
     plan = fmt_plan(qs["markov_stationary_dist"].fn(spark, SF_ORACLE))
     assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "Join" not in plan
+    # the matrix aggregate itself ran during fn(); the returned plan is
+    # a local scan of the stationary vector
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
 
 
 def test_basket_pairs_join_deduped_baskets(spark, qs):

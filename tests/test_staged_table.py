@@ -225,6 +225,30 @@ def test_default_root_is_per_user_private(monkeypatch):
     assert not (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH))
 
 
+def test_default_root_is_invocation_ephemeral(monkeypatch):
+    """Without SPARK_GRAFT_STAGING_DIR the root is per-process (fresh
+    mkdtemp, stable within the process): no bench/oracle invocation can
+    read parquet staged by a PREVIOUS invocation -- cross-session
+    durability is opt-in via the env var only."""
+    import os
+
+    from wsu_cpts_415_spark.ops import staging
+
+    monkeypatch.delenv("SPARK_GRAFT_STAGING_DIR", raising=False)
+    r1 = staging._staging_root()
+    r2 = staging._staging_root()
+    assert r1 == r2, "one root per process"
+    assert "_eph_" in os.path.basename(r1)
+    assert r1 == staging._EPHEMERAL_ROOT[0]
+    # the fixed pre-round-12 path must no longer be the default
+    import tempfile
+
+    fixed = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_staging_u{os.getuid()}"
+    )
+    assert r1 != fixed
+
+
 def test_parquet_roundtrip_is_exact_for_staged_shapes(
     spark, docs_dir, staging_root
 ):

@@ -181,25 +181,48 @@ STAGING_FORMAT_VERSION = 2
 STAGING_KEEP_LATEST = 2
 
 
-def _staging_root() -> str | None:
-    """Resolve and vet the durable staging root.
+_EPHEMERAL_ROOT: list[str] = []
 
-    Default is a PER-USER 0700 directory (``spark_graft_staging_u<uid>``
-    under the system temp dir) -- a fixed world-shared path would let
-    any other local user pre-create the tree and plant parquet that
-    staged_table would read and trust (local cache poisoning), or squat
-    the root to disable durability.  Whether defaulted or env-pinned,
-    the root is only trusted when it is OWNED by this uid and not
-    writable by others; any mismatch returns None and the caller
-    degrades to session staging (never to an error, never to reading an
-    untrusted tree)."""
+
+def _ephemeral_root() -> str:
+    """Per-INVOCATION staging root: a fresh 0700 mkdtemp, removed at
+    process exit.  The default when no root is pinned -- so every
+    bench/oracle/conformance invocation rebuilds every staged layer from
+    the parquet inputs (no cross-run precomputation), while keeping the
+    write-once/read-many layer semantics WITHIN the invocation.  Memoized
+    per process so all layers of one run share one root."""
+    import atexit
     import os
-    import stat
+    import shutil
     import tempfile
 
-    root = os.environ.get(STAGING_ROOT_ENV) or os.path.join(
-        tempfile.gettempdir(), f"spark_graft_staging_u{os.getuid()}"
-    )
+    if not _EPHEMERAL_ROOT:
+        d = tempfile.mkdtemp(
+            prefix=f"spark_graft_staging_eph_u{os.getuid()}_"
+        )
+        atexit.register(lambda: shutil.rmtree(d, ignore_errors=True))
+        _EPHEMERAL_ROOT.append(d)
+    return _EPHEMERAL_ROOT[0]
+
+
+def _staging_root() -> str | None:
+    """Resolve and vet the staging root.
+
+    Default is INVOCATION-EPHEMERAL (``_ephemeral_root``): staged layers
+    are computed from the parquet inputs on every invocation and shared
+    only within it.  Cross-session durability -- the 100 TB pattern of a
+    warehouse staging path read by later sessions -- is OPT-IN via
+    ``SPARK_GRAFT_STAGING_DIR`` (how the restart probes and a real
+    deployment drive it); a pinned root is only trusted when it is OWNED
+    by this uid and not writable by others (a world-shared path would
+    let another local user plant parquet that staged_table reads --
+    cache poisoning -- or squat the root to disable durability).  Any
+    mismatch returns None and the caller degrades to session staging
+    (never to an error, never to reading an untrusted tree)."""
+    import os
+    import stat
+
+    root = os.environ.get(STAGING_ROOT_ENV) or _ephemeral_root()
     try:
         if not os.path.lexists(root):
             os.makedirs(root, mode=0o700, exist_ok=True)

@@ -1027,28 +1027,39 @@ def er_multipass_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
 
     cand = _multipass_candidates(spark, sf_dir)
-    keys = maybe_broadcast(
-        load_table(spark, sf_dir, "documents").select(
+    # ONE combined doc-grain side table (prefix + length + compact
+    # shingle hashes) attached with ONE join per pair endpoint -- r12
+    # fused the previous keys-then-compact shape (4 joins, 2 broadcast
+    # builds, 2 gate actions) into 2 joins over 1 gated broadcast whose
+    # exchange is reused for both sides (guide §3.1: fewer, cheaper
+    # builds; measured ~3x on the attach stage at sf0.1).  The doc-grain
+    # join adding h64 is linear and happens once, inside the build.
+    side = maybe_broadcast(
+        load_table(spark, sf_dir, "documents")
+        .select(
             "doc_id",
             F.substring("text", 1, LEV_PREFIX).alias("prefix"),
             F.col("n_chars").alias("len_chars"),
-        ),
+        )
+        .join(_h64_staged(spark, sf_dir), "doc_id"),
         DOC_SIDE_BCAST_ROWS,
     )
-    feat = (
+    scored = (
         cand.join(
-            keys.select(
+            side.select(
                 F.col("doc_id").alias("doc_a"),
                 F.col("prefix").alias("pa"),
                 F.col("len_chars").alias("len_a"),
+                F.col("h64").alias("hs_a"),
             ),
             "doc_a",
         )
         .join(
-            keys.select(
+            side.select(
                 F.col("doc_id").alias("doc_b"),
                 F.col("prefix").alias("pb"),
                 F.col("len_chars").alias("len_b"),
+                F.col("h64").alias("hs_b"),
             ),
             "doc_b",
         )
@@ -1061,23 +1072,8 @@ def er_multipass_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("plen"),
             "len_a",
             "len_b",
-        )
-    )
-    compact = maybe_broadcast(
-        _h64_staged(spark, sf_dir), DOC_SIDE_BCAST_ROWS
-    )
-    scored = (
-        feat.join(
-            compact.select(
-                F.col("doc_id").alias("doc_a"), F.col("h64").alias("hs_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            compact.select(
-                F.col("doc_id").alias("doc_b"), F.col("h64").alias("hs_b")
-            ),
-            "doc_b",
+            "hs_a",
+            "hs_b",
         )
         .withColumn("ncomm", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
@@ -1243,45 +1239,38 @@ def er_incremental_batch_scores(
         .select("new_doc", "old_doc")
         .dropDuplicates(["new_doc", "old_doc"])
     )
-    compact = maybe_broadcast(
-        _h64_staged(spark, sf_dir), DOC_SIDE_BCAST_ROWS
-    )
     from wsu_cpts_415_spark.io.tables import load_table
 
-    meta = maybe_broadcast(
-        load_table(spark, sf_dir, "documents").select(
+    # same r12 fusion as er_multipass_match_scores: ONE combined
+    # doc-grain side table (prefix + n_chars + h64), one gated
+    # broadcast reused by both endpoint joins -- was 4 joins over 2
+    # broadcast builds (compact, meta) with 2 gate actions
+    side = maybe_broadcast(
+        load_table(spark, sf_dir, "documents")
+        .select(
             "doc_id",
             F.substring("text", 1, LEV_PREFIX).alias("prefix"),
             "n_chars",
-        ),
+        )
+        .join(_h64_staged(spark, sf_dir), "doc_id"),
         DOC_SIDE_BCAST_ROWS,
     )
     scored = (
         cand.join(
-            compact.select(
-                F.col("doc_id").alias("new_doc"), F.col("h64").alias("hs_a")
-            ),
-            "new_doc",
-        )
-        .join(
-            compact.select(
-                F.col("doc_id").alias("old_doc"), F.col("h64").alias("hs_b")
-            ),
-            "old_doc",
-        )
-        .join(
-            meta.select(
+            side.select(
                 F.col("doc_id").alias("new_doc"),
                 F.col("prefix").alias("pfx_a"),
                 F.col("n_chars").alias("len_a"),
+                F.col("h64").alias("hs_a"),
             ),
             "new_doc",
         )
         .join(
-            meta.select(
+            side.select(
                 F.col("doc_id").alias("old_doc"),
                 F.col("prefix").alias("pfx_b"),
                 F.col("n_chars").alias("len_b"),
+                F.col("h64").alias("hs_b"),
             ),
             "old_doc",
         )

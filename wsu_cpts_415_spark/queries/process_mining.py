@@ -128,19 +128,38 @@ def markov_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wsu_cpts_415_spark.ops.staging import staged
 
     p = staged(spark, "markov_transitions", sf_dir, lambda: p_plan)
-    states = p.select(F.col("from_type").alias("state")).distinct()
-    n_states = states.count()
-    if n_states == 0:
+    # Model-sized DRIVER iteration (r12): the matrix is |event_type|^2
+    # rows (25 at the fixture's 5-type enum; a per-chain constant, not
+    # corpus-scaled), so the {POWER_ITERS} broadcast-join rounds were
+    # pure stage-scheduling overhead -- 8 shuffles of a <=5-row vector.
+    # Collect the matrix ONCE (the kmeans/PQ model-exchange pattern,
+    # tests/test_collect_audit.py ALLOWED) and run the power steps in
+    # Python over sorted keys (deterministic accumulation order);
+    # measured ~0.5 s -> ~0.05 s for the iteration tail at sf0.1.  The
+    # final rounding stays in Spark so the HALF_UP semantics of the
+    # registered output are byte-identical to the previous plan.
+    rows = p.collect()
+    if not rows:
         # no transitions (empty/1-event-per-user corpus): empty result
-        return states.select("state", F.lit(0.0).alias("stationary_p"))
-    dist = states.withColumn("w", F.lit(1.0 / n_states))
-    for _ in range(POWER_ITERS):
-        dist = (
-            dist.join(F.broadcast(p), dist["state"] == p["from_type"])
-            .groupBy(F.col("to_type").alias("next_state"))
-            .agg(F.sum(F.col("w") * F.col("prob")).alias("w"))
-            .withColumnRenamed("next_state", "state")
+        return spark.createDataFrame(
+            [], "state string, stationary_p double"
         )
+    trans: dict[str, list[tuple[str, float]]] = {}
+    for r in rows:
+        trans.setdefault(r["from_type"], []).append(
+            (r["to_type"], float(r["prob"]))
+        )
+    states = sorted(trans)
+    w = {s: 1.0 / len(states) for s in states}
+    for _ in range(POWER_ITERS):
+        nw: dict[str, float] = {}
+        for s in sorted(w):
+            for to, pr in trans.get(s, ()):
+                nw[to] = nw.get(to, 0.0) + w[s] * pr
+        w = nw
+    dist = spark.createDataFrame(
+        sorted(w.items()), "state string, w double"
+    )
     return dist.select(
         "state", F.round("w", 6).alias("stationary_p")
     ).orderBy("state")

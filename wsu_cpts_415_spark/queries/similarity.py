@@ -272,21 +272,37 @@ def lsh_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped: the LSH generator's output before any Jaccard is computed.
     Shared by the verified-pair build below and the multi-pass blocking
     recall audit (queries/er_scoring.py), which scores each candidate
-    GENERATOR -- not the verified survivors -- against ground truth."""
-    bands = _bands_staged(spark, sf_dir)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.h1") == F.col("b.h1"))
-            & (F.col("a.h2") == F.col("b.h2"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    GENERATOR -- not the verified survivors -- against ground truth.
+
+    Session-staged (r12): the band self-join was re-run by every
+    consumer -- the verified-pair build, the multipass ER union, and
+    both recall audits -- at ~0.5 s per execution at sf0.1; like
+    ``lsh_verified_pairs`` one layer up, the candidate pair table is
+    deterministic per corpus, so every consumer now reads one persisted
+    build (the 100 TB shape: the generator's output is a staged layer,
+    not a per-query subtree)."""
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    def build() -> DataFrame:
+        bands = _bands_staged(spark, sf_dir)
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.b") == F.col("b.b"))
+                & (F.col("a.h1") == F.col("b.h1"))
+                & (F.col("a.h2") == F.col("b.h2"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+
+    return staged(spark, "lsh_band_candidates", sf_dir, build)
 
 
 def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

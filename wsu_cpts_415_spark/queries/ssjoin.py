@@ -578,9 +578,28 @@ def ssjoin_pairs_above(
     (0, 1] is exact).  This is what a 100 TB calibration run uses where
     the block-matmul baseline (``text.exact_pairs_above``) would do
     all-pairs work: the LSH recall audit re-grounded on it measured
-    117 s -> linear at the x10 probe scale."""
-    _j, _c, _s, verified = _ssjoin_frames(spark, sf_dir, tau_num, tau_den)
-    return verified
+    117 s -> linear at the x10 probe scale.
+
+    Session-staged PER TAU (r12): the verified pair table at tau=4/5
+    is read by prefix_filter_jaccard_join AND both ER recall audits
+    (as exact ground truth), and the tau=1/2 table by the LSH recall
+    audit -- each previously re-ran the full funnel (prefix self-join
+    + positional aggregate + verification) per consumer per execution.
+    Like ``lsh_verified_pairs`` one module over, the deterministic
+    pair sliver is now built once per (corpus, tau) and read by every
+    consumer -- the staged ground-truth layer a 100 TB calibration
+    run writes once."""
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    def build() -> DataFrame:
+        _j, _c, _s, verified = _ssjoin_frames(
+            spark, sf_dir, tau_num, tau_den
+        )
+        return verified
+
+    return staged(
+        spark, f"ssjoin_verified_tau{tau_num}_{tau_den}", sf_dir, build
+    )
 
 
 @register("prefix_filter_jaccard_join", oracle=_DUCK_EXACT_ABOVE)
@@ -588,7 +607,7 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs with shingle-Jaccard >= 0.8, found by an exact
     prefix-filtered set-similarity join (module docstring has the
     guarantee and the measured candidate funnel)."""
-    _joined, _cand, _suffix, verified = _ssjoin_frames(spark, sf_dir)
+    verified = ssjoin_pairs_above(spark, sf_dir, TAU_NUM, TAU_DEN)
     return verified.orderBy("doc_a", "doc_b")
 
 
