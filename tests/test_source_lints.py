@@ -117,9 +117,7 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, tuple[int, str]]] = {
         "bounds": (1, "scalar: global min/max day"),
         "contrib": (1, "calendar: one row per day"),
         "earlier": (1, "calendar: one row per day"),
-        "n_sessions": (1, "scalar: global session count"),
         "offsets": (1, "calendar: one row per day"),
-        "peak": (1, "scalar: global max concurrency"),
         "pred": (1, "enum: argmax next-type per prev type"),
         "stats": (1, "enum: per-event-type mean/stddev"),
     },
@@ -149,7 +147,6 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, tuple[int, str]]] = {
     },
     "queries/process_mining.py": {
         "n_users": (2, "scalar: global distinct-user count"),
-        "p": (1, "enum: Markov transition matrix (|types|^2)"),
         "pa": (1, "enum: per-event-type support"),
         "pb": (1, "enum: per-event-type support"),
         "peak": (1, "scalar: global max |CUSUM|"),

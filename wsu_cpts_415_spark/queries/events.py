@@ -1229,18 +1229,38 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     The capacity-planning number (max simultaneous anything: sessions,
     connections, rentals) computed exactly at data scale -- no
     time-bucket approximation."""
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    # r12: the session sliver is STAGED (one session_window shuffle,
+    # persisted) -- the previous plan re-ran the events->sessions
+    # aggregate up to 9x (unionAll branch x2, window branch, day-total
+    # branch, peak self-reference x2, n_sessions; 44 Exchanges).  Sweep
+    # points come from ONE explode instead of a unionAll (single eval
+    # per consumer), and peak / first-peak-ts / n_sessions all come out
+    # of ONE final aggregate (max over (conc, -t) replaces the
+    # peak-broadcast self-join; +1 deltas count sessions), so the run
+    # table is consumed once.
     ev = load_table(spark, sf_dir, "events")
-    sess = (
-        ev.groupBy(
+    sess = staged(
+        spark,
+        f"gap_sessions_{SESSION_GAP_MIN}m",
+        sf_dir,
+        lambda: ev.groupBy(
             F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id"
-        )
-        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        ).agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end")),
     )
     pts = sess.select(
-        F.col("s_start").alias("pt"), F.lit(1).alias("delta")
-    ).unionAll(
-        sess.select(F.col("s_end").alias("pt"), F.lit(-1).alias("delta"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s_start").alias("pt"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("s_end").alias("pt"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("e")
+    ).select(F.col("e.pt").alias("pt"), F.col("e.delta").alias("delta"))
     pts = pts.withColumn("day", F.to_date("pt"))
     w_day = (
         Window.partitionBy("day")
@@ -1262,15 +1282,20 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = within.join(F.broadcast(offsets), "day").withColumn(
         "conc", F.col("local_run") + F.col("offset")
     )
-    peak = run.agg(F.max("conc").alias("peak")).select("peak")
-    n_sessions = sess.agg(F.count("*").alias("n_sessions"))
-    return (
-        run.crossJoin(F.broadcast(peak))
-        .agg(
-            F.max("conc").cast("bigint").alias("peak_concurrency"),
-            F.min(
-                F.when(F.col("conc") == F.col("peak"), F.col("pt"))
-            ).alias("first_peak_ts"),
+    # one pass: lexicographic max of (conc, -micros) == "max conc, then
+    # earliest pt" -- identical to the oracle's MIN(pt | conc = MAX)
+    best = F.max(
+        F.struct(
+            F.col("conc").alias("c"),
+            (-F.unix_micros("pt")).alias("neg_us"),
         )
-        .crossJoin(F.broadcast(n_sessions))
+    )
+    return run.agg(
+        best["c"].cast("bigint").alias("peak_concurrency"),
+        F.timestamp_micros(-best["neg_us"]).alias("first_peak_ts"),
+        F.coalesce(
+            F.sum(F.when(F.col("delta") == 1, F.lit(1))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_sessions"),
     )

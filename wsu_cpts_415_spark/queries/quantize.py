@@ -376,13 +376,25 @@ def pca_projection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             C[i, j] = cov_row[f"c_{lo}_{hi}"]
     evals, evecs = np.linalg.eigh(C)
     order = np.argsort(evals)[::-1][:PCA_COMPONENTS]
+    # r12: ONE projection pass for all components (guide §1.2 "don't
+    # compute things twice") -- was one var_samp scan of embeddings per
+    # component (3 extra passes); the aggregate values are identical,
+    # just computed side by side in a single scan.
+    projs = [
+        sum(
+            F.col(f"d{i}") * float(evecs[i, idx]) for i in range(COV_DIMS)
+        )
+        for idx in order
+    ]
+    got_row = dims.agg(
+        *[
+            F.var_samp(p.alias(f"p{rank}")).alias(f"v{rank}")
+            for rank, p in enumerate(projs)
+        ]
+    ).first()
     checks = []
     for rank, idx in enumerate(order):
-        vec = evecs[:, idx]
-        proj = sum(
-            F.col(f"d{i}") * float(vec[i]) for i in range(COV_DIMS)
-        )
-        got = dims.agg(F.var_samp(proj.alias("p"))).first()[0]
+        got = got_row[rank]
         want = float(evals[idx])
         checks.append(
             (rank, bool(abs(got - want) <= PCA_REL_TOL * max(abs(want), 1e-12)))

@@ -454,24 +454,49 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blowup is bounded by lines-per-order squared, a per-task constant);
     item frequencies broadcast; the final ranking is
     TakeOrderedAndProject over the support-filtered pair sliver."""
+    from wsu_cpts_415_spark.ops.staging import staged
+
+    # r12: pairs are generated IN-ARRAY from one per-order sorted part
+    # set (guide §2.4) -- the previous shape shuffled the distinct
+    # (order, part) sliver three more times (self-join a-side, b-side,
+    # item-frequency) where ONE l_orderkey shuffle suffices: collect_set
+    # dedups within the order, combinations of the sorted array are
+    # exactly the a.part < b.part join pairs, per-part order frequency
+    # is an explode of the same set, and the order count is the group
+    # count.  The staged array table is read by all three consumers.
     li = load_table(spark, sf_dir, "lineitem")
-    lines = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = lines.agg(F.countDistinct("l_orderkey").alias("n"))
-    item_freq = lines.groupBy("l_partkey").agg(
-        F.count("*").alias("n_orders_with")
+    orders = staged(
+        spark,
+        "copurchase_order_partsets",
+        sf_dir,
+        lambda: li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        ),
     )
-    a = lines.alias("a")
-    b = lines.alias("b")
+    n_orders = orders.agg(F.count("*").alias("n"))
+    item_freq = orders.select(
+        F.explode("ps").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count("*").alias("n_orders_with"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        orders.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ps"), i + 2, F.size(F.col("ps"))
+                            ),
+                            lambda y: F.struct(
+                                x.alias("part_a"), y.alias("part_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        .select(F.col("p.part_a"), F.col("p.part_b"))
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_both"))
         .filter(F.col("n_both") >= 3)
     )

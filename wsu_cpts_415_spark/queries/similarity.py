@@ -450,13 +450,20 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with/aggregate higher-order expression in doubles; top-k is
     TakeOrderedAndProject.  At 100 TB this is one scan, no shuffle."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # r12: the query norm is a pair-invariant scalar -- fold it ONCE in
+    # the 1-row broadcast side instead of per corpus row (same
+    # expression, same float order, bit-identical cosine).
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv")
+        F.col("embedding").alias("qv"),
+        F.expr(
+            "sqrt(aggregate(embedding, 0D,"
+            " (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+        ).alias("q_norm"),
     )
     cos = (
         "aggregate(zip_with(embedding, qv, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
         " / (sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
-        " * sqrt(aggregate(qv, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))"
+        " * q_norm)"
     )
     return (
         emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
@@ -509,14 +516,20 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a query touches one partition.  Recall improves by probing
     Hamming-adjacent buckets (multi-probe), same plan shape."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # r12: query norm folded once on the broadcast side (see
+    # cosine_topk_bruteforce) -- bit-identical cosine.
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("embedding").alias("qv"),
         F.expr(_SPARK_BUCKET.format(v="embedding")).alias("qb"),
+        F.expr(
+            "sqrt(aggregate(embedding, 0D,"
+            " (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+        ).alias("q_norm"),
     )
     cos = (
         "aggregate(zip_with(embedding, qv, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
         " / (sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
-        " * sqrt(aggregate(qv, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))"
+        " * q_norm)"
     )
     return (
         emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
@@ -561,15 +574,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject.  Raising recall = multi-probe (Hamming-adjacent
     buckets) or more/rotated hyperplanes -- same plan."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # r12: the row norm is pair-invariant -- fold it once per vector
+    # BEFORE the bucket self-join instead of twice per candidate pair
+    # (~n^2/256 pairs vs n rows); same expression and float order, so
+    # the rounded cosine is bit-identical.
     b = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
         F.expr(_SPARK_BUCKET.format(v="embedding")).alias("bucket"),
+    ).withColumn(
+        "nrm", F.expr("sqrt(aggregate(v, 0D, (acc, p) -> acc + p * p))")
     )
     a, x = b.alias("a"), b.alias("x")
     dot = "aggregate(zip_with(a.v, x.v, (p, q) -> p * q), 0D, (acc, s) -> acc + s)"
-    norm = "sqrt(aggregate({s}.v, 0D, (acc, p) -> acc + p * p))"
-    cos = f"{dot} / ({norm.format(s='a')} * {norm.format(s='x')})"
+    cos = f"{dot} / (a.nrm * x.nrm)"
     return (
         a.join(
             x,

@@ -466,22 +466,32 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     qid-partitioned rank (WindowGroupLimit prunes).  For unbounded query
     sets the production path swaps the broadcast for the LSH-bucketed
     candidate join (``ann_lsh_bucketed``), same scoring expression."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # r12: per-vector norms are computed ONCE per side BEFORE the join
+    # (guide §1.2) -- the interpreted higher-order aggregate lambdas ran
+    # three times per (query, negative) pair (dot + both norms) where
+    # one suffices: sqrt(sum(x^2)) per corpus row and per query row are
+    # pair-invariant.  Same expressions, same float op order, so the
+    # rounded sim is bit-identical; per-pair HOF work drops ~3x.
+    norm = (
+        "sqrt(aggregate({c}, 0D,"
+        " (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "e_norm", F.expr(norm.format(c="embedding"))
+    )
     queries = emb.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
     ).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("qlabel"),
+        F.expr(norm.format(c="embedding")).alias("q_norm"),
     )
     cos = (
         "aggregate(zip_with(embedding, qv,"
         " (x, y) -> cast(x as double) * cast(y as double)), 0D,"
         " (acc, v) -> acc + v)"
-        " / (sqrt(aggregate(embedding, 0D,"
-        " (acc, x) -> acc + cast(x as double) * cast(x as double)))"
-        " * sqrt(aggregate(qv, 0D,"
-        " (acc, x) -> acc + cast(x as double) * cast(x as double))))"
+        " / (e_norm * q_norm)"
     )
     scored = (
         emb.join(F.broadcast(queries), F.col("label") != F.col("qlabel"))
@@ -562,22 +572,39 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from the SAME corpus scan (one pass, two folds per row); the
     per-query ranks are qid-partitioned windows over |Q| x N score
     rows.  Raw embeddings shuffle only within the score sliver."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # r12: pair-invariant norms (full + 16-dim, both sides) hoisted out
+    # of the |Q| x N join into per-row columns, same trick as
+    # hard_negative_mining -- the interpreted fold per pair drops from
+    # 6 aggregates to the 2 dots; identical expressions and float
+    # order, so the rounded sims are bit-identical.
+    def norm_of(c: str, dims: int | None) -> str:
+        v = c if dims is None else f"slice({c}, 1, {dims})"
+        return (
+            f"sqrt(aggregate({v}, 0D,"
+            " (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+        )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("e_nf", F.expr(norm_of("embedding", None)))
+        .withColumn("e_nt", F.expr(norm_of("embedding", 16)))
+    )
     queries = emb.filter(
         (F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 4000)
-    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("e_nf").alias("q_nf"),
+        F.col("e_nt").alias("q_nt"),
+    )
 
-    def cos(vec: str, q: str, dims: int | None) -> str:
-        v = vec if dims is None else f"slice({vec}, 1, {dims})"
-        qq = q if dims is None else f"slice({q}, 1, {dims})"
+    def cos(dims: int | None, norms: str) -> str:
+        v = "embedding" if dims is None else f"slice(embedding, 1, {dims})"
+        qq = "qv" if dims is None else f"slice(qv, 1, {dims})"
         return (
             f"round(aggregate(zip_with({v}, {qq},"
             " (x, y) -> cast(x as double) * cast(y as double)), 0D,"
-            " (acc, w) -> acc + w)"
-            f" / (sqrt(aggregate({v}, 0D,"
-            " (acc, x) -> acc + cast(x as double) * cast(x as double)))"
-            f" * sqrt(aggregate({qq}, 0D,"
-            " (acc, x) -> acc + cast(x as double) * cast(x as double)))), 6)"
+            f" (acc, w) -> acc + w) / {norms}, 6)"
         )
 
     scored = (
@@ -585,8 +612,8 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            F.expr(cos("embedding", "qv", None)).alias("sim_full"),
-            F.expr(cos("embedding", "qv", 16)).alias("sim_trunc"),
+            F.expr(cos(None, "(e_nf * q_nf)")).alias("sim_full"),
+            F.expr(cos(16, "(e_nt * q_nt)")).alias("sim_trunc"),
         )
     )
     w_full = Window.partitionBy("qid").orderBy(F.col("sim_full").desc(), "vec_id")
