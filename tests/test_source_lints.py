@@ -233,11 +233,13 @@ BROADCAST_ALLOWLIST: dict[str, dict[str, tuple[int, str]]] = {
         "n1": (2, "fixed-dim: nation alias (25 rows)"),
         "n2": (2, "fixed-dim: nation alias (25 rows)"),
         "nation": (3, "fixed-dim: nation is 25 rows by TPC-H spec"),
-        "part": (6, "scaling-dim: TPC-H part (filtered slivers)"),
+        "part": (5, "scaling-dim: TPC-H part (filtered slivers)"),
         "part_avg": (1, "scaling-dim: per-partkey threshold"),
+        "part_f": (2, "scaling-dim: part size-filter sliver (q2)"),
         "qualifying": (1, "scaling-dim: supplier subset over promo qty"),
         "region": (2, "fixed-dim: region is 5 rows by TPC-H spec"),
-        "supplier": (7, "scaling-dim: TPC-H supplier"),
+        "sup_nat": (2, "scaling-dim: EUROPE supplier sliver (q2)"),
+        "supplier": (6, "scaling-dim: TPC-H supplier"),
         "total": (1, "scalar: 0.5% value threshold"),
     },
     "queries/training_prep.py": {

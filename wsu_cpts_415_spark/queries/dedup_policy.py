@@ -32,6 +32,7 @@ from wsu_cpts_415_spark.queries.graph_ops import (
 from wsu_cpts_415_spark.queries.similarity import (
     LSH_PAIRS_DUCK_CTES,
     _bands_staged,
+    _h64_staged,
     _hashed_staged,
 )
 from wsu_cpts_415_spark.queries.text import QUALITY_DUCK_CTES
@@ -410,18 +411,20 @@ def ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("old_doc"), "b", "h1", "h2")
     )
     std_sh = (
-        _hashed_staged(spark, sf_dir)
+        # the gate's standing-store row format is the compact 64-bit
+        # hash array (streaming/ingest_dedup.py round 9); the oracle
+        # intersects the STRING shingles, pinning the compact form
+        # against exact string Jaccard.  r12: read the staged narrow
+        # (doc_id, h64) layer -- the identical transform(shingles,
+        # xxhash64) projection -- instead of re-hashing the wide
+        # string-shingle table per run (guide §4.1: the rehash is an
+        # interpreted HOF over every standing shingle)
+        _h64_staged(spark, sf_dir)
         .withColumn("bucket", bucket)
         .filter(F.col("bucket") < NEW_BATCH_BUCKET)
         .select(
             F.col("doc_id").alias("old_doc"),
-            # the gate's standing-store row format is the compact
-            # 64-bit hash array (streaming/ingest_dedup.py round 9);
-            # the oracle intersects the STRING shingles, pinning the
-            # compact form against exact string Jaccard
-            F.expr("transform(shingles, s -> xxhash64(s))").alias(
-                "old_h64"
-            ),
+            F.col("h64").alias("old_h64"),
         )
     )
     return (

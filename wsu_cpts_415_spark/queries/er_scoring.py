@@ -365,7 +365,14 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor((F.col("rn") - 1) / w) + 1,
             )
         ).alias("jb"),
-    )
+        # explicit-width repartition on the join key (r12 single-task
+        # stage fix): the staged rank sliver is tiny in bytes, so the
+        # block join's post-exchange stage -- which runs a full
+        # 64-char levenshtein DP per window pair -- otherwise
+        # collapses to one AQE-coalesced task (measured 673 ms of a
+        # 940 ms wall in one task); per-pair DP cost scales with pair
+        # count, not bytes, so the width is pinned by cores
+    ).repartition(spark.sparkContext.defaultParallelism, "jb")
     right = ranked.select(
         F.col("doc_id").alias("doc_b"),
         F.col("prefix").alias("pb"),
@@ -934,7 +941,25 @@ def _multipass_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lev = lev_candidates(spark, sf_dir).select("doc_a", "doc_b")
     lsh = lsh_band_candidates(spark, sf_dir).select("doc_a", "doc_b")
-    return lev.unionByName(lsh).dropDuplicates(["doc_a", "doc_b"])
+    # Explicit-width repartition ON THE DISTINCT KEY, reused by the
+    # dropDuplicates aggregate (one exchange total).  Without it AQE
+    # coalesces the distinct's exchange by BYTES -- ~1 MB of id pairs at
+    # sf0.1 collapses to ONE partition -- and the downstream per-pair
+    # scorer (64-char levenshtein DP + shingle-hash intersection per
+    # candidate) runs single-task: measured 2.1 s of a 2.8 s wall in one
+    # task (r12 stage probe).  Candidate scoring cost scales with PAIR
+    # COUNT, not pair bytes, so the stage width must be pinned by
+    # available cores, not byte-size heuristics (guide §2.5: synthetic
+    # small-bytes partitions starving CPU-bound work).  A user-specified
+    # repartition width is exempt from AQE coalescing by contract.
+    # Measured at sf0.1: er_multipass_match_scores 2.77 -> 0.83 s,
+    # byte-identical output.
+    parts = spark.sparkContext.defaultParallelism
+    return (
+        lev.unionByName(lsh)
+        .repartition(parts, "doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
 
 
 @register(
@@ -1234,9 +1259,18 @@ def er_incremental_batch_scores(
     oldb = bands.filter(F.col("bucket") < NEW_BATCH_BUCKET).select(
         F.col("doc_id").alias("old_doc"), "b", "h1", "h2"
     )
+    # explicit-width repartition on the distinct key (same r12 fix as
+    # _multipass_candidates): the candidate id-pair table is tiny in
+    # BYTES, so AQE coalesces the distinct exchange to ~1 partition and
+    # the downstream per-pair scorer (levenshtein DP + hash-array
+    # intersection) runs single-task; scoring cost scales with PAIR
+    # COUNT, so the stage width is pinned by cores, not byte heuristics
     cand = (
         oldb.join(maybe_broadcast(newb, DOC_SIDE_BCAST_ROWS), ["b", "h1", "h2"])
         .select("new_doc", "old_doc")
+        .repartition(
+            spark.sparkContext.defaultParallelism, "new_doc", "old_doc"
+        )
         .dropDuplicates(["new_doc", "old_doc"])
     )
     from wsu_cpts_415_spark.io.tables import load_table

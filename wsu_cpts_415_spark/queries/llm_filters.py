@@ -266,6 +266,54 @@ LINE_TOKENS = 8
 BOILERPLATE_DF = 2
 
 
+def _line_segments_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged (doc_id, line_no, digest) segment table: the corpus text
+    split into LINE_TOKENS-token lines, each reduced to its xxhash64
+    digest inside the build's scan stage -- the identical segmentation
+    as streaming/line_gate.line_digests_of, with the line index kept.
+
+    r12 (guide §1.2, don't compute things twice): four registry queries
+    (boilerplate_line_filter / boilerplate_strip / boilerplate_top_lines
+    / ingest_boilerplate_gate) each re-ran the split+slice+hash explode
+    over every document per query; the segmentation is a pure function
+    of the corpus, so it is built once per (corpus, LINE_TOKENS) and
+    every consumer reads the fixed-width (8-byte digest) table.  Line
+    TEXT is deliberately NOT staged -- consumers that need it
+    (boilerplate_top_lines' payload recovery, boilerplate_strip's
+    clean-text rebuild) still read it from the documents scan, so the
+    staged layer stays digest-sized at 100 TB."""
+    from wsu_cpts_415_spark.io.tables import load_table
+    from wsu_cpts_415_spark.ops.staging import staged_table
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = F.split(F.col("text"), " ")
+        n_lines = F.ceil(F.size(toks) / F.lit(LINE_TOKENS)).cast("int")
+        return docs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_lines - 1),
+                    lambda i: F.xxhash64(
+                        F.array_join(
+                            F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS),
+                            " ",
+                        )
+                    ),
+                )
+            ).alias("line_no", "digest"),
+        )
+
+    return staged_table(
+        spark,
+        "line_segments",
+        sf_dir,
+        build,
+        salt=f"xx64:lt{LINE_TOKENS}",
+        expect_cols=["doc_id", "line_no", "digest"],
+    )
+
+
 @register(
     "boilerplate_line_filter",
     oracle=f"""
@@ -313,25 +361,10 @@ def boilerplate_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_metrics.py asserts digest-sized shuffle rows).  The
     digest is internal -- the oracle groups lines by md5 instead, an
     equivalent partition of the line space -- and the within-doc
-    flag-and-rollup rides the doc_id shuffle of the final aggregate."""
-    from wsu_cpts_415_spark.io.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_lines = F.ceil(F.size(toks) / F.lit(LINE_TOKENS)).cast("int")
-    lines = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_lines - 1),
-                lambda i: F.xxhash64(
-                    F.array_join(
-                        F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS), " "
-                    )
-                ),
-            )
-        ).alias("digest"),
-    )
+    flag-and-rollup rides the doc_id shuffle of the final aggregate.
+    r12: the segmentation explode is read from the staged
+    ``line_segments`` layer shared by all four boilerplate queries."""
+    lines = _line_segments_staged(spark, sf_dir).select("doc_id", "digest")
     freq = lines.groupBy("digest").agg(
         F.count_distinct("doc_id").alias("df")
     )
@@ -394,7 +427,9 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast when the boilerplate table is small, and the fallback is a
     doc_id-keyed shuffle-hash join, never a corpus self-join.  The
     oracle groups lines by their text; the engine groups by xxhash64
-    (an equivalent partition of the line space)."""
+    (an equivalent partition of the line space).  r12: the digest
+    explode is read from the staged ``line_segments`` layer; only the
+    clean-text rebuild still touches the documents scan."""
     from wsu_cpts_415_spark.io.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -403,15 +438,7 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     line_at = lambda i: F.array_join(  # noqa: E731
         F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS), " "
     )
-    lines = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_lines - 1),
-                lambda i: F.xxhash64(line_at(i)),
-            )
-        ).alias("line_no", "digest"),
-    )
+    lines = _line_segments_staged(spark, sf_dir)
     freq = lines.groupBy("digest").agg(
         F.count_distinct("doc_id").alias("df")
     )
@@ -512,24 +539,30 @@ def ingest_boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the standing side is reduced to (digest, n_docs) aggregates
     before any join (digest-sized shuffles, text stays in the scan);
-    identical posture to boilerplate_line_filter."""
-    from wsu_cpts_415_spark.io.tables import load_table
+    identical posture to boilerplate_line_filter.  r12: both sides'
+    segmentations come from the staged ``line_segments`` layer (the
+    bucket split is an expression over doc_id, so it applies to the
+    digest table directly); the gating math itself still runs through
+    the streaming sink's gate_lines_against/doc_line_counts code."""
     from wsu_cpts_415_spark.streaming.line_gate import (
         doc_line_counts,
         gate_lines_against,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    bucket = F.expr(_GATE_BUCKET_SPARK)
-    with_bucket = docs.withColumn("bucket", bucket)
-    batch = with_bucket.filter(F.col("bucket") >= _GATE_NEWB).select(
-        "doc_id", "text"
+    segs = _line_segments_staged(spark, sf_dir).withColumn(
+        "bucket", F.expr(_GATE_BUCKET_SPARK)
     )
-    standing = with_bucket.filter(F.col("bucket") < _GATE_NEWB).select(
-        "doc_id", "text"
+    batch_lines = segs.filter(F.col("bucket") >= _GATE_NEWB).select(
+        "doc_id", "digest"
+    )
+    standing_lines = segs.filter(F.col("bucket") < _GATE_NEWB).select(
+        "doc_id", "digest"
     )
     return gate_lines_against(
-        batch, doc_line_counts(standing), LINE_GATE_THRESHOLD
+        None,
+        doc_line_counts(None, lines=standing_lines),
+        LINE_GATE_THRESHOLD,
+        lines=batch_lines,
     ).orderBy("doc_id")
 
 
@@ -566,14 +599,16 @@ def boilerplate_top_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest table, so line text reaches a shuffle only for matching rows
     (AQE broadcasts the flagged table when it fits; the fallback is a
     digest equi-join, never a text-keyed aggregate over the corpus).
-    The final order-and-limit sorts only the recovered boilerplate set."""
+    The final order-and-limit sorts only the recovered boilerplate set.
+    r12: the frequency pass reads the staged ``line_segments`` layer;
+    only the payload recovery re-splits text."""
     from wsu_cpts_415_spark.io.tables import load_table
     from wsu_cpts_415_spark.streaming.line_gate import doc_line_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    flagged = doc_line_counts(docs).filter(
-        F.col("n_docs") >= BOILERPLATE_DF
-    )
+    flagged = doc_line_counts(
+        docs, lines=_line_segments_staged(spark, sf_dir)
+    ).filter(F.col("n_docs") >= BOILERPLATE_DF)
     toks = F.split(F.col("text"), " ")
     n_lines = F.ceil(F.size(toks) / F.lit(LINE_TOKENS)).cast("int")
     segs = docs.select(

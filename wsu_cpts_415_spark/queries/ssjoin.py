@@ -292,16 +292,18 @@ def _prefix_staged(
     condition component; see ``_sketch_cols``).  Session-staged PER TAU
     so the self-join consumes one persisted table from both aliases."""
     from wsu_cpts_415_spark.ops.staging import staged
-    from wsu_cpts_415_spark.queries.similarity import _hashed_staged
+    from wsu_cpts_415_spark.queries.similarity import _h64_staged
 
     def build() -> DataFrame:
-        hashed = _hashed_staged(spark, sf_dir)
+        # r12: derive from the staged narrow (doc_id, h64) layer --
+        # size/explode of h64 equal size/explode of the rehashed
+        # string shingles element-for-element, without re-running the
+        # interpreted transform+xxhash over every shingle per build
+        hashed = _h64_staged(spark, sf_dir)
         ex = hashed.select(
             "doc_id",
-            F.size("shingles").alias("n"),
-            F.explode(
-                F.expr("transform(shingles, s -> xxhash64(s))")
-            ).alias("sh"),
+            F.size("h64").alias("n"),
+            F.explode("h64").alias("sh"),
         )
         dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
         if dfreq.count() <= VOCAB_BCAST_ROWS:
@@ -356,15 +358,20 @@ def _hist_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized expressions per candidate instead of per-pair binary
     searches.  Session-staged: doc-count rows x ~0.3 KB."""
     from wsu_cpts_415_spark.ops.staging import staged
-    from wsu_cpts_415_spark.queries.similarity import _hashed_staged
+    from wsu_cpts_415_spark.queries.similarity import _h64_staged
 
     def build() -> DataFrame:
-        return _hashed_staged(spark, sf_dir).select(
+        # r12: bucket the staged 64-bit hashes directly -- the old form
+        # re-ran xxhash64 over every shingle ONCE PER BUCKET inside the
+        # filter lambda (HIST_BUCKETS x |shingles| interpreted hash
+        # calls per doc); pmod over the staged h64 array is the same
+        # partition of the token space by construction
+        return _h64_staged(spark, sf_dir).select(
             "doc_id",
             F.expr(
                 f"transform(sequence(0, {HIST_BUCKETS - 1}), k ->"
-                f" size(filter(shingles, s ->"
-                f" pmod(xxhash64(s), {HIST_BUCKETS}) = k)))"
+                f" size(filter(h64, h ->"
+                f" pmod(h, {HIST_BUCKETS}) = k)))"
             ).alias("hist"),
         )
 
@@ -515,13 +522,14 @@ def _ssjoin_frames(
     )
     # Verify: intersect two compact 64-bit hash arrays per surviving
     # pair (the same compact form text.exact_pairs_above intersects;
-    # document text never moves).
+    # document text never moves).  r12: read the staged narrow
+    # (doc_id, h64) layer instead of re-hashing the wide string table
+    # per call -- identical projection, and the sampled-calibration
+    # variants rebuild this verify stage per invocation.
+    from wsu_cpts_415_spark.queries.similarity import _h64_staged
+
     compact = maybe_broadcast(
-        _hashed_staged(spark, sf_dir).select(
-            "doc_id",
-            F.expr("transform(shingles, s -> xxhash64(s))").alias("h64"),
-        ),
-        DOC_SIDE_BCAST_ROWS,
+        _h64_staged(spark, sf_dir), DOC_SIDE_BCAST_ROWS
     )
     verified = (
         suffix_surv.join(

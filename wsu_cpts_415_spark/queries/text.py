@@ -417,14 +417,16 @@ def exact_pairs_above(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame
         import numpy as np
         import pandas as pd
 
-        from wsu_cpts_415_spark.queries.similarity import _hashed_staged
+        from wsu_cpts_415_spark.queries.similarity import _h64_staged
 
         # the per-task memory knob: grow ~ sqrt(docs) to hold block
         # populations (and the dense per-block-pair matrices) constant
         n_blocks = 8
-        compact = _hashed_staged(spark, sf_dir).select(
+        # r12: read the staged narrow (doc_id, h64) layer instead of
+        # re-hashing the wide string-shingle table (identical arrays)
+        compact = _h64_staged(spark, sf_dir).select(
             "doc_id",
-            F.expr("transform(shingles, s -> xxhash64(s))").alias("hs"),
+            F.col("h64").alias("hs"),
             (F.col("doc_id") % n_blocks).cast("int").alias("blk"),
         )
         replicated = compact.select(
@@ -701,7 +703,7 @@ def ngram_jaccard_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from wsu_cpts_415_spark.queries.similarity import _hashed_staged
+    from wsu_cpts_415_spark.queries.similarity import _h64_staged
 
     k = 20
     n_blocks = 8
@@ -709,10 +711,12 @@ def ngram_jaccard_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transform to 64-bit hashes -- NO explode/groupBy shuffle at all
     # (the shingles are already distinct per doc)
     compact = (
-        _hashed_staged(spark, sf_dir)
+        # r12: staged narrow (doc_id, h64) layer -- same arrays, no
+        # per-run interpreted rehash of every shingle
+        _h64_staged(spark, sf_dir)
         .select(
             "doc_id",
-            F.expr("transform(shingles, s -> xxhash64(s))").alias("hs"),
+            F.col("h64").alias("hs"),
             (F.col("doc_id") % n_blocks).cast("int").alias("blk"),
         )
         # NULL-text docs carry a NULL shingle array: drop before the

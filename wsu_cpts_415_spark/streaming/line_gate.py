@@ -58,11 +58,18 @@ def line_digests_of(docs: DataFrame) -> DataFrame:
     )
 
 
-def doc_line_counts(docs: DataFrame) -> DataFrame:
+def doc_line_counts(
+    docs: DataFrame, lines: DataFrame | None = None
+) -> DataFrame:
     """(digest, n_docs): distinct-document posting counts per line --
-    the standing store's row format."""
+    the standing store's row format.  ``lines`` overrides the
+    segmentation source with a precomputed (doc_id, digest) frame (the
+    batch queries pass the staged ``line_segments`` layer so the corpus
+    text is split once per corpus, not once per caller)."""
+    if lines is None:
+        lines = line_digests_of(docs)
     return (
-        line_digests_of(docs)
+        lines.select("doc_id", "digest")
         .dropDuplicates(["doc_id", "digest"])
         .groupBy("digest")
         .agg(F.count("*").alias("n_docs"))
@@ -73,14 +80,18 @@ def gate_lines_against(
     batch_df: DataFrame,
     std_line_df: DataFrame,
     threshold: float = LINE_BP_THRESHOLD,
+    lines: DataFrame | None = None,
 ) -> DataFrame:
     """Store-free core of the gate: per batch document, the line count,
     boilerplate-line count (document frequency across standing + batch
     reaches BOILERPLATE_DF), rounded boilerplate ratio, and the
     admission verdict (unrounded ratio strictly below ``threshold``).
     Registered as the oracle-checked query ``ingest_boilerplate_gate``
-    (queries/llm_filters.py)."""
-    lines = line_digests_of(batch_df)
+    (queries/llm_filters.py).  ``lines`` overrides the segmentation
+    source with a precomputed (doc_id, digest) frame, same contract as
+    ``doc_line_counts``."""
+    if lines is None:
+        lines = line_digests_of(batch_df)
     batch_df_counts = (
         lines.dropDuplicates(["doc_id", "digest"])
         .groupBy("digest")
