@@ -220,3 +220,23 @@ def test_collect_allowlist_has_no_stale_entries(spark):
     qs = all_queries()
     stale = [n for n in ALLOWED if n not in qs]
     assert not stale, f"allowlisted but unregistered: {stale}"
+
+
+def test_funnel_within_window_build_is_lazy(spark):
+    """r12 optimization pin: funnel_within_window's counters fold into
+    ONE final aggregate -- building the DataFrame must launch zero Spark
+    jobs.  (The pre-r12 shape ran two eager driver ``.count()`` jobs at
+    build time whose signup/stepped subtrees the final aggregate then
+    re-evaluated -- three actions and four event scans per run.)"""
+    sc = spark.sparkContext
+    sc.setJobGroup("funnel-build-audit", "funnel build must be lazy")
+    try:
+        df = all_queries()["funnel_within_window"].fn(spark, SF_SMOKE)
+        jobs = list(
+            sc.statusTracker().getJobIdsForGroup("funnel-build-audit")
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert jobs == [], f"build launched jobs: {jobs}"
+    # still one well-formed result row once actually executed
+    assert df.count() == 1

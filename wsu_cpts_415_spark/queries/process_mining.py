@@ -444,7 +444,17 @@ def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two user-keyed join+aggregate passes (step N's timestamps
     join back onto the per-user event sliver); every shuffle is on
     user_id, and AQE coalesces the tiny step tables.  No window
-    functions over raw events."""
+    functions over raw events.
+
+    r12 (guide §5.1, no driver actions in the query path): the funnel
+    counters were two eager driver ``.count()`` jobs whose subtrees
+    (signup, stepped) were then re-evaluated by the final aggregate --
+    four scans of events per run.  The purchase step now LEFT-joins
+    back onto the full signup-user sliver, so one aggregate row yields
+    all four counters (count(*) over the sliver == the old eager
+    n_signup; count(t_view)/count(t_purchase) skip nulls exactly as the
+    old filtered counts did): one action, two event scans, identical
+    output including the empty-corpus row."""
     ev = load_table(spark, sf_dir, "events")
     signup = (
         ev.filter(F.col("event_type") == "signup")
@@ -465,7 +475,7 @@ def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t_view")
         )
     )
-    full_funnel = (
+    purchased = (
         stepped.filter(F.col("t_view").isNotNull())
         .join(ev, "user_id")
         .groupBy("user_id", "t_view")
@@ -480,13 +490,16 @@ def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t_purchase")
         )
     )
-    n_signup = signup.count()
-    n_view = stepped.filter(F.col("t_view").isNotNull()).count()
-    return full_funnel.agg(
-        F.lit(n_signup).cast("bigint").alias("n_signup"),
-        F.lit(n_view).cast("bigint").alias("n_view_1d"),
+    # one row per signup user (stepped and purchased are both keyed
+    # 1:1 by user_id), so the single aggregate reads every counter
+    funnel = stepped.join(
+        purchased.select("user_id", "t_purchase"), "user_id", "left"
+    )
+    return funnel.agg(
+        F.count("*").cast("bigint").alias("n_signup"),
+        F.count("t_view").cast("bigint").alias("n_view_1d"),
         F.count("t_purchase").alias("n_purchase_3d"),
-        F.round(F.count("t_purchase") / F.lit(float(n_signup)), 5).alias(
-            "full_conversion"
-        ),
+        F.round(
+            F.count("t_purchase") / F.count("*").cast("double"), 5
+        ).alias("full_conversion"),
     )
