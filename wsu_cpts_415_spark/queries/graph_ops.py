@@ -98,14 +98,16 @@ def min_label_components(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .coalesce(4)
-        .localCheckpoint(eager=True)
+        # lazy init checkpoints (r12): round 1 materializes both inside
+        # its convergence-aggregate job instead of two standalone jobs
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
         .coalesce(4)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Min-label sums are strictly decreasing until the fixpoint, so one
     # scalar aggregate per round doubles as the convergence test (no
@@ -302,14 +304,17 @@ def pagerank_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~100k vertices per task keeps a 1000-executor cluster busy at web
     # scale while a fixture graph runs in single-digit tasks
     parts = max(1, min(spark.sparkContext.defaultParallelism, n // 100_000))
+    # lazy init checkpoints: both tables first materialize inside the
+    # final action's first round instead of as two standalone driver
+    # jobs (r12; the data and every later read are identical)
     edges_deg = (
         live.select(
             "src", "dst", F.count("*").over(Window.partitionBy("src")).alias("deg")
         )
         .coalesce(parts)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    verts_c = verts.coalesce(parts).localCheckpoint(eager=True)
+    verts_c = verts.coalesce(parts).localCheckpoint(eager=False)
     # Each iteration's rank table is LAZILY checkpointed: without a
     # materialization boundary, iteration i's subtree is re-evaluated by
     # both consumers at level i+1 (the contribution join's broadcast AND
@@ -616,13 +621,15 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("node"))
     n = verts.count()
     parts = max(1, min(spark.sparkContext.defaultParallelism, n // 100_000))
+    # lazy init checkpoints (r12): first round materializes both in the
+    # final action instead of two standalone driver jobs
     bidir = (
         und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .coalesce(parts)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    verts_c = verts.coalesce(parts).localCheckpoint(eager=True)
+    verts_c = verts.coalesce(parts).localCheckpoint(eager=False)
     hint = F.broadcast if n <= 5_000_000 else (lambda df: df)
     labels = verts_c.select("node", F.col("node").alias("label"))
     for _ in range(LPA_ITERS):
@@ -853,7 +860,8 @@ def bfs_hops_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         raw.join(verts.select(F.col("id").alias("dst")), "dst", "leftsemi")
         .coalesce(4)
-        .localCheckpoint(eager=True)
+        # lazy: round 1's frontier count materializes it in-job (r12)
+        .localCheckpoint(eager=False)
     )
     root = verts.agg(F.min("id").alias("id"))
     return bfs_hops(edges, root, BFS_MAX_HOPS).orderBy("hops", "id")
@@ -868,7 +876,8 @@ def bfs_hops(edges: DataFrame, root: DataFrame, max_hops: int) -> DataFrame:
     """
     from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
 
-    dist = root.select("id", F.lit(0).alias("hops")).localCheckpoint(eager=True)
+    # lazy: the count below materializes the checkpoint in the same job
+    dist = root.select("id", F.lit(0).alias("hops")).localCheckpoint(eager=False)
     frontier = dist
     n_dist = dist.count()
     for h in range(1, max_hops + 1):
@@ -893,7 +902,9 @@ def bfs_hops(edges: DataFrame, root: DataFrame, max_hops: int) -> DataFrame:
             reached.join(hint(dist.select("id")), "id", "leftanti")
             .select("id", F.lit(h).alias("hops"))
             .coalesce(4)
-            .localCheckpoint(eager=True)
+            # lazy: the frontier count below materializes the checkpoint
+            # in the same job (one job per round, not two)
+            .localCheckpoint(eager=False)
         )
         n_new = new.count()
         if n_new == 0:

@@ -110,7 +110,9 @@ def kcore_peel(pairs: DataFrame, k: int, rounds: int) -> DataFrame:
         )
         .distinct()
         .coalesce(4)
-        .localCheckpoint(eager=True)
+        # lazy: the live-set count below materializes the checkpoint in
+        # the same job (r12, the cc_star one-job-per-round pattern)
+        .localCheckpoint(eager=False)
     )
     live = edges.select(F.col("src").alias("id")).distinct()
     degrees = live.select("id", F.lit(0).cast("long").alias("d"))
@@ -136,7 +138,9 @@ def kcore_peel(pairs: DataFrame, k: int, rounds: int) -> DataFrame:
             .agg(F.count("*").alias("d"))
             .filter(F.col("d") >= k)
             .coalesce(4)
-            .localCheckpoint(eager=True)
+            # lazy: the fixpoint count below materializes the checkpoint
+            # in the same job (one job per round, not two)
+            .localCheckpoint(eager=False)
         )
         live = degrees.select("id")
         n = degrees.count()

@@ -113,14 +113,16 @@ def star_contraction_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .coalesce(4)
-        .localCheckpoint(eager=True)
+        # lazy: the first fingerprint aggregate below materializes the
+        # checkpoint in the same job (r12)
+        .localCheckpoint(eager=False)
     )
     vertices = (
         edges.select(F.col("u").alias("doc_id"))
         .unionByName(edges.select(F.col("v").alias("doc_id")))
         .distinct()
         .coalesce(4)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def fingerprint(e: DataFrame):
