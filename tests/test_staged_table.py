@@ -295,3 +295,47 @@ def test_fingerprint_sidecar_skips_rescan(
 
     out = staged_table(spark, "probe", docs_dir, boom)
     assert out.count() == 40
+
+
+def test_gate_stats_memo_skips_the_aggregate_action(spark, docs_dir):
+    """r12 optimization pin: ``maybe_broadcast(stats_key=...)`` memoizes
+    the gate's (rows, bytes) per session, so a SECOND call over the same
+    immutable input launches zero Spark jobs -- and both calls reach the
+    identical broadcast decision.  The memo stores only the two scalars
+    (never data), and ``clear_staged()`` drops it."""
+    from wsu_cpts_415_spark.ops.staging import maybe_broadcast
+
+    clear_staged()
+    sc = spark.sparkContext
+    docs = load_table(spark, docs_dir, "documents").select("doc_id", "lang")
+
+    out1 = maybe_broadcast(docs, 10_000, stats_key=("t_gate", docs_dir))
+    # gated under the bound: the hint must be applied
+    assert "Hint broadcast" in out1._jdf.queryExecution().logical().toString()
+
+    sc.setJobGroup("gate-memo-audit", "second gate call must be job-free")
+    try:
+        out2 = maybe_broadcast(docs, 10_000, stats_key=("t_gate", docs_dir))
+        jobs = list(sc.statusTracker().getJobIdsForGroup("gate-memo-audit"))
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert jobs == [], f"memoized gate launched jobs: {jobs}"
+    assert "Hint broadcast" in out2._jdf.queryExecution().logical().toString()
+
+    # the memoized decision matches the uncached one on BOTH sides of
+    # the bound: rows=40 here, so a bound of 10 must NOT hint -- from
+    # the memo alone (still zero jobs)
+    out3 = maybe_broadcast(docs, 10, stats_key=("t_gate", docs_dir))
+    assert "Hint" not in out3._jdf.queryExecution().logical().toString()
+
+    # clear_staged drops the memo: the next call re-measures (jobs again)
+    clear_staged()
+    sc.setJobGroup("gate-memo-audit-2", "post-clear gate call re-measures")
+    try:
+        maybe_broadcast(docs, 10_000, stats_key=("t_gate", docs_dir))
+        jobs2 = list(
+            sc.statusTracker().getJobIdsForGroup("gate-memo-audit-2")
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert jobs2, "post-clear gate call should have re-run the stats job"

@@ -73,6 +73,7 @@ def maybe_broadcast(
     bound: int,
     max_bytes: int = MAYBE_BCAST_MAX_BYTES,
     persist_input: bool = False,
+    stats_key: tuple | None = None,
 ) -> DataFrame:
     """Broadcast a doc-grain side table only below ``bound`` rows AND
     below ``max_bytes`` estimated serialized size (one cheap aggregate
@@ -100,9 +101,37 @@ def maybe_broadcast(
     consuming join.  When set, the frame is persisted (and registered
     with the session release path) BEFORE the gate action, so the
     stats scan materializes the cache the join then reads.  Sites
-    riding already-staged frames leave it off."""
+    riding already-staged frames leave it off.
+
+    ``stats_key`` (r12) memoizes the measured (rows, bytes) PER SESSION
+    for call sites whose input is a pure function of the dataset dir +
+    code constants -- the same immutability contract the staged-layer
+    memo rides.  The gate decision for such a frame cannot change
+    within a session, so later calls skip the gate's aggregate action
+    (and, on a hit, the ``persist_input`` persist: with no second
+    evaluation pending, the consuming join is the frame's only reader).
+    Keys are namespaced per call site and include the dataset dir; only
+    the scalar stats are memoized, never data."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+
+    memo_key = None
+    if stats_key is not None:
+        memo_key = (
+            id(df.sparkSession.sparkContext),
+            "__gate_stats",
+        ) + tuple(stats_key)
+        hit = _MODEL_CACHE.get(memo_key)
+        if hit is not None:
+            # keep the persist on a hit: multi-consumer sites still need
+            # single evaluation, and a LAZY persist costs no extra job
+            # (the first consumer materializes it) -- only the gate's
+            # eager aggregate action is skipped
+            if persist_input:
+                df = track_persist(df.persist(StorageLevel.MEMORY_AND_DISK))
+            n_rows, n_bytes = hit
+            small = n_rows <= bound and n_bytes <= max_bytes
+            return F.broadcast(df) if small else df
 
     if persist_input:
         df = track_persist(df.persist(StorageLevel.MEMORY_AND_DISK))
@@ -159,6 +188,8 @@ def maybe_broadcast(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum(per_row.cast("bigint")), F.lit(0)).alias("b"),
     ).collect()[0]
+    if memo_key is not None:
+        _MODEL_CACHE[memo_key] = (int(stats["n"]), int(stats["b"]))
     small = stats["n"] <= bound and stats["b"] <= max_bytes
     return F.broadcast(df) if small else df
 

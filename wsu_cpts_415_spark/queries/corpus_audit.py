@@ -284,7 +284,12 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = vocab.agg(F.sum("n").cast("double").alias("total"))
     surprisal = -F.log(F.col("n") / F.col("total"))
     return (
-        tok.join(maybe_broadcast(vocab, VOCAB_BCAST_ROWS), "tok")
+        tok.join(
+            maybe_broadcast(
+                vocab, VOCAB_BCAST_ROWS, stats_key=("unigram_vocab", sf_dir)
+            ),
+            "tok",
+        )
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

@@ -172,7 +172,9 @@ def er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
 
     compact = maybe_broadcast(
-        _h64_staged(spark, sf_dir), DOC_SIDE_BCAST_ROWS
+        _h64_staged(spark, sf_dir),
+        DOC_SIDE_BCAST_ROWS,
+        stats_key=("h64_staged", sf_dir),
     )
     scored = (
         cand.join(
@@ -1068,6 +1070,7 @@ def er_multipass_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(_h64_staged(spark, sf_dir), "doc_id"),
         DOC_SIDE_BCAST_ROWS,
+        stats_key=("er_side_prefix_h64", sf_dir),
     )
     scored = (
         cand.join(
@@ -1266,7 +1269,12 @@ def er_incremental_batch_scores(
     # intersection) runs single-task; scoring cost scales with PAIR
     # COUNT, so the stage width is pinned by cores, not byte heuristics
     cand = (
-        oldb.join(maybe_broadcast(newb, DOC_SIDE_BCAST_ROWS), ["b", "h1", "h2"])
+        oldb.join(
+            maybe_broadcast(
+                newb, DOC_SIDE_BCAST_ROWS, stats_key=("er_inc_newb", sf_dir)
+            ),
+            ["b", "h1", "h2"],
+        )
         .select("new_doc", "old_doc")
         .repartition(
             spark.sparkContext.defaultParallelism, "new_doc", "old_doc"
@@ -1288,6 +1296,7 @@ def er_incremental_batch_scores(
         )
         .join(_h64_staged(spark, sf_dir), "doc_id"),
         DOC_SIDE_BCAST_ROWS,
+        stats_key=("er_side_prefix_h64", sf_dir),
     )
     scored = (
         cand.join(

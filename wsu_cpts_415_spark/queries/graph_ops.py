@@ -525,7 +525,12 @@ def common_neighbor_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "w")
         .agg(F.count("*").alias("common"))
     )
-    deg = maybe_broadcast(deg, DOC_SIDE_BCAST_ROWS, persist_input=True)
+    deg = maybe_broadcast(
+        deg,
+        DOC_SIDE_BCAST_ROWS,
+        persist_input=True,
+        stats_key=("cns_deg", sf_dir),
+    )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dw = deg.select(F.col("node").alias("w"), F.col("deg").alias("deg_w"))
     return (
@@ -771,7 +776,10 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
 
     inc_labels = maybe_broadcast(
-        inc_labels, DOC_SIDE_BCAST_ROWS, persist_input=True
+        inc_labels,
+        DOC_SIDE_BCAST_ROWS,
+        persist_input=True,
+        stats_key=("modularity_inc_labels", sf_dir),
     )
     la = inc_labels.select(
         F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca")

@@ -293,7 +293,12 @@ def neardup_link_pred_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = adj.groupBy("node").agg(F.count("*").alias("d"))
     # degree table is pair-graph-node-grain: gate the hint, fixed-width
     # rows (the same adjudication as common_neighbor_sim)
-    deg = maybe_broadcast(deg, DOC_SIDE_BCAST_ROWS, persist_input=True)
+    deg = maybe_broadcast(
+        deg,
+        DOC_SIDE_BCAST_ROWS,
+        persist_input=True,
+        stats_key=("linkpred_deg", sf_dir),
+    )
     centers = deg.filter(F.col("d") <= WEDGE_CAP).select(
         F.col("node").alias("nbr")
     )

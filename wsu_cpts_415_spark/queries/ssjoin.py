@@ -502,7 +502,11 @@ def _ssjoin_frames(
     # BEFORE the wider compact hash arrays are ever joined.
     from wsu_cpts_415_spark.ops.staging import maybe_broadcast
 
-    hist = maybe_broadcast(_hist_staged(spark, sf_dir), DOC_SIDE_BCAST_ROWS)
+    hist = maybe_broadcast(
+        _hist_staged(spark, sf_dir),
+        DOC_SIDE_BCAST_ROWS,
+        stats_key=("ssjoin_hist", sf_dir),
+    )
     hist_bound = F.aggregate(
         F.zip_with("ha", "hb", lambda x, y: F.least(x, y)),
         F.lit(0),
@@ -529,7 +533,9 @@ def _ssjoin_frames(
     from wsu_cpts_415_spark.queries.similarity import _h64_staged
 
     compact = maybe_broadcast(
-        _h64_staged(spark, sf_dir), DOC_SIDE_BCAST_ROWS
+        _h64_staged(spark, sf_dir),
+        DOC_SIDE_BCAST_ROWS,
+        stats_key=("h64_staged", sf_dir),
     )
     verified = (
         suffix_surv.join(

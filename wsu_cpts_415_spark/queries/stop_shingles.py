@@ -181,7 +181,12 @@ def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wsu_cpts_415_spark.ops.staging import maybe_broadcast
     from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
 
-    sizes = maybe_broadcast(sizes, DOC_SIDE_BCAST_ROWS, persist_input=True)
+    sizes = maybe_broadcast(
+        sizes,
+        DOC_SIDE_BCAST_ROWS,
+        persist_input=True,
+        stats_key=("ngram_capped_sizes", sf_dir),
+    )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (

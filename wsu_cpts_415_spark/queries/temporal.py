@@ -285,7 +285,12 @@ def late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scanned = (
         ev.join(
-            maybe_broadcast(prior, DOC_SIDE_BCAST_ROWS, persist_input=True),
+            maybe_broadcast(
+                prior,
+                DOC_SIDE_BCAST_ROWS,
+                persist_input=True,
+                stats_key=("late_event_prior", sf_dir),
+            ),
             "chunk",
         )
         .withColumn(

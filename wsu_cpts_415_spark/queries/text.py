@@ -584,7 +584,9 @@ def exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from wsu_cpts_415_spark.ops.staging import maybe_broadcast
         from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
 
-        sizes_h = maybe_broadcast(sizes, DOC_SIDE_BCAST_ROWS)
+        sizes_h = maybe_broadcast(
+            sizes, DOC_SIDE_BCAST_ROWS, stats_key=("exact_jaccard_sizes", sf_dir)
+        )
         sa = sizes_h.alias("sa")
         sb = sizes_h.alias("sb")
         return (
