@@ -261,10 +261,20 @@ def _prior_bench(sf: float) -> tuple[str, dict] | None:
     here = os.path.dirname(os.path.abspath(__file__))
     candidates: list[str] = []
     fulls = []
+    # optimization-round finals outrank the same round's pre-opt full
+    # snapshot: r12's guard otherwise compared every run to the
+    # PRE-optimization baseline, so a query regressing from its
+    # optimized time back toward its old time could never flag
+    for p in glob.glob(os.path.join(here, "bench_r*_opt_final.json")):
+        m = re.fullmatch(
+            r"bench_r(\d+)_opt_final\.json", os.path.basename(p)
+        )
+        if m:
+            fulls.append((int(m.group(1)) * 2 + 1, p))
     for p in glob.glob(os.path.join(here, "bench_r*_full.json")):
         m = re.fullmatch(r"bench_r(\d+)_full\.json", os.path.basename(p))
         if m:
-            fulls.append((int(m.group(1)), p))
+            fulls.append((int(m.group(1)) * 2, p))
     candidates += [p for _, p in sorted(fulls, reverse=True)]
     candidates.append(os.path.join(here, "bench_now.json"))
     rounds = []
