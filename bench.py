@@ -478,6 +478,17 @@ def main() -> None:
                 timings[name] = round(min(t, t2), 3)
 
     total = round(sum(timings.values()), 3)
+    # Staged-build cost surfaced in the artifact (r13 verdict task #2):
+    # a staged layer/model/gate builds ONCE per invocation, inside the
+    # first toucher's run 1, which min-of-2 discards -- so the headline
+    # counts steady-state reads only.  These fields quantify the
+    # excluded one-time build work; headline_plus_staging_sec is the
+    # cold-invocation estimate.  (Session-persist materializations are
+    # lazy and land inside a timed run, so they are NOT in this log.)
+    from wsu_cpts_415_spark.ops.staging import staging_build_log
+
+    build_layers = {k: round(v, 3) for k, v in staging_build_log().items()}
+    staging_build = round(sum(build_layers.values()), 3)
     # Fixed historical subsets so cross-round totals stay comparable as
     # the suite grows: the round-3 57-query headline set.
     r3_set = {
@@ -535,6 +546,12 @@ def main() -> None:
                     sum(timings.get(n, 0.0) for n in CANARY_JOBS_QUERIES),
                     3,
                 ),
+                # one-time staged-layer/model/gate build cost this
+                # invocation (excluded from the min-of-2 per-query
+                # numbers by construction; see comment at computation)
+                "staging_build_sec": staging_build,
+                "staging_build_layers": build_layers,
+                "headline_plus_staging_sec": round(total + staging_build, 3),
                 # queries re-timed after tripping the regression rule
                 # in-run; recorded timing is min(first, retime), so any
                 # surviving flag below already reproduced twice

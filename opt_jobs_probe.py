@@ -56,6 +56,7 @@ def main() -> None:
             t0 = time.perf_counter()
             df = qs[name].fn(spark, SF_DIR)
             t1 = time.perf_counter()
+            build_jobs = len(tracker.getJobIdsForGroup(group))
             if sink == "noop":
                 df.write.format("noop").mode("overwrite").save()
             else:
@@ -79,6 +80,11 @@ def main() -> None:
                 "exec": round(t2 - t1, 3),
                 "total": round(t2 - t0, 3),
                 "jobs": len(job_ids),
+                # jobs triggered DURING fn() = eager driver actions in
+                # the query's build phase (gate/training actions); the
+                # remainder are the timed action's own jobs (with AQE,
+                # one per materialized query stage)
+                "jobs_build": build_jobs,
                 "stages": n_stages,
                 "tasks": n_tasks,
             }

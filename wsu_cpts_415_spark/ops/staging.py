@@ -25,7 +25,45 @@ from typing import Callable
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
-_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _ctx_token(sc) -> str:
+    """Stable per-SparkContext cache-key token (r13, ADVICE closure):
+    ``id(sc)`` can be REUSED by CPython after a stopped context is
+    garbage-collected, letting a new context in the same process read a
+    dead context's memo entries (stale gate stats / models / broadcast
+    decisions).  applicationId + startTime is unique per application and
+    cached on the instance so the py4j round-trip happens once."""
+    tok = getattr(sc, "_graft_staging_token", None)
+    if tok is None:
+        tok = f"{sc.applicationId}@{sc.startTime}"
+        sc._graft_staging_token = tok
+    return tok
+
+
+# Cumulative EAGER build cost per staged layer/model/gate, keyed by a
+# short layer tag (r13 verdict task: the bench's min-of-2 protocol
+# assigns a layer's one-time build to the first toucher's discarded
+# run, so the suite headline counts only steady-state reads; this log
+# makes the excluded build cost a first-class artifact field).  Only
+# eager work is logged -- a session-``staged`` persist materializes
+# lazily inside its first consumer's timed run and is therefore NOT
+# excluded by min-of-2 (it shows up as that query's run1/run2 gap).
+_BUILD_LOG: dict[str, float] = {}
+
+
+def _log_build(layer: str, sec: float) -> None:
+    _BUILD_LOG[layer] = round(_BUILD_LOG.get(layer, 0.0) + sec, 3)
+
+
+def staging_build_log() -> dict[str, float]:
+    """Snapshot of cumulative eager staged-build seconds per layer
+    (durable-layer parquet writes, trained-model actions, memoized gate
+    stats actions, corpus fingerprint scans).  Never cleared by
+    ``clear_staged`` -- it is an invocation-lifetime cost log, not a
+    cache."""
+    return dict(_BUILD_LOG)
 
 
 def staged(
@@ -36,7 +74,7 @@ def staged(
 ) -> DataFrame:
     """Return the persisted DataFrame registered under ``name`` for this
     session + dataset, building (and persisting) it on first use."""
-    key = (id(spark.sparkContext), name, sf_dir)
+    key = (_ctx_token(spark.sparkContext), name, sf_dir)
     df = _CACHE.get(key)
     if df is None:
         df = build().persist(StorageLevel.MEMORY_AND_DISK)
@@ -44,7 +82,7 @@ def staged(
     return df
 
 
-_MODEL_CACHE: dict[tuple[int, str, str], object] = {}
+_MODEL_CACHE: dict[tuple, object] = {}
 
 
 def staged_model(
@@ -59,9 +97,13 @@ def staged_model(
     model table written once by the training job and read by every
     consumer -- training is deterministic here, so the memo changes
     latency, never results."""
-    key = (id(spark.sparkContext), name, sf_dir)
+    import time as _time
+
+    key = (_ctx_token(spark.sparkContext), name, sf_dir)
     if key not in _MODEL_CACHE:
+        t0 = _time.perf_counter()
         _MODEL_CACHE[key] = build()
+        _log_build(f"model:{name}", _time.perf_counter() - t0)
     return _MODEL_CACHE[key]
 
 
@@ -107,34 +149,52 @@ def maybe_broadcast(
     for call sites whose input is a pure function of the dataset dir +
     code constants -- the same immutability contract the staged-layer
     memo rides.  The gate decision for such a frame cannot change
-    within a session, so later calls skip the gate's aggregate action
-    (and, on a hit, the ``persist_input`` persist: with no second
-    evaluation pending, the consuming join is the frame's only reader).
+    within a session, so later calls skip the gate's aggregate action;
+    the ``persist_input`` persist is KEPT on a hit (lazily -- the first
+    consumer materializes it at no extra job) because multi-consumer
+    sites still need single evaluation.  The persisted frame itself is
+    memoized alongside the stats (r13, ADVICE closure): repeated calls
+    reuse the already-tracked cached frame instead of re-persisting a
+    fresh copy of the same logical plan per call -- which grew the
+    release list unboundedly and re-materialized an identical cache.
     Keys are namespaced per call site and include the dataset dir; only
-    the scalar stats are memoized, never data."""
+    the scalar stats and the persisted-frame handle are memoized, never
+    raw data outside Spark's own cache."""
+    import time as _time
+
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+
+    def _gate_persist(frame: DataFrame) -> DataFrame:
+        # one persisted frame per memoized site: the site's input is a
+        # pure function of (dataset dir, constants), so every call's
+        # frame is the same logical plan -- reuse the first call's
+        # cached copy instead of stacking persists of identical plans
+        if memo_key is None:
+            return track_persist(frame.persist(StorageLevel.MEMORY_AND_DISK))
+        pkey = ("__gate_persist",) + memo_key
+        cached = _CACHE.get(pkey)
+        if cached is None:
+            cached = frame.persist(StorageLevel.MEMORY_AND_DISK)
+            _CACHE[pkey] = cached
+        return cached
 
     memo_key = None
     if stats_key is not None:
         memo_key = (
-            id(df.sparkSession.sparkContext),
+            _ctx_token(df.sparkSession.sparkContext),
             "__gate_stats",
         ) + tuple(stats_key)
         hit = _MODEL_CACHE.get(memo_key)
         if hit is not None:
-            # keep the persist on a hit: multi-consumer sites still need
-            # single evaluation, and a LAZY persist costs no extra job
-            # (the first consumer materializes it) -- only the gate's
-            # eager aggregate action is skipped
             if persist_input:
-                df = track_persist(df.persist(StorageLevel.MEMORY_AND_DISK))
+                df = _gate_persist(df)
             n_rows, n_bytes = hit
             small = n_rows <= bound and n_bytes <= max_bytes
             return F.broadcast(df) if small else df
 
     if persist_input:
-        df = track_persist(df.persist(StorageLevel.MEMORY_AND_DISK))
+        df = _gate_persist(df)
 
     per_row = F.lit(16)
     for field in df.schema.fields:
@@ -184,11 +244,17 @@ def maybe_broadcast(
             per_row = per_row + 16 + F.coalesce(F.length(c), F.lit(0))
         else:
             per_row = per_row + 8
+    t0 = _time.perf_counter()
     stats = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum(per_row.cast("bigint")), F.lit(0)).alias("b"),
     ).collect()[0]
     if memo_key is not None:
+        # only memoized sites log: their gate action runs once per
+        # invocation (excluded from steady-state min-of-2 timings);
+        # un-memoized gates re-run per call and are already inside
+        # every reported per-query number
+        _log_build(f"gate:{stats_key[0]}", _time.perf_counter() - t0)
         _MODEL_CACHE[memo_key] = (int(stats["n"]), int(stats["b"]))
     small = stats["n"] <= bound and stats["b"] <= max_bytes
     return F.broadcast(df) if small else df
@@ -318,10 +384,11 @@ def _corpus_fp(spark: SparkSession, sf_dir: str):
     import hashlib
     import json as _json
     import os
+    import time as _time
 
     from pyspark.sql import functions as F
 
-    key = (id(spark.sparkContext), "__corpus_fp", sf_dir)
+    key = (_ctx_token(spark.sparkContext), "__corpus_fp", sf_dir)
     if key in _MODEL_CACHE:
         return _MODEL_CACHE[key]
     root = _staging_root()
@@ -342,6 +409,7 @@ def _corpus_fp(spark: SparkSession, sf_dir: str):
     try:
         from wsu_cpts_415_spark.io.tables import load_table
 
+        t0 = _time.perf_counter()
         row = (
             load_table(spark, sf_dir, "documents")
             .agg(
@@ -358,6 +426,7 @@ def _corpus_fp(spark: SparkSession, sf_dir: str):
             .collect()[0]
         )
         fp = (int(row[0]), int(row[1] or 0), int(row[2] or 0))
+        _log_build("corpus_fp", _time.perf_counter() - t0)
         _MODEL_CACHE[key] = fp
         if sidecar is not None:
             try:
@@ -510,8 +579,9 @@ def staged_table(
     import hashlib
     import os
     import shutil
+    import time as _time
 
-    mem_key = (id(spark.sparkContext), f"durable:{name}", sf_dir)
+    mem_key = (_ctx_token(spark.sparkContext), f"durable:{name}", sf_dir)
     df = _CACHE.get(mem_key)
     if df is not None:
         return df
@@ -542,7 +612,9 @@ def staged_table(
     if out is None:
         tmp = f"{path}.tmp-{os.getpid()}"
         try:
+            t0 = _time.perf_counter()
             build().write.mode("overwrite").parquet(tmp)
+            _log_build(f"layer:{name}", _time.perf_counter() - t0)
             os.makedirs(os.path.dirname(path), exist_ok=True)
             try:
                 os.rename(tmp, path)

@@ -964,6 +964,34 @@ def _multipass_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _er_side_prefix_h64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE doc-grain ER scoring side table (prefix + n_chars +
+    compact shingle hashes) behind the gated broadcast shared by
+    ``er_multipass_match_scores`` and ``er_incremental_batch_scores``.
+    Factored here (r13, ADVICE closure) so the shared gate
+    ``stats_key`` provably covers one frame: the two sites previously
+    built byte-identical projections independently, and a later drift
+    in either would have let one site's memoized (rows, bytes) drive
+    the other's broadcast decision -- including the byte-based OOM
+    guard."""
+    from wsu_cpts_415_spark.io.tables import load_table
+    from wsu_cpts_415_spark.ops.staging import maybe_broadcast
+    from wsu_cpts_415_spark.queries.similarity import _h64_staged
+    from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
+
+    return maybe_broadcast(
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.substring("text", 1, LEV_PREFIX).alias("prefix"),
+            "n_chars",
+        )
+        .join(_h64_staged(spark, sf_dir), "doc_id"),
+        DOC_SIDE_BCAST_ROWS,
+        stats_key=("er_side_prefix_h64", sf_dir),
+    )
+
+
 @register(
     "er_multipass_match_scores",
     oracle=f"""
@@ -1048,11 +1076,6 @@ def er_multipass_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance here is UNBOUNDED (SNM/LSH candidates legitimately exceed
     {LEV_MAX_DIST}; a large dist just scores low) -- cost is the same
     O(|prefix|^2) banded DP per candidate."""
-    from wsu_cpts_415_spark.io.tables import load_table
-    from wsu_cpts_415_spark.ops.staging import maybe_broadcast
-    from wsu_cpts_415_spark.queries.similarity import _h64_staged
-    from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
-
     cand = _multipass_candidates(spark, sf_dir)
     # ONE combined doc-grain side table (prefix + length + compact
     # shingle hashes) attached with ONE join per pair endpoint -- r12
@@ -1060,24 +1083,15 @@ def er_multipass_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # builds, 2 gate actions) into 2 joins over 1 gated broadcast whose
     # exchange is reused for both sides (guide §3.1: fewer, cheaper
     # builds; measured ~3x on the attach stage at sf0.1).  The doc-grain
-    # join adding h64 is linear and happens once, inside the build.
-    side = maybe_broadcast(
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.substring("text", 1, LEV_PREFIX).alias("prefix"),
-            F.col("n_chars").alias("len_chars"),
-        )
-        .join(_h64_staged(spark, sf_dir), "doc_id"),
-        DOC_SIDE_BCAST_ROWS,
-        stats_key=("er_side_prefix_h64", sf_dir),
-    )
+    # join adding h64 is linear and happens once, inside the build
+    # (shared with er_incremental_batch_scores via _er_side_prefix_h64).
+    side = _er_side_prefix_h64(spark, sf_dir)
     scored = (
         cand.join(
             side.select(
                 F.col("doc_id").alias("doc_a"),
                 F.col("prefix").alias("pa"),
-                F.col("len_chars").alias("len_a"),
+                F.col("n_chars").alias("len_a"),
                 F.col("h64").alias("hs_a"),
             ),
             "doc_a",
@@ -1086,7 +1100,7 @@ def er_multipass_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             side.select(
                 F.col("doc_id").alias("doc_b"),
                 F.col("prefix").alias("pb"),
-                F.col("len_chars").alias("len_b"),
+                F.col("n_chars").alias("len_b"),
                 F.col("h64").alias("hs_b"),
             ),
             "doc_b",
@@ -1247,10 +1261,7 @@ def er_incremental_batch_scores(
     from wsu_cpts_415_spark.ops.staging import maybe_broadcast
     from wsu_cpts_415_spark.queries.corpus_ops import _SPARK_BUCKET
     from wsu_cpts_415_spark.queries.dedup_policy import NEW_BATCH_BUCKET
-    from wsu_cpts_415_spark.queries.similarity import (
-        _bands_staged,
-        _h64_staged,
-    )
+    from wsu_cpts_415_spark.queries.similarity import _bands_staged
     from wsu_cpts_415_spark.queries.ssjoin import DOC_SIDE_BCAST_ROWS
 
     bucket = F.expr(_SPARK_BUCKET.format(m=100))
@@ -1281,23 +1292,12 @@ def er_incremental_batch_scores(
         )
         .dropDuplicates(["new_doc", "old_doc"])
     )
-    from wsu_cpts_415_spark.io.tables import load_table
-
     # same r12 fusion as er_multipass_match_scores: ONE combined
     # doc-grain side table (prefix + n_chars + h64), one gated
     # broadcast reused by both endpoint joins -- was 4 joins over 2
-    # broadcast builds (compact, meta) with 2 gate actions
-    side = maybe_broadcast(
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.substring("text", 1, LEV_PREFIX).alias("prefix"),
-            "n_chars",
-        )
-        .join(_h64_staged(spark, sf_dir), "doc_id"),
-        DOC_SIDE_BCAST_ROWS,
-        stats_key=("er_side_prefix_h64", sf_dir),
-    )
+    # broadcast builds (compact, meta) with 2 gate actions; the build
+    # is the factored _er_side_prefix_h64 both sites share
+    side = _er_side_prefix_h64(spark, sf_dir)
     scored = (
         cand.join(
             side.select(

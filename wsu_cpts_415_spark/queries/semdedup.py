@@ -119,12 +119,23 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic term is bounded by cluster population (K scales with the
     corpus at 100 TB, keeping blocks constant-size)."""
     emb = _emb_double(spark, sf_dir)
-    cents = [
-        (int(r["c"]), list(r["v"]))
-        for r in emb.filter(F.col("vec_id") < K)
-        .select(F.col("vec_id").cast("int").alias("c"), "v")
-        .collect()
-    ]
+    # deterministic centroid init (first K vectors) is a trained
+    # model-sized value: staged once per (session, dataset) like the PQ
+    # codebooks / k-means centroids (r13 multi-action sweep -- was one
+    # bounded collect job per call)
+    from wsu_cpts_415_spark.ops.staging import staged_model
+
+    cents = staged_model(
+        spark,
+        "semdedup_centroids",
+        sf_dir,
+        lambda: [
+            (int(r["c"]), list(r["v"]))
+            for r in emb.filter(F.col("vec_id") < K)
+            .select(F.col("vec_id").cast("int").alias("c"), "v")
+            .collect()
+        ],
+    )
     if not cents:
         # empty corpus: no centroids to assign against -- empty result
         # with the normal schema (round-10 empty-slice totality)

@@ -180,8 +180,20 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qrow = (
-        emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()
+    # the one-row query-vector lookup is a pure function of the dataset:
+    # staged once per (session, dataset) -- was one driver action (scan +
+    # first()) per call (r13 multi-action sweep)
+    from wsu_cpts_415_spark.ops.staging import staged_model
+
+    qrow = staged_model(
+        spark,
+        "cosine_query_vec",
+        sf_dir,
+        lambda: (
+            emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+            .select("embedding")
+            .first()
+        ),
     )
     if qrow is None:
         # absent query vector: empty result, same as the brute-force

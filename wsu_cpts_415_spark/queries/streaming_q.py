@@ -16,6 +16,30 @@ from wsu_cpts_415_spark.streaming.jobs import (
     tumbling_counts,
 )
 
+# Replay slicing (r13, guide §5 state cost): every query in this module
+# reads its backlog 64 files per trigger -- extending the CEP/dedup
+# precedent to the whole family -- because each one's OUTPUT is
+# batch-slicing invariant, so coarser replay slices change state-commit
+# COUNT, never results:
+#   - the complete-mode window aggregates (tumbling, sliding, static
+#     enrich, seasonal, session windows) and the CMS sketch merge fold
+#     commutatively; the final complete output is the full-backlog
+#     aggregate however the source is sliced;
+#   - distinct_users_daily counts dropDuplicates survivors per day --
+#     which PHYSICAL row survives is arrival-dependent, the count is not;
+#   - the inner stream-stream join emits every qualifying pair as both
+#     sides arrive; one batch sees all pairs the batch self-join (the
+#     oracle) defines, and fewer batches mean fewer watermark advances,
+#     i.e. strictly LESS chance of evicting a signup before its matching
+#     purchase arrives at long replay lengths.
+# Per-batch cost is a fixed state-store commit across every store
+# instance plus an offset/commit-log round (measured in
+# streaming_phase_probe_r13.json), so an N-file backlog at 1 file per
+# trigger pays N of them where ceil(N/64) suffice -- the x10 fixture's
+# streaming family was ~8x its sf0.1 cost almost entirely from batch
+# count.  At 100 TB the same knob is sized by micro-batch latency
+# targets, not fixed at 1.
+
 
 @register(
     "streaming_tumbling_counts",
@@ -34,7 +58,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (watermark + window state, availableNow replay); the oracle is
     the plain batch SQL -- bounded replay must agree exactly."""
     out = run_available_now(
-        tumbling_counts(read_events_stream(spark, sf_dir)),
+        tumbling_counts(read_events_stream(spark, sf_dir, files_per_trigger=64)),
         "q_streaming_tumbling",
     )
     return out.orderBy("day", "event_type")
@@ -75,7 +99,7 @@ def streaming_session_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     number), with session_end = last event + gap per Spark's
     session_window semantics."""
     out = run_available_now(
-        session_aggregates(read_events_stream(spark, sf_dir)),
+        session_aggregates(read_events_stream(spark, sf_dir, files_per_trigger=64)),
         "q_streaming_sessions",
     )
     return out.orderBy("user_id", "session_start")
@@ -99,7 +123,7 @@ def streaming_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFram
     which is what the oracle pins."""
     from pyspark.sql import functions as F
 
-    ev = read_events_stream(spark, sf_dir).select(
+    ev = read_events_stream(spark, sf_dir, files_per_trigger=64).select(
         "user_id", F.to_date("ts").alias("day"), "ts"
     )
     firsts = ev.dropDuplicates(["user_id", "day"])
@@ -135,7 +159,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wsu_cpts_415_spark.io.tables import load_table
     from wsu_cpts_415_spark.streaming.jobs import WATERMARK
 
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream(spark, sf_dir, files_per_trigger=64)
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("segment")
     )
@@ -186,7 +210,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce the batch self-join exactly (the oracle)."""
     from pyspark.sql import functions as F
 
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream(spark, sf_dir, files_per_trigger=64)
     signups = (
         ev.filter(F.col("event_type") == "signup")
         .select(
@@ -254,7 +278,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from wsu_cpts_415_spark.streaming.jobs import WATERMARK
 
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream(spark, sf_dir, files_per_trigger=64)
     agg = (
         ev.withWatermark("ts", WATERMARK)
         .groupBy(F.window("ts", "3 days", "1 day").alias("w"), "event_type")
@@ -326,7 +350,7 @@ def streaming_seasonal_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.stddev_pop("r").alias("s"))
     )
     out = run_available_now(
-        seasonal_alerts(read_events_stream(spark, sf_dir), expected, spread),
+        seasonal_alerts(read_events_stream(spark, sf_dir, files_per_trigger=64), expected, spread),
         "q_streaming_seasonal",
     )
     return out.orderBy("d")
@@ -428,7 +452,7 @@ def streaming_cms_frequency_check(spark: SparkSession, sf_dir: str) -> DataFrame
         CMS_PROBES,
     )
 
-    stream = read_events_stream(spark, sf_dir)
+    stream = read_events_stream(spark, sf_dir, files_per_trigger=64)
     sketched = stream.groupBy().agg(
         F.count("*").alias("n_total"),
         F.expr(

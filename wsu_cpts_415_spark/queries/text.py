@@ -900,7 +900,7 @@ def zipf_slope(
     giant tie groups (half the vocab sits at f=1); below the bound the
     plain window.  Both paths give identical slope/intercept; the
     regression is a single covariance aggregate, one row out."""
-    from wsu_cpts_415_spark.ops.staging import staged
+    from wsu_cpts_415_spark.ops.staging import staged, staged_model
 
     docs = load_table(spark, sf_dir, "documents")
     # the token-frequency aggregate feeds the routing count plus several
@@ -913,7 +913,15 @@ def zipf_slope(
         .groupBy("tok")
         .agg(F.count("*").alias("f")),
     )
-    if freq.count() > scalable_rows:
+    # the routing count is a pure function of the dataset (vocab size of
+    # the staged freq layer), so it rides staged_model: one count job per
+    # (session, dataset) instead of one per call (r13 multi-action sweep;
+    # the first call's count also materializes the staged persist, as
+    # before)
+    n_vocab = staged_model(
+        spark, "zipf_vocab_count", sf_dir, lambda: freq.count()
+    )
+    if n_vocab > scalable_rows:
         ranked = tiefree_global_row_number(
             freq, "f", "tok", descending=True, out_col="r"
         ).select("f", F.col("r").cast("bigint").alias("r"))

@@ -170,12 +170,31 @@ def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "compl
 
     The shuffle-partition conf is scoped to the query's start (fresh
     temp checkpoint each call, so the width is never fighting a pinned
-    checkpoint) and restored afterwards."""
+    checkpoint) and restored afterwards.
+
+    No-data micro-batches are disabled for these bounded replays (r13,
+    guide §5): after the last data batch, availableNow otherwise runs
+    one more empty batch purely to advance the watermark -- whose only
+    effects are evicting state a terminating query is about to discard
+    and, in complete mode, re-emitting the identical sink table.  Every
+    registry stream emits its results on DATA batches (complete/update
+    re-emit full/changed state per batch; the append shapes -- inner
+    stream-stream join, within-watermark dedup -- emit rows as they
+    match/arrive, never on watermark advance), so skipping the empty
+    batch cannot change the sink contents; it removes one full
+    state-store commit + offset/commit-log round per query (measured
+    -26% on the 5-shape phase probe, streaming_nodata_ab_r13.json).
+    A STANDING stream (the ingest/line gates use their own writeStream
+    paths) keeps the default: there, eager state cleanup between lulls
+    is the point."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nodata = spark.conf.get(nodata_key)
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
     )
+    spark.conf.set(nodata_key, "false")
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -187,6 +206,7 @@ def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "compl
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(nodata_key, prev_nodata)
     return stream_df.sparkSession.table(name)
 
 
