@@ -211,6 +211,7 @@ def main() -> None:
     # the frozen comparator subsets; the decision is recorded in the
     # artifact via `min2_watch`.
     min2_watch = {"ngram_jaccard_pairs", "percent_rank_scalable"}
+    watch_runs: dict[str, list] = {}
     for name in stable + tail:
         runs = 2 if (name in stable or name in min2_watch) else 1
         samples = []
@@ -221,6 +222,13 @@ def main() -> None:
             samples.append(t)
         if name in errors:
             continue
+        if name in min2_watch:
+            # BOTH runs land in the artifact: run 1 carries any
+            # session-staged build/recompute the query triggers (for
+            # ngram_jaccard_pairs, the shared exact pair table whose
+            # build is the documented quadratic), run 2 the steady-state
+            # read that matches every other staged consumer's number
+            watch_runs[name] = [round(s, 3) for s in samples]
         best = min(samples)
         p = prior.get(name)
         if runs == 1 and p and p > 0.5 and best > p * REGRESSION_RATIO:
@@ -294,6 +302,7 @@ def main() -> None:
                 # two measure the documented all-pairs quadratic, not
                 # the deployed paths (their capped/bucketed twins)
                 "min2_watch": sorted(min2_watch),
+                "watch_runs": watch_runs,
                 "full_registry_sans_quadratic_sec": round(
                     sum(
                         t
